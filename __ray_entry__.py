@@ -1,16 +1,12 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native spatial engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship north-star pipeline (pages → text extract →
+geo entities → broadcast PIP join → Hilbert tiles → skew-proof tile
+stats) on sf0.001.  ``queries()`` exposes one callable per implemented
+operator/pipeline (SURVEY.md §2); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver owns ray.init — nothing here may init/shutdown Ray.
 """
 
 from __future__ import annotations
@@ -18,27 +14,513 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# Ray workers must be able to deserialize our package even when the driver
+# ran from outside /root/repo (the package is not pip-installed).
+try:  # pragma: no cover
+    from ray import cloudpickle as _cp
+
+    import nettopologysuite_ray as _pkg
+
+    _cp.register_pickle_by_value(_pkg)
+except Exception:  # noqa: BLE001 - best effort; cwd-based import still works
+    pass
+
+LEVEL = 12  # tile level for morton/hilbert cell queries
+KNN_K = 3
+ANN_K = 5
+ANN_NQ = 3
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from nettopologysuite_ray.pipelines.northstar import northstar
+
+    tiled, stats = northstar("/root/testdata/sf0.001")
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# engine-side query callables
+
+
+def _entities(sf_dir: str):
+    from nettopologysuite_ray.pipelines.northstar import entity_dataset
+
+    return entity_dataset(sf_dir)
+
+
+def _q_geo_extract(sf_dir: str):
+    return _entities(sf_dir).select_columns(
+        ["doc_id", "entity_idx", "lon", "lat", "lon_1e2", "lat_1e2"]
+    )
+
+
+def _q_spatial_join_assign(sf_dir: str):
+    import ray
+
+    from nettopologysuite_ray.sources.pages import admin_boundaries_table
+    from nettopologysuite_ray.stages.spatial_join import PIPJoin, prepare_admin_state
+
+    admin_ref = prepare_admin_state(admin_boundaries_table(fancy=False))
+    joined = _entities(sf_dir).map_batches(
+        PIPJoin,
+        fn_constructor_kwargs={"admin_ref": admin_ref, "mode": "assign"},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    return joined.select_columns(["doc_id", "entity_idx", "admin_id"])
+
+
+def _q_spatial_join_inner(sf_dir: str):
+    from nettopologysuite_ray.sources.pages import admin_boundaries_table
+    from nettopologysuite_ray.stages.spatial_join import PIPJoin, prepare_admin_state
+
+    admin_ref = prepare_admin_state(admin_boundaries_table(fancy=False))
+    joined = _entities(sf_dir).map_batches(
+        PIPJoin,
+        fn_constructor_kwargs={"admin_ref": admin_ref, "mode": "inner"},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    return joined.select_columns(["doc_id", "entity_idx", "admin_id"])
+
+
+def _q_tile_morton(sf_dir: str):
+    from nettopologysuite_ray.stages.tiling import assign_cells_batch
+
+    ds = _entities(sf_dir).map_batches(
+        lambda b: assign_cells_batch(b, level=LEVEL, kind="morton"),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["doc_id", "entity_idx", "cell_id"])
+
+
+def _q_tile_stats_morton(sf_dir: str):
+    from nettopologysuite_ray.stages.tiling import assign_cells_batch, tile_stats
+
+    ds = _entities(sf_dir).map_batches(
+        lambda b: assign_cells_batch(b, level=LEVEL, kind="morton"),
+        batch_format="pyarrow",
+    )
+    return tile_stats(ds, "cell_id")
+
+
+def _q_tile_hilbert(sf_dir: str):
+    from nettopologysuite_ray.stages.tiling import assign_cells_batch
+
+    ds = _entities(sf_dir).map_batches(
+        lambda b: assign_cells_batch(b, level=LEVEL, kind="hilbert"),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["doc_id", "entity_idx", "cell_id"])
+
+
+def _admin_centers_ref():
+    import numpy as np
+
+    import ray
+
+    a = np.arange(648, dtype=np.int64)
+    cx = (a % 36) * 1000 - 17500
+    cy = (a // 36) * 1000 - 8500
+    return ray.put({"cx": cx, "cy": cy, "ids": a})
+
+
+def _q_knn_admin(sf_dir: str):
+    from nettopologysuite_ray.stages.spatial_join import KnnJoin
+
+    ds = _entities(sf_dir).map_batches(
+        KnnJoin,
+        fn_constructor_kwargs={
+            "centers_ref": _admin_centers_ref(),
+            "k": KNN_K,
+            "lon_col": "lon_1e2",
+            "lat_col": "lat_1e2",
+        },
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    return ds.select_columns(["doc_id", "entity_idx", "rank", "admin_id", "dist2"])
+
+
+def _q_q1_pricing(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.relational import grouped_sum, to_cents
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        base = to_cents(b["l_extendedprice"])
+        disc = to_cents(b["l_discount"])
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty_1e2": to_cents(b["l_quantity"]),
+                "sum_base_1e2": base,
+                "sum_disc_1e4": pc.multiply(
+                    base, pc.subtract(pa.scalar(100, pa.int64()), disc)
+                ),
+            }
+        )
+
+    return grouped_sum(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty_1e2", "sum_base_1e2", "sum_disc_1e4"],
+        count_alias="n",
+    )
+
+
+def _q_top_orders(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.relational import BroadcastJoin, to_cents, top_k
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pa.compute.equal(cust["c_mktsegment"], "BUILDING")).select(["c_custkey"])
+    cust = cust.rename_columns(["o_custkey"])
+    ref = ray.put(cust.to_pandas())
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    joined = orders.map_batches(
+        BroadcastJoin,
+        fn_constructor_kwargs={"small_ref": ref, "key": "o_custkey", "how": "inner"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "totalprice_1e2": to_cents(b["o_totalprice"]),
+            }
+        )
+
+    return top_k(
+        joined.map_batches(cents, batch_format="pyarrow"),
+        ["totalprice_1e2", "o_orderkey"],
+        10,
+        descending=[True, False],
+    )
+
+
+def _q_customers_per_region(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.relational import BroadcastJoin, grouped_sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey"})
+    ref = ray.put(dim)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    joined = cust.map_batches(
+        BroadcastJoin,
+        fn_constructor_kwargs={"small_ref": ref, "key": "c_nationkey", "how": "inner"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+
+    import pyarrow as pa
+
+    def ones(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return b.select(["r_name"]).append_column(
+            "n_customers", pa.array(np.ones(len(b), dtype=np.int64))
+        )
+
+    return grouped_sum(
+        joined.map_batches(ones, batch_format="pyarrow"), ["r_name"], ["n_customers"]
+    )
+
+
+def _q_events_stats(sf_dir: str):
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.relational import grouped_min_max_count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_min_max_count(ds, ["event_type"], "value")
+
+
+def _q_doc_token_stats(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.text import token_count_batch
+    from nettopologysuite_ray.stages.relational import grouped_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    tok = ds.map_batches(
+        lambda b: token_count_batch(b, "text").select(["lang", "n_tokens", "n_chars_computed"]),
+        batch_format="pyarrow",
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["lang", "sum_tokens", "sum_chars"])
+
+    return grouped_sum(
+        tok.map_batches(prep, batch_format="pyarrow"),
+        ["lang"],
+        ["sum_tokens", "sum_chars"],
+        count_alias="n_docs",
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def _q_ann_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.embed import ann_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qmask = np.asarray(emb["vec_id"].to_pylist()) < ANN_NQ
+    qids = np.asarray(emb["vec_id"].to_pylist())[qmask]
+    qvecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)[qmask]
+    qref = ray.put({"query_ids": qids, "vectors": qvecs})
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ann_topk(ds, qref, k=ANN_K)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+def _q_lang_pred(sf_dir: str):
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.text import LangIdModel
+    from nettopologysuite_ray.stages.relational import grouped_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(
+        LangIdModel, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1, batch_size=2048
+    )
+    import numpy as np
+    import pyarrow as pa
+
+    def ones(b: pa.Table) -> pa.Table:
+        return b.select(["lang", "lang_pred"]).append_column(
+            "n", pa.array(np.ones(len(b), dtype=np.int64))
+        )
+
+    return grouped_sum(pred.map_batches(ones, batch_format="pyarrow"), ["lang", "lang_pred"], ["n"])
+
+
+def _q_minhash_lsh_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.dedup import MinHasher, lsh_candidate_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = ds.map_batches(
+        MinHasher, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1, batch_size=2048
+    )
+    return lsh_candidate_pairs(sigs)
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.dedup import SimHasher
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1, batch_size=2048
+    )
+    return out.select_columns(["doc_id", "simhash"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "geo_extract": _q_geo_extract,
+        "spatial_join_assign": _q_spatial_join_assign,
+        "spatial_join_inner": _q_spatial_join_inner,
+        "tile_morton": _q_tile_morton,
+        "tile_stats_morton": _q_tile_stats_morton,
+        "tile_hilbert": _q_tile_hilbert,
+        "knn_admin": _q_knn_admin,
+        "q1_pricing": _q_q1_pricing,
+        "top_orders": _q_top_orders,
+        "customers_per_region": _q_customers_per_region,
+        "events_stats": _q_events_stats,
+        "doc_token_stats": _q_doc_token_stats,
+        "dedup_exact": _q_dedup_exact,
+        "ann_topk": _q_ann_topk,
+        "lang_pred": _q_lang_pred,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash": _q_simhash,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+
+_ENTS_CTE = """
+WITH ents AS (
+  SELECT doc_id, unnest(range(doc_id % 4)) AS entity_idx FROM documents
+), e2 AS (
+  SELECT doc_id, entity_idx,
+    CASE WHEN doc_id % 10 < 3 THEN 1320 + (doc_id*7919 + entity_idx*131) % 40
+         ELSE (doc_id*7919 + entity_idx*131) % 36000 - 18000 END AS lon_1e2,
+    CASE WHEN doc_id % 10 < 3 THEN 5240 + (doc_id*104729 + entity_idx*173) % 20
+         ELSE (doc_id*104729 + entity_idx*173) % 18000 - 9000 END AS lat_1e2
+  FROM ents
+)
+"""
+
+
+def _sql_spread(e: str) -> str:
+    s = f"({e})"
+    s = f"(({s} | ({s} << 8)) & 16711935)"
+    s = f"(({s} | ({s} << 4)) & 252645135)"
+    s = f"(({s} | ({s} << 2)) & 858993459)"
+    s = f"(({s} | ({s} << 1)) & 1431655765)"
+    return s
+
+
+def _sql_morton_cell(level: int) -> str:
+    n = 1 << level
+    ix = f"((lon_1e2 + 18000) * {n} // 36000)"
+    iy = f"((lat_1e2 + 9000) * {n} // 18000)"
+    return f"({_sql_spread(ix)} | ({_sql_spread(iy)} << 1))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    morton = _sql_morton_cell(LEVEL)
+    return {
+        "geo_extract": _ENTS_CTE
+        + """
+SELECT doc_id, entity_idx, lon_1e2 / 100.0 AS lon, lat_1e2 / 100.0 AS lat,
+       lon_1e2, lat_1e2
+FROM e2
+""",
+        "spatial_join_assign": _ENTS_CTE
+        + """
+SELECT doc_id, entity_idx,
+       ((lat_1e2 + 9000) // 1000) * 36 + (lon_1e2 + 18000) // 1000 AS admin_id
+FROM e2
+""",
+        "spatial_join_inner": _ENTS_CTE
+        + """
+, g AS (SELECT unnest(range(648)) AS admin_id)
+SELECT e2.doc_id, e2.entity_idx, g.admin_id
+FROM e2 CROSS JOIN g
+WHERE e2.lon_1e2 >= (g.admin_id % 36)*1000 - 18000
+  AND e2.lon_1e2 <= (g.admin_id % 36)*1000 - 17000
+  AND e2.lat_1e2 >= (g.admin_id // 36)*1000 - 9000
+  AND e2.lat_1e2 <= (g.admin_id // 36)*1000 - 8000
+""",
+        "tile_morton": _ENTS_CTE
+        + f"""
+SELECT doc_id, entity_idx, {morton} AS cell_id FROM e2
+""",
+        "tile_stats_morton": _ENTS_CTE
+        + f"""
+SELECT {morton} AS cell_id, CAST(COUNT(*) AS BIGINT) AS n FROM e2 GROUP BY 1
+""",
+        "knn_admin": _ENTS_CTE
+        + f"""
+, g AS (SELECT unnest(range(648)) AS admin_id),
+d AS (
+  SELECT e2.doc_id, e2.entity_idx, g.admin_id,
+         (e2.lon_1e2 - ((g.admin_id % 36)*1000 - 17500)) AS dx,
+         (e2.lat_1e2 - ((g.admin_id // 36)*1000 - 8500)) AS dy
+  FROM e2 CROSS JOIN g
+), r AS (
+  SELECT doc_id, entity_idx, admin_id, dx*dx + dy*dy AS dist2,
+         row_number() OVER (PARTITION BY doc_id, entity_idx
+                            ORDER BY dx*dx + dy*dy, admin_id) - 1 AS rank
+  FROM d
+)
+SELECT doc_id, entity_idx, rank, admin_id, dist2 FROM r WHERE rank < {KNN_K}
+""",
+        "q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_1e2,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_1e2,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_1e4,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "top_orders": """
+SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_1e2
+FROM orders JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY totalprice_1e2 DESC, o_orderkey LIMIT 10
+""",
+        "customers_per_region": """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "events_stats": """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type
+""",
+        "doc_token_stats": r"""
+SELECT lang,
+  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_key, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+        "ann_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {ANN_NQ}),
+s AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) - 1 AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id FROM r WHERE rank < {ANN_K}
+""",
+    }

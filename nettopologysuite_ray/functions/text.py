@@ -1,0 +1,172 @@
+"""Text-side functions: HTML text extraction, geo-entity parsing, and the
+text-analysis kernels of a training-data pipeline (token counting, quality
+scoring, language-ID heuristic, document fingerprinting).
+
+All functions are pure, vectorized where practical, and deterministic —
+the north_rule invariant is byte-identical extracted ``text`` per ``url``
+at any parallelism level.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# HTML text nodes: maximal runs of non-tag characters between tags.
+_TEXT_NODE = re.compile(r">([^<>]+)<")
+_GEO = re.compile(r"@geo\((-?\d+\.\d{2}),(-?\d+\.\d{2})\)")
+_TOKEN = re.compile(r"\S+")
+_WORD = re.compile(r"[A-Za-z]+")
+
+
+def extract_text(html: bytes) -> str:
+    """Deterministic text extraction: text nodes of the HTML, joined by \\n.
+
+    This is the extraction oracle of FIXTURES.md §1 — a pure function of
+    ``html``.  Spatial stages must never perturb its output.
+    """
+    s = html.decode("utf-8", errors="strict")
+    return "\n".join(m.group(1) for m in _TEXT_NODE.finditer(s))
+
+
+def extract_text_batch(batch: pa.Table, html_col: str = "html", out_col: str = "text") -> pa.Table:
+    texts = [extract_text(h) for h in batch[html_col].to_pylist()]
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, pa.array(texts, type=pa.string()))
+
+
+def parse_geo_entities(text: str) -> list[tuple[float, float]]:
+    """All @geo(lon,lat) mentions in document order."""
+    return [(float(m.group(1)), float(m.group(2))) for m in _GEO.finditer(text)]
+
+
+def parse_geo_entities_batch(batch: pa.Table, keys=("doc_id",)) -> pa.Table:
+    """Explode pages → one row per geo entity.
+
+    Output: key columns + entity_idx:int64, lon:double, lat:double,
+    lon_1e2:int64, lat_1e2:int64 (integer cents — exact join/oracle keys).
+    """
+    texts = batch["text"].to_pylist()
+    key_arrays = {k: batch[k].to_pylist() for k in keys}
+    out = {k: [] for k in keys}
+    idxs: list[int] = []
+    lons: list[float] = []
+    lats: list[float] = []
+    for r, t in enumerate(texts):
+        for j, (lon, lat) in enumerate(parse_geo_entities(t)):
+            for k in keys:
+                out[k].append(key_arrays[k][r])
+            idxs.append(j)
+            lons.append(lon)
+            lats.append(lat)
+    lon_arr = np.asarray(lons, dtype=np.float64)
+    lat_arr = np.asarray(lats, dtype=np.float64)
+    cols = {k: pa.array(v) for k, v in out.items()}
+    cols["entity_idx"] = pa.array(np.asarray(idxs, dtype=np.int64))
+    cols["lon"] = pa.array(lon_arr)
+    cols["lat"] = pa.array(lat_arr)
+    cols["lon_1e2"] = pa.array(np.rint(lon_arr * 100).astype(np.int64))
+    cols["lat_1e2"] = pa.array(np.rint(lat_arr * 100).astype(np.int64))
+    return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (training-data pipeline ops)
+
+
+def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Whitespace token count + char count per row (vectorized Arrow kernels
+    where available).  n_tokens = number of \\S+ runs."""
+    counts = pc.count_substring_regex(batch[col], pattern=r"\S+")
+    nchars = pc.utf8_length(batch[col])
+    return batch.append_column("n_tokens", pc.cast(counts, pa.int64())).append_column(
+        "n_chars_computed", pc.cast(nchars, pa.int64())
+    )
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "for", "on"},
+    "de": {"der", "die", "das", "und", "ist", "in", "zu", "den", "von", "mit"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "en"},
+    "es": {"el", "la", "los", "las", "y", "de", "un", "una", "es", "en"},
+    "pt": {"o", "a", "os", "as", "e", "de", "um", "uma", "em", "para"},
+}
+
+
+def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Heuristic quality features: length, mean token length, punctuation
+    ratio, uppercase ratio.  Mirrors the usual webtext quality filters;
+    all computed with exact integer/float arithmetic so an SQL oracle can
+    reproduce them."""
+    texts = batch[col]
+    n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(texts, pattern=r"\S+"), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(texts, pattern=r"[.,;:!?]"), pa.int64())
+    n_upper = pc.cast(pc.count_substring_regex(texts, pattern=r"[A-Z]"), pa.int64())
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    out = batch.append_column("q_chars", n_chars)
+    out = out.append_column("q_tokens", n_tokens)
+    out = out.append_column("q_punct_ratio", pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(denom, pa.float64())))
+    out = out.append_column("q_upper_ratio", pc.divide(pc.cast(n_upper, pa.float64()), pc.cast(denom, pa.float64())))
+    return out
+
+
+class LangIdModel:
+    """Stopword-profile language-ID heuristic — stateful stage (actor pool):
+    profiles built once per actor in __init__, batches scored in __call__."""
+
+    def __init__(self):
+        self.word = _WORD
+        self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        preds = []
+        for t in texts:
+            words = [w.lower() for w in self.word.findall(t)]
+            if not words:
+                preds.append("und")
+                continue
+            best_lang = "und"
+            best_hits = 0
+            for lang in sorted(self.profiles):
+                prof = self.profiles[lang]
+                hits = sum(1 for w in words if w in prof)
+                if hits > best_hits:
+                    best_hits = hits
+                    best_lang = lang
+            preds.append(best_lang)
+        return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+
+
+_FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV64_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a64(data: bytes) -> int:
+    """FNV-1a 64-bit hash (public domain algorithm) — the engine's stable
+    document fingerprint; reproducible cross-language, unlike Python hash()."""
+    h = _FNV64_OFFSET
+    prime = _FNV64_PRIME
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    for b in arr:
+        h = np.bitwise_xor(h, b)
+        h = h * prime  # uint64 wraparound
+    return int(h)
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Stable 64-bit fingerprint per row (md5-low64, matching DuckDB's
+    md5_number_lower for oracle parity) + FNV rolling hash."""
+    import hashlib
+
+    texts = batch[col].to_pylist()
+    fps = []
+    for t in texts:
+        d = hashlib.md5(t.encode()).hexdigest()
+        fps.append(d)
+    return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))

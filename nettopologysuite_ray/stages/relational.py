@@ -1,0 +1,129 @@
+"""Relational stages, Ray-Data-first.
+
+The engine's non-spatial query surface: broadcast hash joins (small side
+via ray.put, no shuffle), combiner-style grouped aggregates (map-side
+partial aggregation so the exchange carries one row per (task, key)), and
+global top-k (per-batch prune, then sort+limit on the shrunken stream).
+
+Determinism policy: monetary/ratio doubles are aggregated as exact
+integer cents (`*_1e2` columns) so results are bit-identical across any
+parallelism level and match a sequential SQL oracle — floating sums are
+order-dependent and would break the row-for-row match the north_rule
+demands.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def to_cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
+    """Exact integer cents from a 2-decimal double column."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))), pa.int64())
+
+
+def broadcast_join_batch(batch: pa.Table, small_df: pd.DataFrame, key, how: str = "inner"):
+    """Arrow batch ⋈ broadcast pandas dimension table."""
+    pdf = batch.to_pandas()
+    out = pdf.merge(small_df, on=key, how=how)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class BroadcastJoin:
+    """Actor-pool broadcast hash join: dimension table fetched from the
+    object store ONCE per actor (__init__), merged per batch (__call__).
+    The broadcast-join shape of SURVEY.md §2.4 for non-spatial keys."""
+
+    def __init__(self, small_ref, key, how: str = "inner"):
+        small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
+        if isinstance(small, pa.Table):
+            small = small.to_pandas()
+        self.small = small
+        self.key = key
+        self.how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return broadcast_join_batch(batch, self.small, self.key, self.how)
+
+
+def grouped_sum(ds, keys, sum_cols, count_alias: str | None = None):
+    """groupby(keys).sum(sum_cols) with map-side combining.
+
+    Each upstream task first aggregates its batch to one row per key, so
+    the all-to-all shuffle moves |tasks|x|keys| rows instead of the full
+    dataset — the skew-proof aggregate shape (SURVEY.md §4.2)."""
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + sum_cols).to_pandas()
+        agg = {c: "sum" for c in sum_cols}
+        g = df.groupby(keys, as_index=False, sort=False).agg(agg)
+        if count_alias:
+            cnt = df.groupby(keys, as_index=False, sort=False).size()
+            g[count_alias] = cnt["size"].to_numpy()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    if count_alias:
+        aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def top_k(ds, sort_cols, k: int, descending=True):
+    """Global top-k: per-batch prune to k, then exact sort+limit.
+
+    The per-batch prune means the final sort sees at most k rows per block
+    — no full-data sort at scale."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_cols)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            list(sort_cols), ascending=[not d for d in descending], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    out = pruned.sort(list(sort_cols), descending=list(descending)).limit(k)
+    return out
+
+
+def distinct(ds, cols):
+    """Exact distinct over columns with map-side dedup before the shuffle."""
+    cols = list(cols)
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+    return partials.groupby(cols).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+
+
+def grouped_min_max_count(ds, keys, col):
+    """Exact (order-independent) stats: count/min/max per key with map-side
+    combining."""
+    keys = list(keys)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [col]).to_pandas()
+        g = df.groupby(keys, as_index=False, sort=False).agg(
+            _n=(col, "size"), _mn=(col, "min"), _mx=(col, "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+    return partials.groupby(keys).aggregate(
+        Sum("_n", alias_name="n"),
+        Min("_mn", alias_name="min_" + col),
+        Max("_mx", alias_name="max_" + col),
+    )

@@ -1,0 +1,105 @@
+"""Tile assignment + skew-aware tile statistics.
+
+Cell keys are space-filling-curve codes (geom/hilbert.py — reference
+precedent Shape/Fractal/HilbertCode.cs:111, MortonCode.cs:44).  The tile
+stats groupby is the shuffle the north-star metric measures; skewed cells
+(dense urban tiles — 30% of fixture pages land in ONE hot cell) are
+handled by **pre-aggregation inside map_batches**: each task combines its
+batch to per-cell partial counts, so the all-to-all exchange moves one row
+per (task, cell) instead of one row per entity, and the hot cell costs the
+same as any other.  This is combiner-style salting — the map-side combine
+is exactly the FP-Hadoop-style skew split of SURVEY.md §4.2 expressed in
+Ray Data terms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.hilbert import WORLD, hilbert_cell, morton_cell
+
+
+def assign_cells_batch(
+    batch: pa.Table,
+    level: int = 12,
+    kind: str = "hilbert",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    out_col: str = "cell_id",
+    extent=WORLD,
+) -> pa.Table:
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    f = hilbert_cell if kind == "hilbert" else morton_cell
+    cells = f(lon, lat, level, extent)
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, pa.array(cells, type=pa.int64()))
+
+
+def partial_cell_counts(batch: pa.Table, cell_col: str = "cell_id") -> pa.Table:
+    """Map-side combiner: batch → (cell_id, partial_count)."""
+    cells = batch[cell_col].to_numpy(zero_copy_only=False)
+    uniq, counts = np.unique(cells, return_counts=True)
+    return pa.table(
+        {
+            cell_col: pa.array(uniq, type=pa.int64()),
+            "partial_count": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def tile_stats(ds, cell_col: str = "cell_id", count_alias: str = "n"):
+    """cell_id → row count, with map-side pre-aggregation before the shuffle.
+
+    Equivalent to ds.groupby(cell).count() but the exchange carries partial
+    counts (skew-proof: a hot cell adds one row per upstream task, not one
+    per entity)."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: partial_cell_counts(b, cell_col), batch_format="pyarrow"
+    )
+    return partials.groupby(cell_col).aggregate(Sum("partial_count", alias_name=count_alias))
+
+
+def salt_hot_cells(
+    batch: pa.Table,
+    hot_cells: set,
+    n_salt: int,
+    cell_col: str = "cell_id",
+    out_col: str = "salted_cell",
+) -> pa.Table:
+    """Split hot cell keys into `n_salt` deterministic subkeys.
+
+    Used when downstream needs per-row grouping by cell (map_groups) rather
+    than an algebraic aggregate: salted_cell = cell_id * n_salt + h(row) for
+    hot cells, cell_id * n_salt otherwise.  h(row) is a deterministic hash
+    of the row index within cell-stable columns, so results are reproducible
+    across parallelism levels."""
+    cells = batch[cell_col].to_numpy(zero_copy_only=False)
+    base = cells * n_salt
+    if hot_cells:
+        hot_mask = np.isin(cells, np.fromiter(hot_cells, dtype=np.int64, count=len(hot_cells)))
+        if hot_mask.any():
+            # deterministic per-row salt from a stable id column if present
+            if "doc_id" in batch.column_names:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            else:
+                ids = np.arange(len(batch), dtype=np.int64)
+            salt = (ids * np.int64(2654435761)) % n_salt
+            base = np.where(hot_mask, base + salt, base)
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, pa.array(base, type=pa.int64()))
+
+
+def find_hot_cells(ds, cell_col: str = "cell_id", threshold_frac: float = 0.01):
+    """Cheap pre-pass: per-cell counts (combiner-aggregated), return the set
+    of cells holding more than threshold_frac of all rows (SURVEY.md §4.2
+    salting pre-pass)."""
+    stats = tile_stats(ds, cell_col).to_pandas()
+    total = stats["n"].sum()
+    hot = stats[stats["n"] > total * threshold_frac]
+    return set(hot[cell_col].tolist()), stats
