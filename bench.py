@@ -1,0 +1,237 @@
+"""Benchmark harness — the driver runs this per round (BENCH_r{N}.json).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <path>, "num_cpus": N,
+   "docs_per_sec": ...}
+
+Headline: the north-star spatial pipeline measured from storage —
+read pages parquet → extract text from html → parse geo entities →
+broadcast PIP join (actor pool) → Hilbert tiles → skew-proof tile stats —
+in docs/sec.  Pages are staged once to /tmp parquet (documents replicated
+×GRAFT_BENCH_REP, default 20 → sf0.1 = 100k pages); staging time is
+excluded (fixture synthesis, not engine work).
+
+--scaling: run the headline twice in FRESH processes at num_cpus=8 and 32
+on the same staged input; report both throughputs + scaling efficiency
+(in-sandbox evidence for the north_rule N vs 4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REP = int(os.environ.get("GRAFT_BENCH_REP", "20"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def stage_pages(sf_dir: str, rep: int) -> tuple[str, int]:
+    """Write the replicated pages table to /tmp parquet once; return (path, n)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from nettopologysuite_ray.sources.pages import build_pages_batch
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/graft_pages_{tag}_rep{rep}"
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_pages = n_docs * rep
+    if os.path.exists(os.path.join(path, "_DONE")):
+        return path, n_pages
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        tables = []
+        for k in range(rep):
+            ids = pa.compute.add(batch["doc_id"], k * n_docs)
+            t = batch.set_column(batch.schema.get_field_index("doc_id"), "doc_id", ids)
+            tables.append(build_pages_batch(t))
+        return pa.concat_tables(tables)
+
+    # repartition before write: one fat row group per file — without this the
+    # write emits 128-row row groups and the downstream read pays ~20x
+    # per-row-group overhead
+    ds.map_batches(explode, batch_format="pyarrow", batch_size=128).repartition(32).write_parquet(
+        path
+    )
+    with open(os.path.join(path, "_DONE"), "w") as f:
+        f.write("ok")
+    return path, n_pages
+
+
+def bench_northstar(pages_path: str, n_pages: int, num_cpus: int) -> dict:
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.text import extract_text_batch, parse_geo_entities_batch
+    from nettopologysuite_ray.sources.pages import admin_boundaries_table
+    from nettopologysuite_ray.stages.spatial_join import PIPJoin, prepare_admin_state
+    from nettopologysuite_ray.stages.tiling import assign_cells_batch, tile_stats
+
+    t0 = time.time()
+    # prune at the read: url/text/lang/warc_ts are not needed downstream
+    pages = rd.read_parquet(pages_path, columns=["doc_id", "html"], override_num_blocks=NUM_CPUS * 4)
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = extract_text_batch(b, out_col="text")
+        return parse_geo_entities_batch(b.drop_columns(["html"]), keys=("doc_id",))
+
+    # num_cpus=0.9 breaks operator fusion with the actor pool so the
+    # task-parallel extract stage and the stateful join stage batch
+    # independently (fused, the whole pipeline collapses to ceil(rows/B) tasks).
+    # Explicit per-stage CPU budgets: ~60% extract, ~25% join, rest for the
+    # read — an uncapped 0.9-cpu task pool reserves every CPU and starves
+    # the actor pool at small cluster sizes (observed: 8-cpu run 2x slower
+    # than CPU-bound, efficiency superlinear artifact).
+    prep_slots = max(2, int(num_cpus * 0.6))
+    join_slots = max(2, int(num_cpus * 0.25))
+    ents = pages.map_batches(
+        prep, batch_format="pyarrow", batch_size=2048, num_cpus=0.9, concurrency=prep_slots
+    )
+    admin_ref = prepare_admin_state(admin_boundaries_table(fancy=True))
+    joined = ents.map_batches(
+        PIPJoin,
+        fn_constructor_kwargs={"admin_ref": admin_ref, "mode": "assign"},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, join_slots),
+        num_cpus=1,
+    )
+    tiled = joined.map_batches(
+        lambda b: assign_cells_batch(b, level=12, kind="hilbert"), batch_format="pyarrow"
+    )
+    stats = tile_stats(tiled, "cell_id")
+    sdf = stats.to_pandas()
+    dt = time.time() - t0
+    return {
+        "sec": dt,
+        "docs": n_pages,
+        "docs_per_sec": n_pages / dt,
+        "entities": int(sdf["n"].sum()),
+        "tiles": len(sdf),
+    }
+
+
+def _timed_query(name: str) -> float:
+    import __ray_entry__ as entrymod
+
+    t0 = time.time()
+    entrymod.queries()[name](SF_DIR).to_pandas()
+    return time.time() - t0
+
+
+def run_all() -> dict:
+    _init_ray(NUM_CPUS)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    pages_path, n_pages = stage_pages(SF_DIR, REP)
+    queries = {}
+    ns = bench_northstar(pages_path, n_pages, NUM_CPUS)
+    queries["northstar"] = round(ns["sec"], 3)
+    for q in ("q1_pricing", "dedup_exact", "ann_topk", "doc_token_stats", "knn_admin"):
+        queries[q] = round(_timed_query(q), 3)
+    total = sum(queries.values())
+    out = {
+        "metric": "spatial-join+tile-assignment throughput (docs/sec) + pipeline wall times",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": ns["docs"],
+        "docs_per_sec": round(ns["docs_per_sec"], 1),
+        "entities": ns["entities"],
+        "tiles": ns["tiles"],
+    }
+    import ray
+
+    ray.shutdown()
+    return out
+
+
+def run_headline_only() -> dict:
+    _init_ray(NUM_CPUS)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    pages_path, n_pages = stage_pages(SF_DIR, REP)
+    ns = bench_northstar(pages_path, n_pages, NUM_CPUS)
+    import ray
+
+    ray.shutdown()
+    return ns
+
+
+SCALING_REP = int(os.environ.get("GRAFT_SCALING_REP", "100"))
+
+
+def run_scaling() -> dict:
+    """Fresh-process headline runs at 8 and 32 CPUs on the same input.
+
+    Uses a larger replication (GRAFT_SCALING_REP, default 100 → 500k pages
+    at sf0.1) so the run is long enough that fixed startup overhead does
+    not mask the compute scaling — the quantity the north_rule grades.
+    """
+    results = {}
+    for nc in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(nc)
+        env["GRAFT_BENCH_REP"] = str(SCALING_REP)
+        env["GRAFT_BENCH_MODE"] = "headline"
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=1800,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[nc] = json.loads(line)
+    t8 = results[8]["docs_per_sec"]
+    t32 = results[32]["docs_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    return {
+        "metric": "scaling efficiency N=8 vs 4N=32 cpus (fresh processes, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": SF_DIR,
+        "docs": results[8]["docs"],
+        "throughput_8": round(t8, 1),
+        "throughput_32": round(t32, 1),
+        "sec_8": round(results[8]["sec"], 3),
+        "sec_32": round(results[32]["sec"], 3),
+        "efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if os.environ.get("GRAFT_BENCH_MODE") == "headline":
+        res = run_headline_only()
+        print(json.dumps(res))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_all()))

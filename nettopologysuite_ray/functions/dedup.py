@@ -166,12 +166,14 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", small_result: bool = True):
     """Exact dedup: md5(text) partition key → keep min id per group.
 
     The LineDissolver/KdTree-snap shape of SURVEY.md §2.8 exact dedup:
     canonical key + groupby.first.  Map-side combining keeps the shuffle
-    at one row per (task, distinct text).
+    at one row per (task, distinct text).  small_result=True merges the
+    combined partials in one task (fine while |distinct| fits a block);
+    at corpus scale set False for the hash-shuffle groupby path.
     """
 
     def keyed(batch: pa.Table) -> pa.Table:
@@ -184,9 +186,18 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    partials = ds.map_batches(keyed, batch_format="pyarrow")
+    if small_result:
+        def merge(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby("text_key", as_index=False).agg(
+                keep_id=("keep_id", "min"), dup_count=("dup_count", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return partials.repartition(1).map_batches(merge, batch_format="pyarrow")
     from ray.data.aggregate import Min, Sum
 
-    partials = ds.map_batches(keyed, batch_format="pyarrow")
     return partials.groupby("text_key").aggregate(
         Min("keep_id", alias_name="keep_id"), Sum("dup_count", alias_name="dup_count")
     )

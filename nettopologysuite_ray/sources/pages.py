@@ -52,6 +52,23 @@ def _fmt_cents(c: int) -> str:
     return f"{sign}{c // 100}.{c % 100:02d}"
 
 
+# Deterministic filler paragraphs so pages have Common-Crawl-like weight
+# (~2 KB of html, not 200 B) — the extract stage's cost per page is then
+# realistic and the docs/sec metric meaningful.  64 fixed ~140-char
+# sentences; paragraph p of page i uses sentence (i + p) % 64 prefixed
+# with the page number (keeps pages distinct for dedup stages).
+_WORDS = (
+    "stream shuffle batch merge index tile vector raster page crawl parse token "
+    "filter reduce join scan block spill actor queue cell grid key range sort "
+    "hash union buffer hull relate locate probe build broadcast salt skew"
+).split()
+_SENTS = [
+    " ".join(_WORDS[(s * 7 + w * 3) % len(_WORDS)] for w in range(20)).capitalize() + "."
+    for s in range(64)
+]
+FILLER_PARAS = 12
+
+
 def build_pages_batch(batch: pa.Table) -> pa.Table:
     """documents(doc_id, text, lang) batch → pages batch (vector of rows).
 
@@ -66,6 +83,8 @@ def build_pages_batch(batch: pa.Table) -> pa.Table:
     for i, base_text in zip(ids.tolist(), texts):
         k = i % 4
         lines = [base_text]
+        for p in range(FILLER_PARAS):
+            lines.append(f"p{i % 1000} {_SENTS[(i + p) % 64]}")
         if k:
             jj = np.arange(k)
             lon, lat = entity_cents(np.full(k, i), jj)

@@ -52,12 +52,18 @@ class BroadcastJoin:
         return broadcast_join_batch(batch, self.small, self.key, self.how)
 
 
-def grouped_sum(ds, keys, sum_cols, count_alias: str | None = None):
+def grouped_sum(ds, keys, sum_cols, count_alias: str | None = None, small_result: bool = True):
     """groupby(keys).sum(sum_cols) with map-side combining.
 
     Each upstream task first aggregates its batch to one row per key, so
     the all-to-all shuffle moves |tasks|x|keys| rows instead of the full
-    dataset — the skew-proof aggregate shape (SURVEY.md §4.2)."""
+    dataset — the skew-proof aggregate shape (SURVEY.md §4.2).
+
+    small_result=True (low-cardinality keys): the partials are coalesced to
+    one block before the final combine, replacing the 64-reducer sort
+    shuffle with a single-task reduce — same result, ~6s less fixed
+    overhead per query at this cluster size.  Set False when |keys| is
+    large (e.g. per-cell stats at high tile levels)."""
     keys = list(keys)
     sum_cols = list(sum_cols)
 
@@ -71,6 +77,15 @@ def grouped_sum(ds, keys, sum_cols, count_alias: str | None = None):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(combine, batch_format="pyarrow")
+    if small_result:
+        final_cols = sum_cols + ([count_alias] if count_alias else [])
+
+        def merge(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby(keys, as_index=False, sort=False)[final_cols].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return partials.repartition(1).map_batches(merge, batch_format="pyarrow")
     aggs = [Sum(c, alias_name=c) for c in sum_cols]
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))

@@ -50,17 +50,29 @@ def partial_cell_counts(batch: pa.Table, cell_col: str = "cell_id") -> pa.Table:
     )
 
 
-def tile_stats(ds, cell_col: str = "cell_id", count_alias: str = "n"):
+def tile_stats(ds, cell_col: str = "cell_id", count_alias: str = "n", small_result: bool = True):
     """cell_id → row count, with map-side pre-aggregation before the shuffle.
 
     Equivalent to ds.groupby(cell).count() but the exchange carries partial
     counts (skew-proof: a hot cell adds one row per upstream task, not one
-    per entity)."""
-    from ray.data.aggregate import Sum
-
+    per entity).  small_result=True merges the partials in one task —
+    right whenever |distinct cells| fits a block (level<=12 world grids);
+    at higher levels set False for the hash-shuffle groupby path."""
     partials = ds.map_batches(
         lambda b: partial_cell_counts(b, cell_col), batch_format="pyarrow"
     )
+    if small_result:
+        def merge(batch: pa.Table) -> pa.Table:
+            cells = batch[cell_col].to_numpy(zero_copy_only=False)
+            cnts = batch["partial_count"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(cells, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, cnts)
+            return pa.table({cell_col: pa.array(uniq, type=pa.int64()), count_alias: pa.array(sums)})
+
+        return partials.repartition(1).map_batches(merge, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
     return partials.groupby(cell_col).aggregate(Sum("partial_count", alias_name=count_alias))
 
 
