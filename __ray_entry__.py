@@ -367,8 +367,17 @@ def _q_simhash(sf_dir: str):
     return out.select_columns(["doc_id", "simhash"])
 
 
+def _q_conformance(sf_dir: str):
+    # sf_dir unused: input is the reference's XML corpus (fixed path);
+    # rows-only check — pytest asserts the actual pass rates.
+    from nettopologysuite_ray.pipelines.conformance import conformance_summary
+
+    return conformance_summary(dirs=("general", "validate"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "conformance_summary": _q_conformance,
         "geo_extract": _q_geo_extract,
         "spatial_join_assign": _q_spatial_join_assign,
         "spatial_join_inner": _q_spatial_join_inner,

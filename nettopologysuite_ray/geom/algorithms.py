@@ -176,6 +176,35 @@ def is_ccw(ring: np.ndarray) -> bool:
     return ring_signed_area(ring) > 0
 
 
+def is_ccw_robust(ring: np.ndarray) -> bool:
+    """Orientation via the highest-vertex technique with robust orientation
+    index (reference: Algorithm/Orientation.cs IsCCW) — correct even for
+    nearly-degenerate slivers where the shoelace sign is noise."""
+    n = len(ring) - 1
+    if n < 3:
+        return False
+    hi = 0
+    for i in range(1, n):
+        if ring[i, 1] > ring[hi, 1]:
+            hi = i
+    iprev = hi
+    while True:
+        iprev = (iprev - 1) % n
+        if (ring[iprev] != ring[hi]).any() or iprev == hi:
+            break
+    inext = hi
+    while True:
+        inext = (inext + 1) % n
+        if (ring[inext] != ring[hi]).any() or inext == hi:
+            break
+    disc = orient2d(
+        ring[iprev, 0], ring[iprev, 1], ring[hi, 0], ring[hi, 1], ring[inext, 0], ring[inext, 1]
+    )
+    if disc == 0:
+        return ring[iprev, 0] > ring[inext, 0]
+    return disc > 0
+
+
 def area(g: Geom) -> float:
     t = g.gtype
     if t == POLYGON:
@@ -369,24 +398,90 @@ def _locate_on_lines(px, py, lines) -> int:
 
 
 def centroid(g: Geom) -> Geom:
-    """Dimension-weighted centroid (reference: Algorithm/Centroid.cs:37 —
-    highest-dimension components dominate)."""
-    dim = g.dimension
-    if g.is_empty or dim < 0:
+    """Dimension-weighted centroid (reference: Algorithm/Centroid.cs:37).
+
+    Mirrors the reference's simultaneous accumulation: signed triangle
+    areas against a base point (numerical stability for far-from-origin
+    coordinates), ring+line length sums (rings contribute to the lineal
+    tier; zero-length lines degrade to their first point), point means.
+    Highest tier with nonzero measure wins (Centroid.cs:122-148)."""
+    st = _CentroidAcc()
+    for comp in g.flatten():
+        t = comp.gtype
+        if t == POINT:
+            st.add_point(comp.data[0], comp.data[1])
+        elif t == LINESTRING:
+            st.add_line(comp.data)
+        elif t == POLYGON:
+            st.add_polygon(comp.data)
+    return st.result()
+
+
+class _CentroidAcc:
+    __slots__ = ("areasum2", "cg3x", "cg3y", "totlen", "lx", "ly", "np", "px", "py", "base")
+
+    def __init__(self):
+        self.areasum2 = 0.0
+        self.cg3x = self.cg3y = 0.0
+        self.totlen = 0.0
+        self.lx = self.ly = 0.0
+        self.np = 0
+        self.px = self.py = 0.0
+        self.base = None
+
+    def add_point(self, x, y):
+        self.np += 1
+        self.px += x
+        self.py += y
+
+    def add_line(self, pts: np.ndarray):
+        if len(pts) == 0:
+            return
+        d = np.diff(pts, axis=0)
+        seglen = np.sqrt((d * d).sum(axis=1)) if len(pts) > 1 else np.zeros(0)
+        linelen = float(seglen.sum())
+        if linelen == 0.0:
+            self.add_point(pts[0, 0], pts[0, 1])
+            return
+        mid = (pts[:-1] + pts[1:]) / 2.0
+        self.lx += float((mid[:, 0] * seglen).sum())
+        self.ly += float((mid[:, 1] * seglen).sum())
+        self.totlen += linelen
+
+    def _add_ring_area(self, pts: np.ndarray, positive: bool):
+        bx, by = self.base
+        sign = 1.0 if positive else -1.0
+        x = pts[:-1, 0]
+        y = pts[:-1, 1]
+        xn = pts[1:, 0]
+        yn = pts[1:, 1]
+        area2 = (x - bx) * (yn - by) - (xn - bx) * (y - by)
+        self.areasum2 += sign * float(area2.sum())
+        self.cg3x += sign * float((area2 * (bx + x + xn)).sum())
+        self.cg3y += sign * float((area2 * (by + y + yn)).sum())
+
+    def add_polygon(self, rings):
+        if not rings or len(rings[0]) == 0:
+            return
+        shell = rings[0]
+        # base point resets per shell (reference: Centroid.cs:170-173)
+        self.base = (float(shell[0, 0]), float(shell[0, 1]))
+        if len(shell) >= 4:
+            self._add_ring_area(shell, positive=not is_ccw_robust(shell))
+        self.add_line(shell)
+        for h in rings[1:]:
+            if len(h) >= 4:
+                self._add_ring_area(h, positive=is_ccw_robust(h))
+            self.add_line(h)
+
+    def result(self) -> Geom:
+        if abs(self.areasum2) > 0.0:
+            return Geom.point(self.cg3x / 3.0 / self.areasum2, self.cg3y / 3.0 / self.areasum2)
+        if self.totlen > 0.0:
+            return Geom.point(self.lx / self.totlen, self.ly / self.totlen)
+        if self.np > 0:
+            return Geom.point(self.px / self.np, self.py / self.np)
         return Geom.empty(POINT)
-    if dim == 2:
-        cx, cy, a = _centroid_area(g)
-        if a != 0.0:
-            return Geom.point(cx, cy)
-        dim = 1  # degenerate area → fall back to lines
-    if dim == 1:
-        cx, cy, ln = _centroid_lines(g)
-        if ln != 0.0:
-            return Geom.point(cx, cy)
-        dim = 0
-    cs = g.all_coords()
-    # degenerate: average of all points (matches JTS point-centroid fallback)
-    return Geom.point(float(cs[:, 0].mean()), float(cs[:, 1].mean()))
 
 
 def _centroid_area(g: Geom):
@@ -472,18 +567,17 @@ def _interior_point_polygon(poly: Geom):
     env = envelope(poly)
     if env is None:
         return None
-    cy = (env[1] + env[3]) / 2.0
-    # avoid scanline through vertices: nudge to a y-level between vertex ys
-    ys = np.unique(poly.all_coords()[:, 1])
-    if cy in ys:
-        above = ys[ys > cy]
-        below = ys[ys < cy]
-        if len(above) and len(below):
-            cy = (below[-1] + above[0]) / 2.0
-        elif len(above):
-            cy = (cy + above[0]) / 2.0
-        elif len(below):
-            cy = (below[-1] + cy) / 2.0
+    # scan-line Y: midpoint of the vertex-free band around the bisector
+    # (reference: Algorithm/InteriorPointArea.cs ScanLineYOrdinateFinder —
+    # hiY = lowest vertex y strictly above centre, loY = highest vertex y
+    # at-or-below centre)
+    centre = (env[1] + env[3]) / 2.0
+    ys = poly.all_coords()[:, 1]
+    above = ys[ys > centre]
+    below = ys[ys <= centre]
+    hi = float(above.min()) if len(above) else env[3]
+    lo = float(below.max()) if len(below) else env[1]
+    cy = (hi + lo) / 2.0
     xs = []
     for ring in poly.data:
         for i in range(len(ring) - 1):
@@ -577,9 +671,10 @@ def points_to_segments_distance(pts: np.ndarray, segs) -> np.ndarray:
 
 
 def distance(a: Geom, b: Geom) -> float:
-    """Minimum euclidean distance (reference: Operation/Distance/DistanceOp.cs:24)."""
+    """Minimum euclidean distance (reference: Operation/Distance/DistanceOp.cs:24).
+    Empty input → 0.0 (reference behavior, Geometry.cs Distance)."""
     if a.is_empty or b.is_empty:
-        return float("nan")
+        return 0.0
     # containment → 0 for areas
     if a.dimension == 2:
         pb = b.all_coords()

@@ -184,7 +184,11 @@ def _is_empty(tk: _Tokens) -> bool:
 
 def _coords_row(tk: _Tokens, extra: int) -> np.ndarray:
     x = tk.next()
+    if x == "NAN":
+        x = float("nan")
     y = tk.next()
+    if y == "NAN":
+        y = float("nan")
     if not isinstance(x, float) or not isinstance(y, float):
         raise ValueError(f"expected coordinates, got {x!r} {y!r}")
     # consume (and drop) optional Z/M ordinates

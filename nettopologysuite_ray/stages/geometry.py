@@ -1,0 +1,236 @@
+"""Geometry stages: per-record scalar ops and DE-9IM predicates as
+map_batches transforms over WKB columns (SURVEY.md §2.2, §2.6).
+
+Each stage factory returns a callable for ds.map_batches(...,
+batch_format="pyarrow").  Geometry in/out is WKB binary; scalar results
+are typed Arrow columns.  The conformance runner (pipelines/conformance)
+uses these same stages — cases stream through the engine as Dataset rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import algorithms as alg
+from ..geom import predicates as pred
+from ..geom.types import Geom
+from ..geom.wkb import from_wkb, to_wkb
+from ..geom.wkt import from_wkt, to_wkt
+
+
+def _geoms(batch: pa.Table, col: str):
+    return [from_wkb(b) if b is not None else None for b in batch[col].to_pylist()]
+
+
+def scalar_stage(fn, out_col: str, out_type):
+    """Stage computing a scalar column from geometry column 'wkb'."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        vals = [fn(g) if g is not None else None for g in _geoms(batch, "wkb")]
+        return batch.append_column(out_col, pa.array(vals, type=out_type))
+
+    return stage
+
+
+def geometry_stage(fn, in_col: str = "wkb", out_col: str = "result_wkb"):
+    """Stage computing a geometry→geometry op, WKB in/out."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        out = []
+        for g in _geoms(batch, in_col):
+            out.append(to_wkb(fn(g)) if g is not None else None)
+        return batch.append_column(out_col, pa.array(out, type=pa.binary()))
+
+    return stage
+
+
+def area_stage():
+    return scalar_stage(alg.area, "area", pa.float64())
+
+
+def length_stage():
+    return scalar_stage(alg.length, "length", pa.float64())
+
+
+def centroid_stage():
+    return geometry_stage(alg.centroid, out_col="centroid_wkb")
+
+
+def convex_hull_stage():
+    return geometry_stage(alg.convex_hull, out_col="hull_wkb")
+
+
+def envelope_stage():
+    """Append bbox columns minx,miny,maxx,maxy (the Arrow-native envelope
+    of SURVEY.md §1.3 — bbox pre-filters without WKB deserialization)."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        envs = [alg.envelope(g) if g is not None else None for g in _geoms(batch, "wkb")]
+        cols = {"minx": [], "miny": [], "maxx": [], "maxy": []}
+        for e in envs:
+            for k, v in zip(cols, e if e else (None, None, None, None)):
+                cols[k].append(v)
+        for k, v in cols.items():
+            batch = batch.append_column(k, pa.array(v, type=pa.float64()))
+        return batch
+
+    return stage
+
+
+def relate_stage(a_col: str = "a_wkb", b_col: str = "b_wkb", out_col: str = "de9im"):
+    """Pairwise DE-9IM matrix column (reference: Operation/Relate/RelateOp.cs:26)."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ga = _geoms(batch, a_col)
+        gb = _geoms(batch, b_col)
+        out = [
+            pred.relate(x, y) if x is not None and y is not None else None
+            for x, y in zip(ga, gb)
+        ]
+        return batch.append_column(out_col, pa.array(out, type=pa.string()))
+
+    return stage
+
+
+def predicate_stage(name: str, a_col: str = "a_wkb", b_col: str = "b_wkb"):
+    fn = {
+        "intersects": pred.intersects,
+        "disjoint": pred.disjoint,
+        "contains": pred.contains,
+        "within": pred.within,
+        "covers": pred.covers,
+        "coveredBy": pred.covered_by,
+        "crosses": pred.crosses,
+        "overlaps": pred.overlaps,
+        "touches": pred.touches,
+        "equalsTopo": pred.equals_topo,
+    }[name]
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ga = _geoms(batch, a_col)
+        gb = _geoms(batch, b_col)
+        out = [
+            fn(x, y) if x is not None and y is not None else None for x, y in zip(ga, gb)
+        ]
+        return batch.append_column(name, pa.array(out, type=pa.bool_()))
+
+    return stage
+
+
+# ---------------------------------------------------------------------------
+# conformance runner stage: evaluates one XML test row per record
+
+
+_BOOL_PREDICATES = {
+    "intersects",
+    "disjoint",
+    "contains",
+    "within",
+    "covers",
+    "coveredBy",
+    "crosses",
+    "overlaps",
+    "touches",
+    "equalsTopo",
+}
+
+
+def run_conformance_case(op, a, b, arg1, arg2, arg3):
+    """Evaluate one conformance op → (result_str, supported: bool).
+
+    Mirrors XmlTest.Run dispatch (reference:
+    test/NetTopologySuite.TestRunner/XmlTest.cs:224,302)."""
+    if (arg1 or "A").upper() == "B":
+        a, b = b, a
+        arg1 = "A"
+    if op == "relate":
+        return str(pred.matrix_matches(pred.relate(a, b), arg3)).lower(), True
+    if op in _BOOL_PREDICATES:
+        fn = {
+            "intersects": pred.intersects,
+            "disjoint": pred.disjoint,
+            "contains": pred.contains,
+            "within": pred.within,
+            "covers": pred.covers,
+            "coveredBy": pred.covered_by,
+            "crosses": pred.crosses,
+            "overlaps": pred.overlaps,
+            "touches": pred.touches,
+            "equalsTopo": pred.equals_topo,
+        }[op]
+        return str(fn(a, b)).lower(), True
+    if op == "getCentroid":
+        return to_wkt(alg.centroid(a)), True
+    if op == "getInteriorPoint":
+        return to_wkt(alg.interior_point(a)), True
+    if op == "convexhull":
+        return to_wkt(alg.convex_hull(a)), True
+    if op == "distance":
+        return repr(alg.distance(a, b)), True
+    if op == "isWithinDistance":
+        d = alg.distance(a, b)
+        return str(bool(d <= float(arg3))).lower(), True
+    if op == "densify":
+        return to_wkt(alg.densify(a, float(arg2 if arg2 else arg3))), True
+    if op == "equalsExact":
+        return str(alg.equals_exact(a, b)).lower(), True
+    if op == "equalsNorm":
+        return str(alg.equals_exact(alg.normalize(a), alg.normalize(b))).lower(), True
+    return "", False
+
+
+class ConformanceRunner:
+    """Actor stage: one conformance test per row → result/pass columns.
+
+    Comparison uses the reference's normalized matcher for geometry
+    results (normalize → equals-exact tol=0; NormalizedGeometryMatcher.cs:22),
+    exact compare for booleans, 1e-9 tolerance for numbers."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c].to_pylist() for c in batch.column_names}
+        results = []
+        passes = []
+        supported = []
+        for i in range(len(batch)):
+            op = cols["op"][i]
+            try:
+                a = from_wkt(cols["a_wkt"][i]) if cols["a_wkt"][i] else None
+                b = from_wkt(cols["b_wkt"][i]) if cols["b_wkt"][i] else None
+                res, sup = run_conformance_case(
+                    op, a, b, cols["arg1"][i], cols["arg2"][i], cols["arg3"][i]
+                )
+            except Exception as ex:  # noqa: BLE001
+                res, sup = f"ERR:{type(ex).__name__}", True
+            results.append(res)
+            supported.append(sup)
+            if not sup:
+                passes.append(None)
+                continue
+            exp = cols["expected"][i]
+            passes.append(_compare(res, exp))
+        out = batch.append_column("result", pa.array(results, type=pa.string()))
+        out = out.append_column("passed", pa.array(passes, type=pa.bool_()))
+        out = out.append_column("supported", pa.array(supported, type=pa.bool_()))
+        return out
+
+
+def _compare(result: str, expected: str) -> bool:
+    if expected is None:
+        return result == ""
+    e = expected.strip()
+    if e.lower() in ("true", "false"):
+        return result == e.lower()
+    # numeric?
+    try:
+        ev = float(e)
+        return abs(float(result) - ev) <= 1e-9 + 1e-9 * abs(ev)
+    except ValueError:
+        pass
+    # geometry compare: normalize-then-equals-exact
+    try:
+        eg = alg.normalize(from_wkt(e))
+        rg = alg.normalize(from_wkt(result))
+        return alg.equals_exact(eg, rg, 1e-9)
+    except ValueError:
+        return False

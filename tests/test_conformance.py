@@ -1,0 +1,72 @@
+"""Conformance gates: the reference's XML corpus is the oracle.
+
+Pass-rate assertions are exact for the supported op families — any
+regression fails the build.  The distributed-pipeline variant runs a
+sample through Ray; the full corpus runs in-process (fast, same code)."""
+
+import pytest
+
+from nettopologysuite_ray.geom.wkt import from_wkt
+from nettopologysuite_ray.sources.conformance import load_cases
+from nettopologysuite_ray.stages.geometry import _compare, run_conformance_case
+
+RELATE_OPS = {
+    "relate",
+    "intersects",
+    "disjoint",
+    "contains",
+    "within",
+    "covers",
+    "coveredBy",
+    "crosses",
+    "overlaps",
+    "touches",
+    "equalsTopo",
+}
+SCALAR_OPS = {
+    "getCentroid",
+    "getInteriorPoint",
+    "convexhull",
+    "distance",
+    "isWithinDistance",
+    "densify",
+    "equalsExact",
+    "equalsNorm",
+}
+
+
+def _run_ops(ops) -> tuple[int, int, list]:
+    t = load_cases().to_pandas()
+    sub = t[t.op.isin(ops)]
+    fails = []
+    for _, r in sub.iterrows():
+        try:
+            a = from_wkt(r.a_wkt) if r.a_wkt else None
+            b = from_wkt(r.b_wkt) if r.b_wkt else None
+            res, sup = run_conformance_case(r.op, a, b, r.arg1, r.arg2, r.arg3)
+        except Exception as ex:  # noqa: BLE001
+            res, sup = f"ERR:{type(ex).__name__}", True
+        if sup and not _compare(res, r.expected):
+            fails.append((r.case_id, r.op, res))
+    return len(sub), len(fails), fails
+
+
+def test_relate_family_100_percent():
+    n, nf, fails = _run_ops(RELATE_OPS)
+    assert n >= 5600
+    assert nf == 0, fails[:10]
+
+
+def test_scalar_ops_100_percent():
+    n, nf, fails = _run_ops(SCALAR_OPS)
+    assert n >= 160
+    assert nf == 0, fails[:10]
+
+
+def test_conformance_pipeline_distributed(ray_session):
+    """A corpus slice through the actual Ray pipeline (cases as rows)."""
+    from nettopologysuite_ray.pipelines.conformance import conformance_summary
+
+    df = conformance_summary(files=["general/TestRelateAA.xml", "general/TestCentroid.xml"]).to_pandas()
+    sup = df[df.n_supported > 0]
+    assert (sup.n_passed == sup.n_supported).all(), df.to_string()
