@@ -1037,3 +1037,40 @@ def hausdorff(a: Geom, b: Geom, densify_frac: float | None = None) -> float:
             .max()
         )
     return max(d_ab, d_ba)
+
+
+def boundary(g: Geom) -> Geom:
+    """Topological boundary (reference: Geometry.cs Boundary; Mod2 rule):
+    puntal -> empty GC; lineal -> MultiPoint of odd-valence endpoints;
+    polygonal -> linework of the rings."""
+    t = g.gtype
+    if t in (POINT, MULTIPOINT):
+        return Geom.empty(GEOMETRYCOLLECTION)
+    if t in (LINESTRING, MULTILINESTRING):
+        valence: dict = {}
+        for comp in g.flatten():
+            ls = comp.data
+            if len(ls) < 2 or (ls[0] == ls[-1]).all():
+                continue
+            for p in (ls[0], ls[-1]):
+                k = (float(p[0]), float(p[1]))
+                valence[k] = valence.get(k, 0) + 1
+        pts = sorted(k for k, v in valence.items() if v % 2 == 1)
+        if not pts:
+            return Geom.empty(MULTIPOINT)
+        return Geom(MULTIPOINT, [np.array(p, dtype=np.float64) for p in pts])
+    if t == POLYGON:
+        rings = [r.copy() for r in g.data]
+        if not rings:
+            return Geom.empty(LINESTRING)
+        if len(rings) == 1:
+            return Geom(LINESTRING, rings[0])
+        return Geom(MULTILINESTRING, rings)
+    if t == MULTIPOLYGON:
+        rings = [r.copy() for poly in g.data for r in poly]
+        if not rings:
+            return Geom.empty(MULTILINESTRING)
+        return Geom(MULTILINESTRING, rings)
+    # collection: boundary of components, merged
+    parts = [boundary(c) for c in g.data]
+    return Geom(GEOMETRYCOLLECTION, parts)

@@ -62,15 +62,20 @@ _EMPTY2 = np.empty((0, 2), dtype=np.float64)
 
 
 class Geom:
-    """Immutable-by-convention geometry value."""
+    """Immutable-by-convention geometry value.
 
-    __slots__ = ("gtype", "data")
+    ``tag`` carries subtype info that affects semantics but not structure
+    (currently only "LinearRing": parsed LINEARRING text — validity then
+    requires simple-closed-ring rules, reference Geometries/LinearRing)."""
 
-    def __init__(self, gtype: str, data):
+    __slots__ = ("gtype", "data", "tag")
+
+    def __init__(self, gtype: str, data, tag: str | None = None):
         if gtype not in _TYPES:
             raise ValueError(f"unknown geometry type {gtype!r}")
         self.gtype = gtype
         self.data = data
+        self.tag = tag
 
     # ---- constructors -------------------------------------------------
 

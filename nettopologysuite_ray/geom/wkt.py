@@ -101,9 +101,10 @@ def _geometry(tk: _Tokens) -> Geom:
         return Geom(POINT, pts[0].copy())
     if tag == "LINESTRING" or tag == "LINEARRING":
         pts = _coordseq_or_empty(tk, extra)
+        subtype = "LinearRing" if tag == "LINEARRING" else None
         if pts is None:
             return Geom.empty(LINESTRING)
-        return Geom(LINESTRING, pts)
+        return Geom(LINESTRING, pts, tag=subtype)
     if tag == "POLYGON":
         rings = _ringseq_or_empty(tk, extra)
         if rings is None:

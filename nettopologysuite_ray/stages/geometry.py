@@ -160,6 +160,16 @@ def run_conformance_case(op, a, b, arg1, arg2, arg3):
             "equalsTopo": pred.equals_topo,
         }[op]
         return str(fn(a, b)).lower(), True
+    if op == "isValid":
+        from ..geom.validity import is_valid
+
+        return str(is_valid(a)).lower(), True
+    if op == "isSimple":
+        from ..geom.validity import is_simple
+
+        return str(is_simple(a)).lower(), True
+    if op == "getboundary":
+        return to_wkt(alg.boundary(a)), True
     if op == "getCentroid":
         return to_wkt(alg.centroid(a)), True
     if op == "getInteriorPoint":
