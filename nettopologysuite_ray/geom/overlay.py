@@ -1,0 +1,813 @@
+"""Overlay (intersection / union / difference / symdifference).
+
+Re-creates the result semantics of the reference's overlay operators
+(reference: Operation/Overlay/OverlayOp.cs:39 legacy engine,
+Operation/OverlayNG/OverlayNG.cs:180 — node edges → label → extract
+polygons, then lines, then points; empty-result typing per
+OverlayOp.CreateEmptyResult) with a fresh edge-labelling algorithm:
+
+1. node every boundary segment of A against B's (robust predicates,
+   collinear overlaps structural);
+2. label each undirected piece with the region on each side w.r.t. BOTH
+   inputs (own side structural from ring orientation; other side by
+   midpoint location — pieces cannot cross the other boundary);
+3. keep pieces where result-membership differs across sides, directed
+   result-interior-left; assemble rings by angular walk; nest holes;
+4. collect lower-dimensional resultants (shared edges / touch points in
+   an intersection) exactly where the reference emits them.
+
+Lineal/puntal operands are handled by piece/point classification with
+the same noding machinery.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import algorithms as alg
+from .types import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geom,
+)
+
+I, B, E = alg.INTERIOR, alg.BOUNDARY, alg.EXTERIOR
+
+_OPS = ("intersection", "union", "difference", "symdifference")
+
+
+def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_line_output: bool = True) -> Geom:
+    """merge_line_output: legacy OverlayOp merges lineal resultants into
+    maximal linestrings; OverlayNG emits the noded edges unmerged."""
+    if op not in _OPS:
+        raise ValueError(op)
+    if grid_size:
+        a = snap_to_grid(a, grid_size)
+        b = snap_to_grid(b, grid_size)
+    dim_a, dim_b = a.dimension, b.dimension
+    res = _overlay_general(a, b, op, merge_line_output)
+    if grid_size and res is not None:
+        res = snap_to_grid(res, grid_size)
+    if res is not None and not res.is_empty:
+        return res
+    return _empty_result(op, dim_a, dim_b)
+
+
+def _empty_result(op: str, dim_a: int, dim_b: int) -> Geom:
+    """Empty result typed by dimension (reference: OverlayOp.CreateEmptyResult)."""
+    if op == "intersection":
+        d = min(dim_a, dim_b)
+    elif op == "union" or op == "symdifference":
+        d = max(dim_a, dim_b)
+    else:
+        d = dim_a
+    if d == 2:
+        return Geom.empty(POLYGON)
+    if d == 1:
+        return Geom.empty(LINESTRING)
+    if d == 0:
+        return Geom.empty(POINT)
+    return Geom.empty(GEOMETRYCOLLECTION)
+
+
+def snap_to_grid(g: Geom, grid_size: float) -> Geom:
+    """Precision reduction: round all ordinates to the grid and drop
+    collapsed rings/segments (reference: Operation/OverlayNG/PrecisionReducer.cs;
+    MakePrecise semantics Geometries/PrecisionModel.cs:291)."""
+
+    def snap_arr(arr):
+        return np.round(np.asarray(arr, dtype=np.float64) / grid_size) * grid_size
+
+    t = g.gtype
+    if t == POINT:
+        if g.is_empty:
+            return g
+        return Geom(POINT, snap_arr(g.data))
+    if t == LINESTRING:
+        out = _dedup(snap_arr(g.data))
+        if len(out) < 2:
+            return Geom.empty(LINESTRING)
+        return Geom(LINESTRING, out, tag=g.tag)
+    if t == POLYGON:
+        rings = []
+        for r in g.data:
+            rr = _dedup(snap_arr(r))
+            if len(rr) >= 4:
+                rings.append(rr)
+            elif not rings:
+                return Geom.empty(POLYGON)
+        return Geom(POLYGON, rings)
+    if t == MULTIPOINT:
+        return Geom(MULTIPOINT, [snap_arr(p) for p in g.data])
+    if t == MULTILINESTRING:
+        parts = [_dedup(snap_arr(p)) for p in g.data]
+        return Geom(MULTILINESTRING, [p for p in parts if len(p) >= 2])
+    if t == MULTIPOLYGON:
+        polys = []
+        for rings in g.data:
+            p = snap_to_grid(Geom(POLYGON, rings), grid_size)
+            if not p.is_empty:
+                polys.append(p.data)
+        return Geom(MULTIPOLYGON, polys)
+    return Geom(GEOMETRYCOLLECTION, [snap_to_grid(c, grid_size) for c in g.data])
+
+
+def _dedup(arr: np.ndarray) -> np.ndarray:
+    if len(arr) < 2:
+        return arr
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = (arr[1:] != arr[:-1]).any(axis=1)
+    return arr[keep]
+
+
+# ---------------------------------------------------------------------------
+# feature decomposition
+
+
+class _Edges:
+    """Directed boundary/line segments of one operand with structural side
+    info: for area rings, interior_left; for lines, both sides Exterior
+    (lines have no area side) but the piece itself is Interior."""
+
+    def __init__(self, g: Geom):
+        self.geom = g
+        self.segs = []  # (p0, p1, kind, interior_left) kind: 'ring'|'line'
+        self.points = []
+        self.dim = g.dimension
+        for comp in g.flatten():
+            if comp.gtype == POINT:
+                self.points.append((float(comp.data[0]), float(comp.data[1])))
+            elif comp.gtype == LINESTRING:
+                d = _dedup(comp.data)
+                for i2 in range(len(d) - 1):
+                    self.segs.append(
+                        ((float(d[i2, 0]), float(d[i2, 1])), (float(d[i2 + 1, 0]), float(d[i2 + 1, 1])), "line", False)
+                    )
+            elif comp.gtype == POLYGON:
+                for ri, ring in enumerate(comp.data):
+                    r = _dedup(ring)
+                    if len(r) < 4:
+                        continue
+                    ccw = alg.is_ccw_robust(r)
+                    interior_left = ccw if ri == 0 else (not ccw)
+                    for i2 in range(len(r) - 1):
+                        self.segs.append(
+                            (
+                                (float(r[i2, 0]), float(r[i2, 1])),
+                                (float(r[i2 + 1, 0]), float(r[i2 + 1, 1])),
+                                "ring",
+                                interior_left,
+                            )
+                        )
+
+
+def _node_edges(ea: _Edges, eb: _Edges):
+    """Split both edge sets at mutual intersections.
+
+    Returns (pieces_a, pieces_b): per input, list of
+    (p0, p1, kind, interior_left, overlap_info|None); overlap_info for
+    pieces collinear with an edge of the OTHER geometry:
+    (other_interior_left_relative_to_piece_dir, other_kind).
+    """
+    splits_a = [[] for _ in ea.segs]
+    splits_b = [[] for _ in eb.segs]
+    ovl_a = [[] for _ in ea.segs]
+    ovl_b = [[] for _ in eb.segs]
+    node_pts: set = set()  # points where the two geometries interact
+    if ea.segs and eb.segs:
+        sa = np.array([(s[0][0], s[0][1], s[1][0], s[1][1]) for s in ea.segs])
+        sb = np.array([(s[0][0], s[0][1], s[1][0], s[1][1]) for s in eb.segs])
+        cand = _bbox_pairs(sa, sb)
+        for ia, ib in cand:
+            s1 = ea.segs[ia]
+            s2 = eb.segs[ib]
+            kind, pts = alg.segment_intersection(s1[0], s1[1], s2[0], s2[1])
+            if kind == "none":
+                continue
+            if kind == "point":
+                p = (float(pts[0][0]), float(pts[0][1]))
+                node_pts.add(p)
+                splits_a[ia].append(_param_t(s1, p))
+                splits_b[ib].append(_param_t(s2, p))
+            else:
+                p0 = (float(pts[0][0]), float(pts[0][1]))
+                p1 = (float(pts[1][0]), float(pts[1][1]))
+                node_pts.add(p0)
+                node_pts.add(p1)
+                t0a, t1a = _param_t(s1, p0), _param_t(s1, p1)
+                splits_a[ia].extend([t0a, t1a])
+                same_dir_a = _same_dir(s1, s2)
+                # other-interior-left relative to A piece direction
+                oil = s2[3] if same_dir_a else (not s2[3])
+                ovl_a[ia].append((min(t0a[0], t1a[0]), max(t0a[0], t1a[0]), oil, s2[2]))
+                t0b, t1b = _param_t(s2, p0), _param_t(s2, p1)
+                splits_b[ib].extend([t0b, t1b])
+                oil_b = s1[3] if same_dir_a else (not s1[3])
+                ovl_b[ib].append((min(t0b[0], t1b[0]), max(t0b[0], t1b[0]), oil_b, s1[2]))
+    # full self-noding: each operand's segments split where its OWN other
+    # segments/vertices touch or cross them (hole vertex on shell edge,
+    # multilinestring self-crossings — the reference nodes these and its
+    # output rings/lines include the node).  A point strictly interior to a
+    # segment is an arrangement node; plain chain vertices are not.
+    for es, splits in ((ea, splits_a), (eb, splits_b)):
+        segs = es.segs
+        for i9 in range(len(segs)):
+            s1 = segs[i9]
+            for j9 in range(i9 + 1, len(segs)):
+                s2 = segs[j9]
+                kind, pts = alg.segment_intersection(s1[0], s1[1], s2[0], s2[1])
+                if kind == "none":
+                    continue
+                for p in pts if kind == "overlap" else pts[:1]:
+                    p = (float(p[0]), float(p[1]))
+                    in1 = p != s1[0] and p != s1[1]
+                    in2 = p != s2[0] and p != s2[1]
+                    if in1:
+                        splits[i9].append(_param_t(s1, p))
+                    if in2:
+                        splits[j9].append(_param_t(s2, p))
+                    if in1 or in2:
+                        node_pts.add(p)
+        for v in es.points:
+            for i9, s1 in enumerate(segs):
+                if v != s1[0] and v != s1[1] and alg.on_segment(
+                    v[0], v[1], s1[0][0], s1[0][1], s1[1][0], s1[1][1]
+                ):
+                    splits[i9].append(_param_t(s1, v))
+                    node_pts.add(v)
+    # isolated points of each split the other's segments
+    for p in ea.points:
+        for ib, s2 in enumerate(eb.segs):
+            if alg.on_segment(p[0], p[1], s2[0][0], s2[0][1], s2[1][0], s2[1][1]):
+                splits_b[ib].append(_param_t(s2, p))
+    for p in eb.points:
+        for ia, s1 in enumerate(ea.segs):
+            if alg.on_segment(p[0], p[1], s1[0][0], s1[0][1], s1[1][0], s1[1][1]):
+                splits_a[ia].append(_param_t(s1, p))
+    return (
+        _make_pieces(ea, splits_a, ovl_a),
+        _make_pieces(eb, splits_b, ovl_b),
+        node_pts,
+    )
+
+
+def _bbox_pairs(sa, sb):
+    aminx = np.minimum(sa[:, 0], sa[:, 2])[:, None]
+    amaxx = np.maximum(sa[:, 0], sa[:, 2])[:, None]
+    aminy = np.minimum(sa[:, 1], sa[:, 3])[:, None]
+    amaxy = np.maximum(sa[:, 1], sa[:, 3])[:, None]
+    bminx = np.minimum(sb[:, 0], sb[:, 2])[None, :]
+    bmaxx = np.maximum(sb[:, 0], sb[:, 2])[None, :]
+    bminy = np.minimum(sb[:, 1], sb[:, 3])[None, :]
+    bmaxy = np.maximum(sb[:, 1], sb[:, 3])[None, :]
+    cand = (aminx <= bmaxx) & (amaxx >= bminx) & (aminy <= bmaxy) & (amaxy >= bminy)
+    return zip(*np.nonzero(cand))
+
+
+def _param_t(seg, pt):
+    dx = seg[1][0] - seg[0][0]
+    dy = seg[1][1] - seg[0][1]
+    if abs(dx) >= abs(dy):
+        t = (pt[0] - seg[0][0]) / dx if dx != 0 else 0.0
+    else:
+        t = (pt[1] - seg[0][1]) / dy if dy != 0 else 0.0
+    return (t, pt)
+
+
+def _same_dir(s1, s2) -> bool:
+    d1 = (s1[1][0] - s1[0][0], s1[1][1] - s1[0][1])
+    d2 = (s2[1][0] - s2[0][0], s2[1][1] - s2[0][1])
+    return d1[0] * d2[0] + d1[1] * d2[1] > 0
+
+
+def _make_pieces(es: _Edges, splits, ovls):
+    pieces = []
+    for i2, seg in enumerate(es.segs):
+        cuts = sorted({0.0, 1.0} | {t for t, _ in splits[i2]})
+        pts = {0.0: seg[0], 1.0: seg[1]}
+        for t, p in splits[i2]:
+            pts[t] = p
+        for k in range(len(cuts) - 1):
+            t0, t1 = cuts[k], cuts[k + 1]
+            if t1 - t0 <= 1e-14:
+                continue
+            p0 = pts[t0]
+            p1 = pts[t1]
+            if p0 == p1:
+                continue
+            over = None
+            for o0, o1, oil, okind in ovls[i2]:
+                if t0 >= o0 - 1e-14 and t1 <= o1 + 1e-14:
+                    over = (oil, okind)
+                    break
+            pieces.append({"p0": p0, "p1": p1, "kind": seg[2], "il": seg[3], "over": over})
+    return pieces
+
+
+# ---------------------------------------------------------------------------
+# area/area overlay
+
+
+def _member(locA, locB, op: str) -> bool:
+    if op == "intersection":
+        return locA == I and locB == I
+    if op == "union":
+        return locA == I or locB == I
+    if op == "difference":
+        return locA == I and locB != I
+    return (locA == I) != (locB == I)
+
+
+def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True) -> Geom | None:
+    ea = _Edges(a)
+    eb = _Edges(b)
+    pa, pb, node_pts = _node_edges(ea, eb)
+
+    result_edges = []  # directed (p0, p1) with result interior on left
+    line_pieces = []  # dim-1 resultants
+    seen_shared = set()
+
+    def classify_area_side(piece, other: _Edges):
+        """Location of the piece's 2-D SIDES w.r.t. the other operand's
+        AREA components only — lineal features have measure zero beside a
+        2-D neighborhood and never make a side Interior."""
+        mx = (piece["p0"][0] + piece["p1"][0]) / 2.0
+        my = (piece["p0"][1] + piece["p1"][1]) / 2.0
+        crossings = 0
+        for comp in other.geom.flatten():
+            if comp.gtype != POLYGON:
+                continue
+            loc = alg.locate_point_in_rings(mx, my, comp.data)
+            if loc == B:
+                return I  # on a ring not detected as overlap: treat covered
+            if loc == I:
+                crossings += 1
+        return I if crossings % 2 == 1 else E
+
+    def handle_area_piece(piece, own_is_a: bool, other: _Edges, other_geom: Geom):
+        """Ring piece → maybe a result boundary edge and/or a line resultant."""
+        il = piece["il"]
+        own_left, own_right = (I, E) if il else (E, I)
+        over = piece["over"]
+        if over is not None and over[1] == "ring":
+            key = _piece_key(piece)
+            if key in seen_shared:
+                return
+            seen_shared.add(key)
+            o_left, o_right = (I, E) if over[0] else (E, I)
+        else:
+            # collinear with the other's LINE features or clear of it either
+            # way: the 2-D sides are located against its AREA parts only
+            o_left = o_right = classify_area_side(piece, other)
+        if own_is_a:
+            left = (own_left, o_left)
+            right = (own_right, o_right)
+        else:
+            left = (o_left, own_left)
+            right = (o_right, own_right)
+        m_l = _member(left[0], left[1], op)
+        m_r = _member(right[0], right[1], op)
+        if m_l != m_r:
+            if m_l:
+                result_edges.append((piece["p0"], piece["p1"]))
+            else:
+                result_edges.append((piece["p1"], piece["p0"]))
+        elif not m_l and op == "intersection" and over is not None and over[1] == "ring":
+            # shared edge between abutting polygons: 1-D intersection resultant
+            line_pieces.append((piece["p0"], piece["p1"], "shared"))
+
+    # area boundaries
+    for piece in pa:
+        if piece["kind"] == "ring":
+            handle_area_piece(piece, True, eb, b)
+    for piece in pb:
+        if piece["kind"] == "ring":
+            handle_area_piece(piece, False, ea, a)
+
+    polygons = _assemble_polygons(result_edges)
+
+    # lineal operands
+    for piece in pa:
+        if piece["kind"] == "line":
+            _handle_line_piece(piece, True, b, op, line_pieces)
+    for piece in pb:
+        if piece["kind"] == "line":
+            _handle_line_piece(piece, False, a, op, line_pieces)
+
+    # puntal resultants
+    points = _point_resultants(a, b, ea, eb, pa, pb, op)
+
+    # drop lower-dim resultants covered by higher-dim ones
+    poly_geoms = [Geom(POLYGON, rings) for rings in polygons]
+    lines = _ng_lines(line_pieces, node_pts)
+    lines = [ln for ln in lines if not _line_covered(ln, poly_geoms)]
+    pts = [p for p in points if not _point_covered(p, poly_geoms, lines)]
+
+    return _compose(polygons, lines, pts)
+
+
+def _piece_key(piece):
+    return (min(piece["p0"], piece["p1"]), max(piece["p0"], piece["p1"]))
+
+
+def _handle_line_piece(piece, own_is_a: bool, other_geom: Geom, op: str, line_pieces):
+    over = piece["over"]
+    if over is not None:
+        locO = B if over[1] == "ring" else I
+    else:
+        mx = (piece["p0"][0] + piece["p1"][0]) / 2.0
+        my = (piece["p0"][1] + piece["p1"][1]) / 2.0
+        locO = alg.locate_in_geom(mx, my, other_geom)
+    # line piece location in own geometry = Interior (dim 1)
+    if own_is_a:
+        locA, locB_ = I, locO
+    else:
+        locA, locB_ = locO, I
+    keep = False
+    if op == "intersection":
+        keep = locA != E and locB_ != E
+    elif op == "union":
+        if own_is_a:
+            keep = True if locO == E else locO == B and False or locO == E
+            keep = locO == E or locO == B and False
+            keep = locO == E
+        else:
+            keep = locO == E
+        # union keeps each line piece once; shared pieces kept from A side
+        if over is not None and over[1] == "line" and own_is_a:
+            keep = True
+        elif over is not None and own_is_a and over[1] == "ring":
+            keep = False  # covered by the area operand
+    elif op == "difference":
+        keep = own_is_a and locO == E
+    else:  # symdifference
+        keep = locO == E
+    if keep:
+        label = "shared" if (over is not None) else ("a" if own_is_a else "b")
+        line_pieces.append((piece["p0"], piece["p1"], label))
+
+
+def _point_resultants(a, b, ea, eb, pa, pb, op):
+    """Isolated points of the result: operand points kept per op + boundary
+    touch points in an intersection."""
+    pts = []
+    if op == "intersection":
+        for p in ea.points:
+            if alg.locate_in_geom(p[0], p[1], b) != E:
+                pts.append(p)
+        for p in eb.points:
+            if alg.locate_in_geom(p[0], p[1], a) != E and p not in pts:
+                pts.append(p)
+        if ea.dim >= 1 and eb.dim >= 1:
+            # boundary/boundary touch nodes
+            ends: dict = {}
+            for piece in pa + pb:
+                for q in (piece["p0"], piece["p1"]):
+                    ends.setdefault(q, 0)
+                    ends[q] += 1
+            for q in ends:
+                la = alg.locate_in_geom(q[0], q[1], a)
+                lb = alg.locate_in_geom(q[0], q[1], b)
+                if la != E and lb != E:
+                    pts.append(q)
+    elif op == "union":
+        # every operand point appears once; coincidences dedup; points
+        # covered by kept lines/areas are filtered downstream
+        for p in ea.points:
+            if p not in pts:
+                pts.append(p)
+        for p in eb.points:
+            if p not in pts:
+                pts.append(p)
+    elif op == "difference":
+        for p in ea.points:
+            if alg.locate_in_geom(p[0], p[1], b) == E:
+                pts.append(p)
+    else:
+        for p in ea.points:
+            if alg.locate_in_geom(p[0], p[1], b) == E:
+                pts.append(p)
+        for p in eb.points:
+            if alg.locate_in_geom(p[0], p[1], a) == E:
+                pts.append(p)
+    return pts
+
+
+# ---------------------------------------------------------------------------
+# ring assembly
+
+
+def _assemble_polygons(directed_edges):
+    """Directed edges (interior on LEFT) → polygons (rings lists)."""
+    if not directed_edges:
+        return []
+    # dedup identical directed edges
+    directed_edges = list({(e[0], e[1]) for e in directed_edges})
+    out_by_node: dict = {}
+    for idx, (p0, p1) in enumerate(directed_edges):
+        out_by_node.setdefault(p0, []).append(idx)
+    used = [False] * len(directed_edges)
+    rings = []
+    for start in range(len(directed_edges)):
+        if used[start]:
+            continue
+        ring = []
+        cur = start
+        guard = 0
+        ok = True
+        while True:
+            guard += 1
+            if guard > len(directed_edges) + 2:
+                ok = False
+                break
+            used[cur] = True
+            p0, p1 = directed_edges[cur]
+            ring.append(p0)
+            if p1 == directed_edges[start][0] and len(ring) >= 3:
+                break
+            cands = [i3 for i3 in out_by_node.get(p1, []) if not used[i3]]
+            if not cands:
+                ok = False
+                break
+            if len(cands) == 1:
+                cur = cands[0]
+            else:
+                # choose the edge making the sharpest LEFT turn (interior on
+                # left → face traversal turns left-most / max CCW angle)
+                din = math.atan2(p1[1] - p0[1], p1[0] - p0[0])
+                best = None
+                for i3 in cands:
+                    q0, q1 = directed_edges[i3]
+                    dout = math.atan2(q1[1] - q0[1], q1[0] - q0[0])
+                    # CCW turn angle from incoming to outgoing in (-pi, pi]
+                    ang = (dout - din + math.pi) % (2 * math.pi) - math.pi
+                    if best is None or ang > best[0]:
+                        best = (ang, i3)
+                cur = best[1]
+        if ok and len(ring) >= 3:
+            ring.append(ring[0])
+            # maximal ring → minimal rings: split at repeated nodes
+            # (reference: Operation/Overlay/MaximalEdgeRing → MinimalEdgeRing)
+            for sub in _split_minimal_rings(ring):
+                rings.append(np.array(sub, dtype=np.float64))
+    # shells CCW (interior left), holes CW
+    shells = []
+    holes = []
+    for r in rings:
+        sa = alg.ring_signed_area(r)
+        if sa > 0:
+            shells.append(r)
+        elif sa < 0:
+            holes.append(r)
+    polys = [[s] for s in shells]
+    for h in holes:
+        # assign to the smallest shell containing a point ON the hole ring
+        # (an interior point of the hole's enclosed region may lie inside an
+        # unrelated smaller shell sitting inside the hole)
+        best = None
+        for pi2, poly in enumerate(polys):
+            probe = _ring_probe_not_on(h, poly[0])
+            if probe is None:
+                continue
+            if alg.locate_point_in_rings(probe[0], probe[1], [poly[0]]) == I:
+                area_s = abs(alg.ring_signed_area(poly[0]))
+                if best is None or area_s < best[0]:
+                    best = (area_s, pi2)
+        if best is not None:
+            polys[best[1]].append(h)
+    return polys
+
+
+def _split_minimal_rings(ring):
+    """Split a closed vertex list (first == last) at repeated nodes into
+    minimal simple rings."""
+    body = ring[:-1]
+    out = []
+    stack_pos: dict = {}
+    cur = []
+    for v in body:
+        if v in stack_pos:
+            i7 = stack_pos[v]
+            sub = cur[i7:] + [v]
+            if len(sub) >= 4:
+                out.append(sub)
+            for w in cur[i7:]:
+                stack_pos.pop(w, None)
+            cur = cur[:i7]
+        stack_pos[v] = len(cur)
+        cur.append(v)
+    if len(cur) >= 3:
+        out.append(cur + [cur[0]])
+    return out
+
+
+def _ring_probe_not_on(hole, shell):
+    """A point of `hole`'s ring (vertex or edge midpoint) not on `shell`."""
+    for p in hole[:-1]:
+        if alg.locate_point_in_rings(float(p[0]), float(p[1]), [shell]) != B:
+            return float(p[0]), float(p[1])
+    for i8 in range(len(hole) - 1):
+        mx = (hole[i8, 0] + hole[i8 + 1, 0]) / 2.0
+        my = (hole[i8, 1] + hole[i8 + 1, 1]) / 2.0
+        if alg.locate_point_in_rings(mx, my, [shell]) != B:
+            return mx, my
+    return None
+
+
+def _ring_inner_point(ring):
+    """A point strictly inside a simple ring (first convex-ish diagonal midpoint)."""
+    g = Geom(POLYGON, [ring])
+    ip = alg.interior_point(g)
+    return float(ip.data[0]), float(ip.data[1])
+
+
+def _ng_lines(labeled_pieces, node_pts):
+    """OverlayNG line output: A-only/B-only chains merge through original
+    vertices (degree 2, not an arrangement node); shared (collinear) edges
+    are emitted unmerged (observed NG behavior on TestNGOverlayL/A.xml)."""
+    seen = set()
+    pieces = []
+    for p0, p1, label in labeled_pieces:
+        key = (min(p0, p1), max(p0, p1))
+        if key in seen or p0 == p1:
+            continue
+        seen.add(key)
+        pieces.append((p0, p1, label))
+    degree: dict = {}
+    for p0, p1, _l in pieces:
+        degree[p0] = degree.get(p0, 0) + 1
+        degree[p1] = degree.get(p1, 0) + 1
+    out = []
+    for label in ("a", "b"):
+        group = [(p0, p1) for p0, p1, l in pieces if l == label]
+        if not group:
+            continue
+        out.extend(
+            _merge_lines(
+                group, junction=lambda n: degree.get(n, 0) != 2 or n in node_pts
+            )
+        )
+    for p0, p1, l in pieces:
+        if l == "shared":
+            out.append(np.array([p0, p1], dtype=np.float64))
+    return out
+
+
+def _merge_lines(pieces, junction=None):
+    """Stitch pieces into maximal linestrings (LineMerger semantics,
+    reference: Operation/Linemerge/LineMerger.cs:25)."""
+    if not pieces:
+        return []
+    # dedup undirected
+    seen = set()
+    edges = []
+    for p0, p1 in pieces:
+        key = (min(p0, p1), max(p0, p1))
+        if key in seen or p0 == p1:
+            continue
+        seen.add(key)
+        edges.append((p0, p1))
+    adj: dict = {}
+    for idx, (p0, p1) in enumerate(edges):
+        adj.setdefault(p0, []).append(idx)
+        adj.setdefault(p1, []).append(idx)
+    used = [False] * len(edges)
+    lines = []
+    if junction is None:
+        junction = lambda n: len(adj.get(n, [])) != 2
+
+    # start at junction nodes first, then cycles
+    def walk(start_node, eidx):
+        line = [start_node]
+        node = start_node
+        cur = eidx
+        while True:
+            used[cur] = True
+            p0, p1 = edges[cur]
+            node = p1 if p0 == node else p0
+            line.append(node)
+            nxt = [i4 for i4 in adj[node] if not used[i4]]
+            if len(nxt) != 1 or len(adj[node]) != 2 or junction(node):
+                break
+            cur = nxt[0]
+        return line
+
+    for node, incident in adj.items():
+        if junction(node):
+            for eidx in incident:
+                if not used[eidx]:
+                    lines.append(walk(node, eidx))
+    for eidx in range(len(edges)):
+        if not used[eidx]:
+            lines.append(walk(edges[eidx][0], eidx))
+    return [np.array(ln, dtype=np.float64) for ln in lines if len(ln) >= 2]
+
+
+def _line_covered(line: np.ndarray, poly_geoms) -> bool:
+    if not poly_geoms:
+        return False
+    for i5 in range(len(line) - 1):
+        mx = (line[i5, 0] + line[i5 + 1, 0]) / 2.0
+        my = (line[i5, 1] + line[i5 + 1, 1]) / 2.0
+        if all(alg.locate_in_geom(mx, my, pg) == E for pg in poly_geoms):
+            return False
+    return True
+
+
+def _point_covered(p, poly_geoms, lines) -> bool:
+    for pg in poly_geoms:
+        if alg.locate_in_geom(p[0], p[1], pg) != E:
+            return True
+    for ln in lines:
+        for i6 in range(len(ln) - 1):
+            if alg.on_segment(p[0], p[1], ln[i6, 0], ln[i6, 1], ln[i6 + 1, 0], ln[i6 + 1, 1]):
+                return True
+    return False
+
+
+def _compose(polygons, lines, points) -> Geom | None:
+    parts = []
+    for rings in polygons:
+        parts.append(Geom(POLYGON, rings))
+    for ln in lines:
+        parts.append(Geom(LINESTRING, ln))
+    for p in points:
+        parts.append(Geom.point(p[0], p[1]))
+    if not parts:
+        return None
+    kinds = {p.gtype for p in parts}
+    if kinds == {POLYGON}:
+        if len(parts) == 1:
+            return parts[0]
+        return Geom(MULTIPOLYGON, [p.data for p in parts])
+    if kinds == {LINESTRING}:
+        if len(parts) == 1:
+            return parts[0]
+        return Geom(MULTILINESTRING, [p.data for p in parts])
+    if kinds == {POINT}:
+        if len(parts) == 1:
+            return parts[0]
+        return Geom(MULTIPOINT, [p.data for p in parts])
+    return Geom(GEOMETRYCOLLECTION, parts)
+
+
+def union_all(geoms, grid_size: float | None = None) -> Geom:
+    """Unary union (reference: Operation/Union/UnaryUnionOp.cs:46): fold
+    polygonal components through binary union (cascaded semantics,
+    CascadedPolygonUnion.cs:37); node lineal components among themselves
+    and keep what the area union does not cover; dedup points."""
+    polys = []
+    lines = []
+    points = []
+    for g in geoms:
+        if g is None or g.is_empty:
+            continue
+        if grid_size:
+            g = snap_to_grid(g, grid_size)
+        for comp in g.flatten():
+            if comp.gtype == POLYGON:
+                polys.append(comp)
+            elif comp.gtype == LINESTRING:
+                lines.append(comp.data)
+            elif comp.gtype == POINT:
+                points.append((float(comp.data[0]), float(comp.data[1])))
+    acc = None
+    for p in polys:
+        acc = p if acc is None else overlay(acc, p, "union", grid_size)
+    parts = []
+    if acc is not None:
+        parts.extend(c for c in acc.flatten() if c.gtype == POLYGON)
+    line_parts = []
+    if lines:
+        lines_g = Geom(MULTILINESTRING, lines)
+        other = acc if acc is not None else Geom.empty(POLYGON)
+        line_res = overlay(lines_g, other, "difference", grid_size)
+        line_parts = [c for c in line_res.flatten() if c.gtype == LINESTRING]
+        parts.extend(line_parts)
+    for pt in dict.fromkeys(points):
+        covered = False
+        for pg in parts:
+            if alg.locate_in_geom(pt[0], pt[1], pg) != E:
+                covered = True
+                break
+        if not covered:
+            parts.append(Geom.point(pt[0], pt[1]))
+    if not parts:
+        return Geom.empty(GEOMETRYCOLLECTION)
+    if len(parts) == 1:
+        return parts[0]
+    kinds = {p.gtype for p in parts}
+    if kinds == {POLYGON}:
+        return Geom(MULTIPOLYGON, [p.data for p in parts])
+    if kinds == {LINESTRING}:
+        return Geom(MULTILINESTRING, [p.data for p in parts])
+    if kinds == {POINT}:
+        return Geom(MULTIPOINT, [p.data for p in parts])
+    return Geom(GEOMETRYCOLLECTION, parts)

@@ -136,7 +136,23 @@ _BOOL_PREDICATES = {
 }
 
 
-def run_conformance_case(op, a, b, arg1, arg2, arg3):
+_OVERLAY_OPS = {
+    "intersection": "intersection",
+    "intersectionng": "intersection",
+    "intersectionsr": "intersection",
+    "union": "union",
+    "unionng": "union",
+    "unionsr": "union",
+    "difference": "difference",
+    "differenceng": "difference",
+    "differencesr": "difference",
+    "symdifference": "symdifference",
+    "symdifferenceng": "symdifference",
+    "symdifferencesr": "symdifference",
+}
+
+
+def run_conformance_case(op, a, b, arg1, arg2, arg3, pm_scale=None):
     """Evaluate one conformance op → (result_str, supported: bool).
 
     Mirrors XmlTest.Run dispatch (reference:
@@ -144,6 +160,16 @@ def run_conformance_case(op, a, b, arg1, arg2, arg3):
     if (arg1 or "A").upper() == "B":
         a, b = b, a
         arg1 = "A"
+    if op.lower() in _OVERLAY_OPS:
+        from ..geom.overlay import overlay, union_all
+
+        base = _OVERLAY_OPS[op.lower()]
+        # pandas nulls arrive as NaN — only a real positive scale counts
+        grid = (1.0 / pm_scale) if (pm_scale and pm_scale == pm_scale) else None
+        merged = not (op.lower().endswith("ng") or op.lower().endswith("sr"))
+        if b is None and base == "union":
+            return to_wkt(union_all(list(a.flatten()), grid)), True
+        return to_wkt(overlay(a, b, base, grid, merge_line_output=merged)), True
     if op == "relate":
         return str(pred.matrix_matches(pred.relate(a, b), arg3)).lower(), True
     if op in _BOOL_PREDICATES:
@@ -208,7 +234,8 @@ class ConformanceRunner:
                 a = from_wkt(cols["a_wkt"][i]) if cols["a_wkt"][i] else None
                 b = from_wkt(cols["b_wkt"][i]) if cols["b_wkt"][i] else None
                 res, sup = run_conformance_case(
-                    op, a, b, cols["arg1"][i], cols["arg2"][i], cols["arg3"][i]
+                    op, a, b, cols["arg1"][i], cols["arg2"][i], cols["arg3"][i],
+                    pm_scale=cols.get("pm_scale", [None] * len(batch))[i],
                 )
             except Exception as ex:  # noqa: BLE001
                 res, sup = f"ERR:{type(ex).__name__}", True
