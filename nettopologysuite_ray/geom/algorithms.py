@@ -766,7 +766,28 @@ def simplify_dp(g: Geom, tol: float) -> Geom:
         rings = [r for i, r in enumerate(rings) if len(r) >= 4 or i == 0]
         if len(rings[0]) < 4:
             return Geom.empty(POLYGON)
-        return Geom(POLYGON, rings)
+        shell = rings[0]
+        kept = [shell]
+        for h in rings[1:]:
+            locs = [locate_point_in_rings(float(p[0]), float(p[1]), [shell]) for p in h[:-1]]
+            if any(l == INTERIOR for l in locs):
+                kept.append(h)  # holes pushed fully outside are dropped
+        rings = kept
+        out = Geom(POLYGON, rings)
+        # DP can produce a bowtie; the reference repairs it by splitting
+        # into valid polygons (DouglasPeuckerSimplifier topology fix)
+        from .validity import _ring_self_intersection
+
+        if any(_ring_self_intersection(r) for r in rings):
+            from .construct import polygonize
+
+            faces = polygonize(Geom(POLYGON, rings), node=True)
+            polys = [c for c in faces.flatten() if c.gtype == POLYGON]
+            if len(polys) == 1:
+                return polys[0]
+            if polys:
+                return Geom(MULTIPOLYGON, [p.data for p in polys])
+        return out
     if t == MULTILINESTRING:
         return Geom(MULTILINESTRING, [_dp(ls, tol, False) for ls in g.data])
     if t == MULTIPOLYGON:
@@ -806,9 +827,23 @@ def _dp(coords: np.ndarray, tol: float, is_ring: bool) -> np.ndarray:
             stack.append((i0, mid))
             stack.append((mid, i1))
     out = coords[keep]
-    if is_ring and len(out) < 4:
-        # keep minimal valid ring: take 3 extreme vertices
-        return coords[[0, n // 3, 2 * n // 3, 0]] if n >= 3 else out
+    if is_ring:
+        # the ring's arbitrary start point is removable: applied ONCE, and
+        # a ring collapsing below 4 points degenerates to nothing
+        # (reference: DouglasPeuckerLineSimplifier.SimplifyRingEndpoint)
+        if len(out) >= 4:
+            d0 = point_segments_distance(
+                np.array([out[0, 0]]),
+                np.array([out[0, 1]]),
+                np.array([out[1, 0]]),
+                np.array([out[1, 1]]),
+                np.array([out[-2, 0]]),
+                np.array([out[-2, 1]]),
+            )[0]
+            if d0 <= tol:
+                out = np.concatenate([out[1:-1], out[1:2]], axis=0)
+        if len(out) < 4:
+            return out[:0]  # collapsed ring -> dropped (empty result)
     return out
 
 

@@ -43,21 +43,97 @@ I, B, E = alg.INTERIOR, alg.BOUNDARY, alg.EXTERIOR
 _OPS = ("intersection", "union", "difference", "symdifference")
 
 
-def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_line_output: bool = True) -> Geom:
+def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_line_output: bool = True, ng: bool = False) -> Geom:
     """merge_line_output: legacy OverlayOp merges lineal resultants into
     maximal linestrings; OverlayNG emits the noded edges unmerged."""
     if op not in _OPS:
         raise ValueError(op)
-    if grid_size:
-        a = snap_to_grid(a, grid_size)
-        b = snap_to_grid(b, grid_size)
     dim_a, dim_b = a.dimension, b.dimension
-    res = _overlay_general(a, b, op, merge_line_output)
+    if grid_size:
+        a = snap_clean(a, grid_size)
+        b = snap_clean(b, grid_size)
+    res = _overlay_general(a, b, op, merge_line_output, ng)
     if grid_size and res is not None:
-        res = snap_to_grid(res, grid_size)
+        res = _snap_result(res, grid_size, op)
     if res is not None and not res.is_empty:
         return res
     return _empty_result(op, dim_a, dim_b)
+
+
+def _snap_result(g: Geom, grid: float, op: str) -> Geom:
+    """Snap-rounding post-pass on an overlay result: round ordinates to the
+    grid, split self-touching rings created by the rounding into minimal
+    rings, and degrade collapsed slivers to lines/points (reference
+    behavior: OverlayNG with a fixed PrecisionModel emits a collapsed area
+    intersection as its lineal remnant)."""
+    polys = []
+    lines = []
+    points = []
+    for comp in g.flatten():
+        if comp.gtype == POINT:
+            points.append(tuple(np.round(comp.data / grid) * grid))
+        elif comp.gtype == LINESTRING:
+            arr = _dedup(np.round(comp.data / grid) * grid)
+            if len(arr) >= 2:
+                lines.append(arr)
+            elif len(arr) == 1:
+                points.append((float(arr[0, 0]), float(arr[0, 1])))
+        elif comp.gtype == POLYGON:
+            shells = []
+            holes = []
+            for ring in comp.data:
+                arr = _dedup(np.round(ring / grid) * grid)
+                if len(arr) >= 2 and (arr[0] != arr[-1]).any():
+                    arr = np.concatenate([arr, arr[:1]])
+                closed = [tuple(p) for p in arr]
+                from_split = (
+                    _split_minimal_rings(closed) if len(closed) >= 4 else []
+                )
+                got_ring = False
+                for sub in from_split:
+                    rs = np.array(sub, dtype=np.float64)
+                    sa = alg.ring_signed_area(rs)
+                    if sa == 0.0 or len(rs) < 4:
+                        if op in ("intersection", "union") and len(rs) >= 2:
+                            for k2 in range(len(rs) - 1):
+                                if (rs[k2] != rs[k2 + 1]).any():
+                                    lines.append(rs[k2 : k2 + 2])
+                        continue
+                    got_ring = True
+                    (shells if sa > 0 else holes).append(rs)
+                if not got_ring and not from_split and op in ("intersection", "union"):
+                    if len(arr) >= 2:
+                        lines.append(arr)
+            # ring orientation from the source polygon may be either way:
+            # first ring of the source is the shell side
+            if not shells and holes:
+                shells = [h[::-1].copy() for h in holes]
+                holes = []
+            for s in shells:
+                if not alg.is_ccw_robust(s):
+                    s = s[::-1].copy()
+                polys.append([s])
+            for h in holes:
+                hx, hy = float(h[0, 0]), float(h[0, 1])
+                for rings in polys:
+                    probe = _ring_probe_not_on(h, rings[0])
+                    if probe and alg.locate_point_in_rings(probe[0], probe[1], [rings[0]]) == I:
+                        rings.append(h)
+                        break
+    # drop lines covered by polygons, dedup
+    poly_geoms = [Geom(POLYGON, rings) for rings in polys]
+    out_lines = []
+    seenl = set()
+    for ln in lines:
+        key = tuple(map(tuple, ln))
+        rkey = tuple(map(tuple, ln[::-1]))
+        if key in seenl or rkey in seenl:
+            continue
+        seenl.add(key)
+        if not _line_covered(ln, poly_geoms):
+            out_lines.append(ln)
+    pts = [p for p in dict.fromkeys(points) if not _point_covered(p, poly_geoms, out_lines)]
+    return _compose(polys, out_lines, pts)
 
 
 def _empty_result(op: str, dim_a: int, dim_b: int) -> Geom:
@@ -119,6 +195,125 @@ def snap_to_grid(g: Geom, grid_size: float) -> Geom:
     return Geom(GEOMETRYCOLLECTION, [snap_to_grid(c, grid_size) for c in g.data])
 
 
+def snap_clean(g: Geom, grid: float) -> Geom:
+    """Snap-rounding input preparation: round ordinates to the grid, then
+    repair the rounding damage — self-node each ring (rounding creates
+    spikes and vertex-on-edge touches), split into minimal rings, keep the
+    ones with area as polygon rings and DEGRADE collapsed pieces to lineal
+    components of the same operand.  The collapsed linework then flows
+    through the overlay with ordinary mixed-dimension semantics, which is
+    how the reference's fixed-precision OverlayNG surfaces collapsed edges
+    in its results."""
+    polys = []
+    lines = []       # genuine lineal inputs, snapped
+    collapsed = []   # ring pieces degraded by the rounding
+    points = []
+    for comp in g.flatten():
+        if comp.gtype == POINT:
+            points.append(np.round(comp.data / grid) * grid)
+        elif comp.gtype == LINESTRING:
+            arr = _dedup(np.round(comp.data / grid) * grid)
+            if len(arr) >= 2:
+                lines.append(arr)
+            elif len(arr) == 1:
+                points.append(arr[0])
+        elif comp.gtype == POLYGON:
+            shells = []
+            holes = []
+            for ri, ring in enumerate(comp.data):
+                arr = _dedup(np.round(ring / grid) * grid)
+                if len(arr) >= 2 and (arr[0] != arr[-1]).any():
+                    arr = np.concatenate([arr, arr[:1]])
+                subrings, degraded = _clean_ring(arr)
+                collapsed.extend(degraded)
+                for rs in subrings:
+                    (shells if ri == 0 else holes).append(rs)
+            for s in shells:
+                if not alg.is_ccw_robust(s):
+                    s = s[::-1].copy()
+                polys.append([s])
+            for h in holes:
+                for rings in polys:
+                    probe = _ring_probe_not_on(h, rings[0])
+                    if probe and alg.locate_point_in_rings(probe[0], probe[1], [rings[0]]) == I:
+                        rings.append(h)
+                        break
+    parts = [Geom(POLYGON, rings) for rings in polys]
+    parts.extend(Geom(LINESTRING, ln) for ln in lines)
+    # collapsed ring linework is NOT an ordinary lineal operand: the
+    # reference surfaces it in intersection/union results but not in
+    # difference/symdifference
+    parts.extend(Geom(LINESTRING, ln, tag="collapsed") for ln in collapsed)
+    parts.extend(Geom(POINT, p) for p in points)
+    if not parts:
+        return _empty_like(g)
+    if len(parts) == 1:
+        return parts[0]
+    return Geom(GEOMETRYCOLLECTION, parts)
+
+
+def _empty_like(g: Geom) -> Geom:
+    d = g.dimension
+    if d == 2:
+        return Geom.empty(POLYGON)
+    if d == 1:
+        return Geom.empty(LINESTRING)
+    if d == 0:
+        return Geom.empty(POINT)
+    return Geom.empty(GEOMETRYCOLLECTION)
+
+
+def _clean_ring(arr: np.ndarray):
+    """Closed ring array → (valid minimal rings, collapsed line arrays)."""
+    if len(arr) < 3:
+        return [], ([_dedup(arr)] if len(_dedup(arr)) >= 2 else [])
+    pts = [tuple(p) for p in arr]
+    n = len(pts) - 1
+    segs = [(pts[i], pts[i + 1]) for i in range(n)]
+    splits = [[] for _ in segs]
+    for i in range(n):
+        for j in range(i + 1, n):
+            kind, ipts = alg.segment_intersection(segs[i][0], segs[i][1], segs[j][0], segs[j][1])
+            if kind == "none":
+                continue
+            for p in ipts:
+                p = (float(p[0]), float(p[1]))
+                if p != segs[i][0] and p != segs[i][1]:
+                    splits[i].append(p)
+                if p != segs[j][0] and p != segs[j][1]:
+                    splits[j].append(p)
+    path = []
+    for i, (p0, p1) in enumerate(segs):
+        path.append(p0)
+        if splits[i]:
+            dx = p1[0] - p0[0]
+            dy = p1[1] - p0[1]
+            key = (lambda q: (q[0] - p0[0]) / dx) if abs(dx) >= abs(dy) else (
+                lambda q: (q[1] - p0[1]) / dy
+            )
+            for q in sorted(set(splits[i]), key=key):
+                path.append(q)
+    path.append(pts[0])
+    rings = []
+    collapsed = []
+    for sub in _split_minimal_rings(path):
+        rs = np.array(sub, dtype=np.float64)
+        if len(rs) >= 4 and alg.ring_signed_area(rs) != 0.0:
+            rings.append(rs)
+        else:
+            # out-and-back spike or zero-area sliver → its undirected
+            # segments as linework
+            seen = set()
+            for k in range(len(rs) - 1):
+                a0 = tuple(rs[k])
+                a1 = tuple(rs[k + 1])
+                kk = (min(a0, a1), max(a0, a1))
+                if a0 != a1 and kk not in seen:
+                    seen.add(kk)
+                    collapsed.append(np.array([a0, a1], dtype=np.float64))
+    return rings, collapsed
+
+
 def _dedup(arr: np.ndarray) -> np.ndarray:
     if len(arr) < 2:
         return arr
@@ -146,9 +341,10 @@ class _Edges:
                 self.points.append((float(comp.data[0]), float(comp.data[1])))
             elif comp.gtype == LINESTRING:
                 d = _dedup(comp.data)
+                lkind = "cline" if comp.tag == "collapsed" else "line"
                 for i2 in range(len(d) - 1):
                     self.segs.append(
-                        ((float(d[i2, 0]), float(d[i2, 1])), (float(d[i2 + 1, 0]), float(d[i2 + 1, 1])), "line", False)
+                        ((float(d[i2, 0]), float(d[i2, 1])), (float(d[i2 + 1, 0]), float(d[i2 + 1, 1])), lkind, False)
                     )
             elif comp.gtype == POLYGON:
                 for ri, ring in enumerate(comp.data):
@@ -168,7 +364,7 @@ class _Edges:
                         )
 
 
-def _node_edges(ea: _Edges, eb: _Edges):
+def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True):
     """Split both edge sets at mutual intersections.
 
     Returns (pieces_a, pieces_b): per input, list of
@@ -242,12 +438,13 @@ def _node_edges(ea: _Edges, eb: _Edges):
                 ):
                     splits[i9].append(_param_t(s1, v))
                     node_pts.add(v)
-    # isolated points of each split the other's segments
-    for p in ea.points:
+    # isolated points of each split the other's segments (OverlayNG nodes
+    # at point-operand touches; the legacy engine does not)
+    for p in (ea.points if point_noding else ()):
         for ib, s2 in enumerate(eb.segs):
             if alg.on_segment(p[0], p[1], s2[0][0], s2[0][1], s2[1][0], s2[1][1]):
                 splits_b[ib].append(_param_t(s2, p))
-    for p in eb.points:
+    for p in (eb.points if point_noding else ()):
         for ia, s1 in enumerate(ea.segs):
             if alg.on_segment(p[0], p[1], s1[0][0], s1[0][1], s1[1][0], s1[1][1]):
                 splits_a[ia].append(_param_t(s1, p))
@@ -325,10 +522,10 @@ def _member(locA, locB, op: str) -> bool:
     return (locA == I) != (locB == I)
 
 
-def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True) -> Geom | None:
+def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, ng: bool = False) -> Geom | None:
     ea = _Edges(a)
     eb = _Edges(b)
-    pa, pb, node_pts = _node_edges(ea, eb)
+    pa, pb, node_pts = _node_edges(ea, eb, point_noding=ng)
 
     result_edges = []  # directed (p0, p1) with result interior on left
     line_pieces = []  # dim-1 resultants
@@ -393,12 +590,17 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True) 
 
     polygons = _assemble_polygons(result_edges)
 
-    # lineal operands
+    # lineal operands (collapsed linework only participates in
+    # intersection/union results)
     for piece in pa:
-        if piece["kind"] == "line":
+        if piece["kind"] == "line" or (
+            piece["kind"] == "cline" and op in ("intersection", "union")
+        ):
             _handle_line_piece(piece, True, b, op, line_pieces)
     for piece in pb:
-        if piece["kind"] == "line":
+        if piece["kind"] == "line" or (
+            piece["kind"] == "cline" and op in ("intersection", "union")
+        ):
             _handle_line_piece(piece, False, a, op, line_pieces)
 
     # puntal resultants
@@ -408,7 +610,11 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True) 
     poly_geoms = [Geom(POLYGON, rings) for rings in polygons]
     lines = _ng_lines(line_pieces, node_pts)
     lines = [ln for ln in lines if not _line_covered(ln, poly_geoms)]
-    pts = [p for p in points if not _point_covered(p, poly_geoms, lines)]
+    pts = [
+        p
+        for p, derived in points
+        if not _point_covered(p, poly_geoms, lines, absorb_boundary=derived or ng)
+    ]
 
     return _compose(polygons, lines, pts)
 
@@ -441,7 +647,7 @@ def _handle_line_piece(piece, own_is_a: bool, other_geom: Geom, op: str, line_pi
         else:
             keep = locO == E
         # union keeps each line piece once; shared pieces kept from A side
-        if over is not None and over[1] == "line" and own_is_a:
+        if over is not None and over[1] != "ring" and own_is_a:
             keep = True
         elif over is not None and own_is_a and over[1] == "ring":
             keep = False  # covered by the area operand
@@ -457,16 +663,17 @@ def _handle_line_piece(piece, own_is_a: bool, other_geom: Geom, op: str, line_pi
 def _point_resultants(a, b, ea, eb, pa, pb, op):
     """Isolated points of the result: operand points kept per op + boundary
     touch points in an intersection."""
-    pts = []
+    pts = []  # (point, is_derived_touch)
     if op == "intersection":
         for p in ea.points:
             if alg.locate_in_geom(p[0], p[1], b) != E:
-                pts.append(p)
+                pts.append((p, False))
         for p in eb.points:
-            if alg.locate_in_geom(p[0], p[1], a) != E and p not in pts:
-                pts.append(p)
+            if alg.locate_in_geom(p[0], p[1], a) != E and (p, False) not in pts:
+                pts.append((p, False))
         if ea.dim >= 1 and eb.dim >= 1:
-            # boundary/boundary touch nodes
+            # boundary/boundary touch nodes (derived, absorbed by any
+            # polygon contact downstream)
             ends: dict = {}
             for piece in pa + pb:
                 for q in (piece["p0"], piece["p1"]):
@@ -476,27 +683,27 @@ def _point_resultants(a, b, ea, eb, pa, pb, op):
                 la = alg.locate_in_geom(q[0], q[1], a)
                 lb = alg.locate_in_geom(q[0], q[1], b)
                 if la != E and lb != E:
-                    pts.append(q)
+                    pts.append((q, True))
     elif op == "union":
         # every operand point appears once; coincidences dedup; points
         # covered by kept lines/areas are filtered downstream
         for p in ea.points:
-            if p not in pts:
-                pts.append(p)
+            if (p, False) not in pts:
+                pts.append((p, False))
         for p in eb.points:
-            if p not in pts:
-                pts.append(p)
+            if (p, False) not in pts:
+                pts.append((p, False))
     elif op == "difference":
         for p in ea.points:
             if alg.locate_in_geom(p[0], p[1], b) == E:
-                pts.append(p)
+                pts.append((p, False))
     else:
         for p in ea.points:
             if alg.locate_in_geom(p[0], p[1], b) == E:
-                pts.append(p)
+                pts.append((p, False))
         for p in eb.points:
             if alg.locate_in_geom(p[0], p[1], a) == E:
-                pts.append(p)
+                pts.append((p, False))
     return pts
 
 
@@ -596,15 +803,16 @@ def _split_minimal_rings(ring):
         if v in stack_pos:
             i7 = stack_pos[v]
             sub = cur[i7:] + [v]
-            if len(sub) >= 4:
-                out.append(sub)
+            if len(sub) >= 3:
+                out.append(sub)  # len-3 closed = out-and-back spike; callers
+                # classify by area and degrade zero-area subs to linework
             for w in cur[i7:]:
                 stack_pos.pop(w, None)
             cur = cur[:i7]
         stack_pos[v] = len(cur)
         cur.append(v)
-    if len(cur) >= 3:
-        out.append(cur + [cur[0]])
+    if len(cur) >= 2:
+        out.append(cur + [cur[0]])  # len-2 remainder = collapsed out-and-back
     return out
 
 
@@ -721,9 +929,14 @@ def _line_covered(line: np.ndarray, poly_geoms) -> bool:
     return True
 
 
-def _point_covered(p, poly_geoms, lines) -> bool:
+def _point_covered(p, poly_geoms, lines, absorb_boundary: bool = True) -> bool:
+    """absorb_boundary=False: OPERAND points on a result polygon's boundary
+    are still emitted (reference PointBuilder keeps points that are not in
+    the result interior); derived touch points are absorbed by any
+    polygon contact.  Points on result lines are always absorbed."""
     for pg in poly_geoms:
-        if alg.locate_in_geom(p[0], p[1], pg) != E:
+        loc = alg.locate_in_geom(p[0], p[1], pg)
+        if loc == I or (absorb_boundary and loc != E):
             return True
     for ln in lines:
         for i6 in range(len(ln) - 1):
@@ -766,11 +979,15 @@ def union_all(geoms, grid_size: float | None = None) -> Geom:
     polys = []
     lines = []
     points = []
+    max_dim = -1
     for g in geoms:
-        if g is None or g.is_empty:
+        if g is None:
+            continue
+        max_dim = max(max_dim, g.dimension)
+        if g.is_empty:
             continue
         if grid_size:
-            g = snap_to_grid(g, grid_size)
+            g = snap_clean(g, grid_size)
         for comp in g.flatten():
             if comp.gtype == POLYGON:
                 polys.append(comp)
@@ -800,6 +1017,14 @@ def union_all(geoms, grid_size: float | None = None) -> Geom:
         if not covered:
             parts.append(Geom.point(pt[0], pt[1]))
     if not parts:
+        # typed empty result: highest input dimension (reference:
+        # UnaryUnionOp empty handling)
+        if max_dim == 2:
+            return Geom.empty(POLYGON)
+        if max_dim == 1:
+            return Geom.empty(LINESTRING)
+        if max_dim == 0:
+            return Geom.empty(POINT)
         return Geom.empty(GEOMETRYCOLLECTION)
     if len(parts) == 1:
         return parts[0]

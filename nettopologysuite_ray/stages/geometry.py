@@ -164,12 +164,16 @@ def run_conformance_case(op, a, b, arg1, arg2, arg3, pm_scale=None):
         from ..geom.overlay import overlay, union_all
 
         base = _OVERLAY_OPS[op.lower()]
-        # pandas nulls arrive as NaN — only a real positive scale counts
-        grid = (1.0 / pm_scale) if (pm_scale and pm_scale == pm_scale) else None
-        merged = not (op.lower().endswith("ng") or op.lower().endswith("sr"))
+        # SR ops carry the scale in arg3 (per-op precision); otherwise the
+        # run-level precisionModel applies.  pandas nulls arrive as NaN.
+        if op.lower().endswith("sr") and arg3:
+            grid = 1.0 / float(arg3)
+        else:
+            grid = (1.0 / pm_scale) if (pm_scale and pm_scale == pm_scale) else None
+        ng = op.lower().endswith("ng") or op.lower().endswith("sr")
         if b is None and base == "union":
             return to_wkt(union_all(list(a.flatten()), grid)), True
-        return to_wkt(overlay(a, b, base, grid, merge_line_output=merged)), True
+        return to_wkt(overlay(a, b, base, grid, merge_line_output=not ng, ng=ng)), True
     if op == "relate":
         return str(pred.matrix_matches(pred.relate(a, b), arg3)).lower(), True
     if op in _BOOL_PREDICATES:
@@ -194,6 +198,19 @@ def run_conformance_case(op, a, b, arg1, arg2, arg3, pm_scale=None):
         from ..geom.validity import is_simple
 
         return str(is_simple(a)).lower(), True
+    if op in ("minClearance", "minClearanceLine"):
+        from ..geom.construct import minimum_clearance
+
+        d, line = minimum_clearance(a)
+        if op == "minClearance":
+            return repr(d), True
+        return to_wkt(line), True
+    if op == "polygonize":
+        from ..geom.construct import polygonize
+
+        return to_wkt(polygonize(a)), True
+    if op in ("simplifyDP", "simplifyTP"):
+        return to_wkt(alg.simplify_dp(a, float(arg2 if arg2 else arg3))), True
     if op == "getboundary":
         return to_wkt(alg.boundary(a)), True
     if op == "getCentroid":
