@@ -375,9 +375,112 @@ def _q_conformance(sf_dir: str):
     return conformance_summary(dirs=("general", "validate"))
 
 
+def _q_geom_stats(sf_dir: str):
+    # real WKB geometry work (area/centroid/envelope stages over polygons);
+    # the oracle recomputes the grid arithmetic from admin_id
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.wkb import from_wkb
+    from nettopologysuite_ray.sources.pages import admin_boundaries_table
+
+    ds = rd.from_arrow(admin_boundaries_table(fancy=False).select(["admin_id", "geometry_wkb"]))
+
+    def stats(b: pa.Table) -> pa.Table:
+        geoms = [from_wkb(x) for x in b["geometry_wkb"].to_pylist()]
+        areas = [alg.area(g) for g in geoms]
+        cents = [alg.centroid(g).data for g in geoms]
+        envs = [alg.envelope(g) for g in geoms]
+        return pa.table(
+            {
+                "admin_id": b["admin_id"],
+                "area": pa.array(areas, type=pa.float64()),
+                "cx": pa.array([c[0] for c in cents], type=pa.float64()),
+                "cy": pa.array([c[1] for c in cents], type=pa.float64()),
+                "minx": pa.array([e[0] for e in envs], type=pa.float64()),
+                "miny": pa.array([e[1] for e in envs], type=pa.float64()),
+                "maxx": pa.array([e[2] for e in envs], type=pa.float64()),
+                "maxy": pa.array([e[3] for e in envs], type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def _q_affine_entities(sf_dir: str):
+    # entities → POINT WKB → affine stage (2x+3y+7, -y+11 on integer cents)
+    # → coordinates back out; oracle recomputes the arithmetic
+    import numpy as np
+    import pyarrow as pa
+
+    from nettopologysuite_ray.geom.types import Geom
+    from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
+    from nettopologysuite_ray.stages.geometry import affine_stage
+
+    ents = _entities(sf_dir)
+
+    def to_points(b: pa.Table) -> pa.Table:
+        wkbs = [
+            to_wkb(Geom.point(float(x), float(y)))
+            for x, y in zip(b["lon_1e2"].to_pylist(), b["lat_1e2"].to_pylist())
+        ]
+        return b.select(["doc_id", "entity_idx"]).append_column(
+            "wkb", pa.array(wkbs, type=pa.binary())
+        )
+
+    staged = ents.map_batches(to_points, batch_format="pyarrow").map_batches(
+        affine_stage(a=2.0, b=3.0, c=7.0, d=0.0, e=-1.0, f=11.0),
+        batch_format="pyarrow",
+    )
+
+    def extract(b: pa.Table) -> pa.Table:
+        pts = [from_wkb(x).data for x in b["affine_wkb"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "entity_idx": b["entity_idx"],
+                "tx_1e2": pa.array([int(p[0]) for p in pts], type=pa.int64()),
+                "ty_1e2": pa.array([int(p[1]) for p in pts], type=pa.int64()),
+            }
+        )
+
+    return staged.map_batches(extract, batch_format="pyarrow")
+
+
+def _q_within_distance_join(sf_dir: str):
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.cell_join import within_distance_join
+
+    ents = _entities(sf_dir).select_columns(["doc_id", "entity_idx", "lon_1e2", "lat_1e2"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    import numpy as np
+    import pyarrow as pa
+
+    def ev_points(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "lon_1e2": pa.array((eid * 7919) % 36000 - 18000),
+                "lat_1e2": pa.array((eid * 104729) % 18000 - 9000),
+            }
+        )
+
+    ev = events.map_batches(ev_points, batch_format="pyarrow")
+    out = within_distance_join(ev, ents, radius_1e2=300, left_keys=("event_id",),
+                               right_keys=("doc_id", "entity_idx"))
+    return out.select_columns(["event_id", "doc_id", "entity_idx", "dist2"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "conformance_summary": _q_conformance,
+        "geom_stats": _q_geom_stats,
+        "affine_entities": _q_affine_entities,
+        "within_distance_join": _q_within_distance_join,
         "geo_extract": _q_geo_extract,
         "spatial_join_assign": _q_spatial_join_assign,
         "spatial_join_inner": _q_spatial_join_inner,
@@ -435,6 +538,39 @@ def _sql_morton_cell(level: int) -> str:
 def oracle_sql() -> dict[str, str]:
     morton = _sql_morton_cell(LEVEL)
     return {
+        "geom_stats": """
+WITH g AS (SELECT unnest(range(648)) AS admin_id)
+SELECT admin_id, 100.0 AS area,
+  CAST((admin_id % 36) * 10 - 175 AS DOUBLE) AS cx,
+  CAST((admin_id // 36) * 10 - 85 AS DOUBLE) AS cy,
+  CAST((admin_id % 36) * 10 - 180 AS DOUBLE) AS minx,
+  CAST((admin_id // 36) * 10 - 90 AS DOUBLE) AS miny,
+  CAST((admin_id % 36) * 10 - 170 AS DOUBLE) AS maxx,
+  CAST((admin_id // 36) * 10 - 80 AS DOUBLE) AS maxy
+FROM g
+""",
+        "affine_entities": _ENTS_CTE
+        + """
+SELECT doc_id, entity_idx,
+  CAST(2 * lon_1e2 + 3 * lat_1e2 + 7 AS BIGINT) AS tx_1e2,
+  CAST(-lat_1e2 + 11 AS BIGINT) AS ty_1e2
+FROM e2
+""",
+        "within_distance_join": _ENTS_CTE
+        + """
+, ev AS (
+  SELECT event_id,
+         (event_id * 7919) % 36000 - 18000 AS lon_1e2,
+         (event_id * 104729) % 18000 - 9000 AS lat_1e2
+  FROM events
+)
+SELECT ev.event_id, e2.doc_id, e2.entity_idx,
+       (ev.lon_1e2 - e2.lon_1e2) * (ev.lon_1e2 - e2.lon_1e2)
+       + (ev.lat_1e2 - e2.lat_1e2) * (ev.lat_1e2 - e2.lat_1e2) AS dist2
+FROM ev CROSS JOIN e2
+WHERE (ev.lon_1e2 - e2.lon_1e2) * (ev.lon_1e2 - e2.lon_1e2)
+      + (ev.lat_1e2 - e2.lat_1e2) * (ev.lat_1e2 - e2.lat_1e2) <= 90000
+""",
         "geo_extract": _ENTS_CTE
         + """
 SELECT doc_id, entity_idx, lon_1e2 / 100.0 AS lon, lat_1e2 / 100.0 AS lat,

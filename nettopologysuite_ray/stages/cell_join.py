@@ -1,0 +1,121 @@
+"""Large-large spatial join via cell-keyed shuffle (SURVEY.md §2.4).
+
+Both sides get space-filling-curve cell keys; geometries/points near cell
+borders are multiplexed into every cell their search envelope touches
+(flat_map); a groupby(cell) co-partitions the sides and a per-cell local
+kernel finds pairs.  The duplicate-candidate problem (a pair appears in
+every shared cell) is solved with the report-at-reference-point rule: a
+pair is emitted only by the cell containing the LEFT point — exactly
+deterministic, so join output is row-identical at any parallelism level.
+
+At 100 TB this is the join shape for two big tables (no broadcast side):
+the shuffle moves each row ~(1 + border-fraction) times, and skewed cells
+can be salted by subdividing (finer level for hot cells) before the
+groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def within_distance_join(
+    left_ds,
+    right_ds,
+    radius_1e2: int,
+    level: int = 6,
+    left_keys=("doc_id", "entity_idx"),
+    right_keys=("event_id",),
+):
+    """All (left, right) pairs with euclidean distance <= radius (integer
+    cent coordinates, exact integer arithmetic — dist2 <= radius^2).
+
+    Output: left_keys + right_keys + dist2 (int64).
+    """
+    n = 1 << level
+    world_w = 36000  # cents
+    world_h = 18000
+    cell_w = world_w / n
+    cell_h = world_h / n
+    r = int(radius_1e2)
+
+    def cells_of(lon, lat, expand: bool):
+        """Cell ids covered by [lon-r, lon+r] x [lat-r, lat+r] (expand) or
+        the single containing cell."""
+        if expand:
+            x0 = np.clip(((lon - r + 18000) // cell_w).astype(np.int64), 0, n - 1)
+            x1 = np.clip(((lon + r + 18000) // cell_w).astype(np.int64), 0, n - 1)
+            y0 = np.clip(((lat - r + 9000) // cell_h).astype(np.int64), 0, n - 1)
+            y1 = np.clip(((lat + r + 9000) // cell_h).astype(np.int64), 0, n - 1)
+            return x0, x1, y0, y1
+        x = np.clip(((lon + 18000) // cell_w).astype(np.int64), 0, n - 1)
+        y = np.clip(((lat + 9000) // cell_h).astype(np.int64), 0, n - 1)
+        return x, x, y, y
+
+    def tag(batch: pa.Table, keys, expand: bool, side: int) -> pa.Table:
+        lon = batch["lon_1e2"].to_numpy(zero_copy_only=False)
+        lat = batch["lat_1e2"].to_numpy(zero_copy_only=False)
+        x0, x1, y0, y1 = cells_of(lon, lat, expand)
+        counts = ((x1 - x0 + 1) * (y1 - y0 + 1)).astype(np.int64)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        cells = np.empty(int(counts.sum()), dtype=np.int64)
+        pos = 0
+        for i2 in range(len(batch)):
+            for cy in range(int(y0[i2]), int(y1[i2]) + 1):
+                for cx in range(int(x0[i2]), int(x1[i2]) + 1):
+                    cells[pos] = cy * n + cx
+                    pos += 1
+        out = {k: batch[k].take(pa.array(idx)) for k in keys}
+        out["lon_1e2"] = batch["lon_1e2"].take(pa.array(idx))
+        out["lat_1e2"] = batch["lat_1e2"].take(pa.array(idx))
+        out["cell"] = pa.array(cells)
+        out["side"] = pa.array(np.full(len(cells), side, dtype=np.int8))
+        return pa.table(out)
+
+    # multiplex RIGHT side into neighbor cells; LEFT stays in its own cell
+    # (the pair is reported where the left point lives)
+    lk = list(left_keys)
+    rk = list(right_keys)
+    left_t = left_ds.map_batches(
+        lambda b: tag(b, lk, expand=False, side=0), batch_format="pyarrow"
+    )
+    right_t = right_ds.map_batches(
+        lambda b: tag(b, rk, expand=True, side=1), batch_format="pyarrow"
+    )
+
+    # pad schemas to align for union
+    def pad(batch: pa.Table, missing_keys) -> pa.Table:
+        for k in missing_keys:
+            batch = batch.append_column(k, pa.array([None] * len(batch), type=pa.int64()))
+        return batch
+
+    left_p = left_t.map_batches(lambda b: pad(b, rk), batch_format="pyarrow")
+    right_p = right_t.map_batches(lambda b: pad(b, lk), batch_format="pyarrow")
+    both = left_p.union(right_p)
+
+    r2 = r * r
+
+    def join_cell(g: pd.DataFrame) -> pd.DataFrame:
+        lefts = g[g["side"] == 0]
+        rights = g[g["side"] == 1]
+        if lefts.empty or rights.empty:
+            return pd.DataFrame({k: pd.Series([], dtype="int64") for k in lk + rk + ["dist2"]})
+        lx = lefts["lon_1e2"].to_numpy()
+        ly = lefts["lat_1e2"].to_numpy()
+        rx = rights["lon_1e2"].to_numpy()
+        ry = rights["lat_1e2"].to_numpy()
+        dx = lx[:, None] - rx[None, :]
+        dy = ly[:, None] - ry[None, :]
+        d2 = dx * dx + dy * dy
+        ii, jj = np.nonzero(d2 <= r2)
+        out = {}
+        for k in lk:
+            out[k] = lefts[k].to_numpy()[ii]
+        for k in rk:
+            out[k] = rights[k].to_numpy()[jj]
+        out["dist2"] = d2[ii, jj]
+        return pd.DataFrame(out)
+
+    return both.groupby("cell").map_groups(join_cell, batch_format="pandas")

@@ -78,6 +78,39 @@ def envelope_stage():
     return stage
 
 
+def affine_stage(a=1.0, b=0.0, c=0.0, d=0.0, e=1.0, f=0.0, in_col: str = "wkb", out_col: str = "affine_wkb"):
+    """Affine transformation x' = a x + b y + c; y' = d x + e y + f, applied
+    to flat coordinate arrays (reference: Geometries/Utilities/
+    AffineTransformation.cs:71) — a zero-copy-friendly numpy kernel."""
+    import numpy as np
+
+    def tx(arr):
+        out = np.empty_like(arr)
+        out[:, 0] = a * arr[:, 0] + b * arr[:, 1] + c
+        out[:, 1] = d * arr[:, 0] + e * arr[:, 1] + f
+        return out
+
+    def apply(g):
+        from ..geom.types import Geom
+
+        t = g.gtype
+        if t == "Point":
+            return Geom(t, tx(g.data.reshape(1, 2))[0]) if g.data.size else g
+        if t == "LineString":
+            return Geom(t, tx(g.data), tag=g.tag)
+        if t == "Polygon":
+            return Geom(t, [tx(r) for r in g.data])
+        if t == "MultiPoint":
+            return Geom(t, [tx(p.reshape(1, 2))[0] for p in g.data])
+        if t == "MultiLineString":
+            return Geom(t, [tx(ls) for ls in g.data])
+        if t == "MultiPolygon":
+            return Geom(t, [[tx(r) for r in rings] for rings in g.data])
+        return Geom(t, [apply(c2) for c2 in g.data])
+
+    return geometry_stage(apply, in_col=in_col, out_col=out_col)
+
+
 def relate_stage(a_col: str = "a_wkb", b_col: str = "b_wkb", out_col: str = "de9im"):
     """Pairwise DE-9IM matrix column (reference: Operation/Relate/RelateOp.cs:26)."""
 
