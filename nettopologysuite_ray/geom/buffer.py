@@ -1,0 +1,190 @@
+"""Buffer operator (reference: Operation/Buffer/BufferOp.cs:70,
+OffsetCurveBuilder.cs) — fresh construction on top of the overlay engine:
+
+* positive buffer = union of (source polygons) + (per-segment offset
+  rectangles) + (per-vertex disks) over all linework/points — the
+  Minkowski-sum decomposition; disks replicate the reference's circle
+  vertex convention (4*quad_segs vertices, start angle 0, clockwise) so
+  point buffers match the reference's output vertices exactly;
+* zero buffer = area repair (lines/points vanish);
+* negative buffer = erosion: polygons minus the boundary's positive
+  buffer (A ⊖ d = A \\ (∂A ⊕ d)).
+
+Conformance target is the reference's BufferResultMatcher (relative area
+diff < 1e-3, boundary Hausdorff < |d|/100), not vertex equality.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import algorithms as alg
+from .overlay import overlay, union_all
+from .types import LINESTRING, POINT, POLYGON, Geom
+
+
+def _disk(cx: float, cy: float, d: float, quad_segs: int, normal=None) -> Geom:
+    """Inscribed 4*quad_segs-gon, clockwise from the given normal vector
+    (nx, ny) (defaults to (d, 0)).  The four quadrant vertices are built
+    by EXACT 90-degree rotations of the normal so they are bit-identical
+    with offset-rectangle corners built from the same normal — trig noise
+    otherwise breaks node identity in the union edge graph."""
+    n = 4 * quad_segs
+    if normal is None:
+        nx, ny = d, 0.0
+    else:
+        nx, ny = normal
+    theta = math.atan2(ny, nx)
+    ang = theta - 2.0 * math.pi * np.arange(n) / n
+    pts = np.empty((n + 1, 2))
+    pts[:n, 0] = cx + d * np.cos(ang)
+    pts[:n, 1] = cy + d * np.sin(ang)
+    # exact quadrant vertices: rotations of (nx, ny) by -90 deg steps
+    pts[0] = (cx + nx, cy + ny)
+    pts[quad_segs] = (cx + ny, cy - nx)
+    pts[2 * quad_segs] = (cx - nx, cy - ny)
+    pts[3 * quad_segs] = (cx - ny, cy + nx)
+    pts[n] = pts[0]
+    return Geom(POLYGON, [pts])
+
+
+def _seg_normal(p0, p1, d: float):
+    dx = p1[0] - p0[0]
+    dy = p1[1] - p0[1]
+    ll = math.hypot(dx, dy)
+    if ll == 0:
+        return None
+    return (-dy / ll * d, dx / ll * d)
+
+
+def _seg_rect(p0, p1, normal) -> Geom:
+    nx, ny = normal
+    ring = np.array(
+        [
+            [p0[0] + nx, p0[1] + ny],
+            [p1[0] + nx, p1[1] + ny],
+            [p1[0] - nx, p1[1] - ny],
+            [p0[0] - nx, p0[1] - ny],
+            [p0[0] + nx, p0[1] + ny],
+        ]
+    )
+    return Geom(POLYGON, [ring])
+
+
+def _linework_pieces(arrs, d: float, quad_segs: int):
+    pieces = []
+    seen_v = set()
+    for arr in arrs:
+        normals = []
+        for i in range(len(arr) - 1):
+            nrm = _seg_normal(arr[i], arr[i + 1], d)
+            normals.append(nrm)
+            if nrm is not None:
+                pieces.append(_seg_rect(arr[i], arr[i + 1], nrm))
+        for i, p in enumerate(arr):
+            key = (float(p[0]), float(p[1]))
+            if key in seen_v:
+                continue
+            seen_v.add(key)
+            nrm = None
+            if i < len(normals) and normals[i] is not None:
+                nrm = normals[i]
+            elif i > 0 and normals[i - 1] is not None:
+                nrm = normals[i - 1]
+            pieces.append(_disk(key[0], key[1], d, quad_segs, normal=nrm))
+    return pieces
+
+
+def _mitre_wedges(arr, d: float, limit: float = 5.0):
+    """Mitre-join wedge polygons at each vertex (reference:
+    BufferParameters JoinStyle.Mitre): offset-line intersection point,
+    beveled implicitly when beyond the mitre limit (wedge skipped —
+    the rect union then gives a bevel-ish join)."""
+    wedges = []
+    for i in range(1, len(arr) - 1):
+        p = arr[i]
+        n1 = _seg_normal(arr[i - 1], p, d)
+        n2 = _seg_normal(p, arr[i + 1], d)
+        if n1 is None or n2 is None:
+            continue
+        for sgn in (1.0, -1.0):
+            a1 = (p[0] + sgn * n1[0], p[1] + sgn * n1[1])
+            a2 = (p[0] + sgn * n2[0], p[1] + sgn * n2[1])
+            d1 = (p[0] - arr[i - 1][0], p[1] - arr[i - 1][1])
+            d2 = (arr[i + 1][0] - p[0], arr[i + 1][1] - p[1])
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if den == 0:
+                continue
+            t = ((a2[0] - a1[0]) * d2[1] - (a2[1] - a1[1]) * d2[0]) / den
+            m = (a1[0] + t * d1[0], a1[1] + t * d1[1])
+            if math.hypot(m[0] - p[0], m[1] - p[1]) > limit * abs(d):
+                continue
+            ring = np.array([[p[0], p[1]], list(a1), list(m), list(a2), [p[0], p[1]]])
+            # only a simple, positive-area wedge (the convex side); the
+            # reflex-side construction self-intersects and would poison
+            # the union fold
+            from .validity import _ring_self_intersection
+
+            if alg.ring_signed_area(ring) == 0.0 or _ring_self_intersection(ring):
+                continue
+            wedges.append(Geom(POLYGON, [ring]))
+    return wedges
+
+
+def _buffer_grid(dist: float) -> float:
+    """Union-cascade welding grid: a power of two ~ |d|/2^16 — snap error
+    per fold is exact in binary and orders of magnitude inside the d/100
+    result tolerance, while collapsing the float noise that fragments the
+    edge graph at large coordinates."""
+    return 2.0 ** (math.floor(math.log2(abs(dist))) - 16)
+
+
+def buffer(g: Geom, dist: float, quad_segs: int = 8, join: str = "round") -> Geom:
+    if g is None or g.is_empty:
+        return Geom.empty(POLYGON)
+    polys = [c for c in g.flatten() if c.gtype == POLYGON]
+    lines = [c.data for c in g.flatten() if c.gtype == LINESTRING]
+    points = [c.data for c in g.flatten() if c.gtype == POINT]
+    if dist == 0.0:
+        if not polys:
+            return Geom.empty(POLYGON)
+        res = union_all(polys)
+        out = [c for c in res.flatten() if c.gtype == POLYGON and alg.area(c) > 0]
+        if not out:
+            return Geom.empty(POLYGON)
+        return union_all(out) if len(out) > 1 else out[0]
+    if dist < 0.0:
+        if not polys:
+            return Geom.empty(POLYGON)
+        area = union_all(polys)
+        rings = [r for c in area.flatten() if c.gtype == POLYGON for r in c.data]
+        pieces = _linework_pieces(rings, -dist, quad_segs)
+        if join == "mitre":
+            for r in rings:
+                pieces.extend(_mitre_wedges(r, -dist))
+        grid = _buffer_grid(dist)
+        shrink = union_all(pieces, grid)
+        res = overlay(area, shrink, "difference", grid)
+        # erosion yields areas only
+        out = [c for c in res.flatten() if c.gtype == POLYGON]
+        if not out:
+            return Geom.empty(POLYGON)
+        return union_all(out)
+    pieces = list(polys)
+    arrs = list(lines)
+    arrs.extend([r for p in polys for r in p.data])
+    pieces.extend(_linework_pieces(arrs, dist, quad_segs))
+    if join == "mitre":
+        for arr in arrs:
+            pieces.extend(_mitre_wedges(arr, dist))
+    for p in points:
+        pieces.append(_disk(float(p[0]), float(p[1]), dist, quad_segs))
+    res = union_all(pieces)
+    out = [c for c in res.flatten() if c.gtype == POLYGON]
+    if not out:
+        return Geom.empty(POLYGON)
+    if len(out) == 1:
+        return out[0]
+    return union_all(out)

@@ -231,6 +231,12 @@ def run_conformance_case(op, a, b, arg1, arg2, arg3, pm_scale=None):
         from ..geom.validity import is_simple
 
         return str(is_simple(a)).lower(), True
+    if op in ("buffer", "bufferMitredJoin"):
+        from ..geom.buffer import buffer as buffer_fn
+
+        d = float(arg2 if arg2 is not None else arg3)
+        join = "mitre" if op == "bufferMitredJoin" else "round"
+        return to_wkt(buffer_fn(a, d, join=join)), True
     if op in ("minClearance", "minClearanceLine"):
         from ..geom.construct import minimum_clearance
 
@@ -295,11 +301,39 @@ class ConformanceRunner:
                 passes.append(None)
                 continue
             exp = cols["expected"][i]
-            passes.append(_compare(res, exp))
+            if op in ("buffer", "bufferMitredJoin"):
+                try:
+                    d = float(cols["arg2"][i] if cols["arg2"][i] is not None else cols["arg3"][i])
+                    passes.append(compare_buffer(res, exp, d))
+                except (TypeError, ValueError):
+                    passes.append(False)
+            else:
+                passes.append(_compare(res, exp))
         out = batch.append_column("result", pa.array(results, type=pa.string()))
         out = out.append_column("passed", pa.array(passes, type=pa.bool_()))
         out = out.append_column("supported", pa.array(supported, type=pa.bool_()))
         return out
+
+
+def compare_buffer(result: str, expected: str, distance: float) -> bool:
+    """Reference BufferResultMatcher: relative area diff < 1e-3 AND
+    boundary discrete-Hausdorff < |d|/100 (Result/BufferResultMatcher.cs:43-50)."""
+    try:
+        rg = from_wkt(result)
+        eg = from_wkt(expected)
+    except ValueError:
+        return False
+    if rg.is_empty or eg.is_empty:
+        return rg.is_empty and eg.is_empty
+    a_r = alg.area(rg)
+    a_e = alg.area(eg)
+    if max(a_r, a_e) > 0:
+        frac = abs(a_r - a_e) / ((a_r + a_e) / 2.0)
+        if frac >= 1.0e-3:
+            return False
+    tol = max(abs(distance) / 100.0, 1.0e-8)
+    h = alg.hausdorff(alg.boundary(rg), alg.boundary(eg), densify_frac=0.25)
+    return h <= tol
 
 
 def _compare(result: str, expected: str) -> bool:
