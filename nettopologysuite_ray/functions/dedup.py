@@ -54,11 +54,37 @@ class MinHasher:
         self.bands = bands
         self.rows = num_perm // bands
         self.ngram = ngram
+        # per-actor token hash cache: md5 per UNIQUE token, not per shingle
+        # occurrence — vocabulary is small relative to the token stream
+        self._token_hash: dict[str, int] = {}
+
+    def _token_ids(self, toks) -> np.ndarray:
+        cache = self._token_hash
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = _stable_u64(t)
+                cache[t] = h
+            out[i] = h
+        return out
 
     def signature(self, text: str) -> np.ndarray:
-        h = shingle_hashes(text, self.ngram)
-        if len(h) == 0:
+        toks = text.split()
+        n = self.ngram
+        if not toks:
             return np.full(self.num_perm, _M61, dtype=np.uint64)
+        ids = self._token_ids(toks)
+        if len(ids) < n:
+            h = np.array([ids.sum(dtype=np.uint64)], dtype=np.uint64)
+        else:
+            # vectorized shingle hash: position-weighted combination of the
+            # n token hashes (deterministic; no per-shingle string building)
+            P1 = np.uint64(1099511628211)
+            h = ids[: len(ids) - n + 1].copy()
+            for k in range(1, n):
+                h = h * P1 + ids[k : len(ids) - n + 1 + k]
+            h = np.unique(h)
         # (P, S) matrix of permuted hashes; min over shingles
         v = (
             self.a[:, None] * (h[None, :] % _M61) + self.b[:, None]
@@ -109,19 +135,47 @@ def lsh_candidate_pairs(ds, id_col: str = "doc_id"):
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique().tolist())
-        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(rows, columns=["id_a", "id_b"]) if rows else pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+    # candidate buckets (>= 2 members) are RARE — count with a map-side
+    # combiner, then pair only rows in those buckets.  Far cheaper than a
+    # per-bucket map_groups over every singleton bucket (8000 tiny tasks).
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["band", "bucket"], as_index=False).size()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = exploded.map_batches(bucket_counts, batch_format="pyarrow")
+
+    def hot_and_pair(batch: pa.Table, rows_df: pd.DataFrame) -> pd.DataFrame:
+        df = batch.to_pandas()
+        tot = df.groupby(["band", "bucket"], as_index=False)["size"].sum()
+        hot = tot[tot["size"] >= 2][["band", "bucket"]]
+        members = rows_df.merge(hot, on=["band", "bucket"])
+        out = set()
+        for (_b, _k), g in members.groupby(["band", "bucket"]):
+            ids = sorted(set(g[id_col].tolist()))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out.add((ids[i], ids[j]))
+        pairs = sorted(out)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([p[0] for p in pairs], dtype="int64"),
+                "id_b": pd.Series([p[1] for p in pairs], dtype="int64"),
+            }
         )
 
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
-        pairs_of_group, batch_format="pandas"
-    )
-    from .. stages.relational import distinct
+    # the exploded table is small per-row (3 ints); collecting it into the
+    # final single-task pairing is fine at any realistic near-dup density —
+    # at extreme scale the same shape runs as a bucket-hash shuffle instead
+    import ray
 
-    return distinct(pairs, ["id_a", "id_b"])
+    rows_ref = ray.put(exploded.to_pandas())
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rows_df = ray.get(rows_ref)
+        return pa.Table.from_pandas(hot_and_pair(batch, rows_df), preserve_index=False)
+
+    return partials.repartition(1).map_batches(finalize, batch_format="pyarrow")
 
 
 def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
