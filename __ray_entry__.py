@@ -475,9 +475,21 @@ def _q_within_distance_join(sf_dir: str):
     return out.select_columns(["event_id", "doc_id", "entity_idx", "dist2"])
 
 
+def _q_tile_top_docs(sf_dir: str):
+    from nettopologysuite_ray.stages.tiling import assign_cells_batch, grouped_topk_min
+
+    ds = _entities(sf_dir).map_batches(
+        lambda b: assign_cells_batch(b, level=LEVEL, kind="morton"),
+        batch_format="pyarrow",
+    )
+    out = grouped_topk_min(ds, "cell_id", "doc_id", k=3)
+    return out.select_columns(["cell_id", "rank", "doc_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "conformance_summary": _q_conformance,
+        "tile_top_docs": _q_tile_top_docs,
         "geom_stats": _q_geom_stats,
         "affine_entities": _q_affine_entities,
         "within_distance_join": _q_within_distance_join,
@@ -596,6 +608,17 @@ WHERE e2.lon_1e2 >= (g.admin_id % 36)*1000 - 18000
         "tile_morton": _ENTS_CTE
         + f"""
 SELECT doc_id, entity_idx, {morton} AS cell_id FROM e2
+""",
+        "tile_top_docs": _ENTS_CTE
+        + f"""
+, cells AS (
+  SELECT DISTINCT {morton} AS cell_id, doc_id FROM e2
+), r AS (
+  SELECT cell_id, doc_id,
+         row_number() OVER (PARTITION BY cell_id ORDER BY doc_id) - 1 AS rank
+  FROM cells
+)
+SELECT cell_id, rank, doc_id FROM r WHERE rank < 3
 """,
         "tile_stats_morton": _ENTS_CTE
         + f"""

@@ -1,0 +1,342 @@
+"""Additional SURVEY §2 operators: discrete Fréchet distance, similarity
+measures, minimum bounding circle / diameter / area-rectangle, coverage
+union, linear referencing, geometry fixer.
+
+References: Algorithm/Distance/DiscreteFrechetDistance.cs:40,
+Algorithm/Match/{Hausdorff,Area,Frechet}SimilarityMeasure.cs,
+Algorithm/MinimumBoundingCircle.cs:44, MinimumDiameter.cs:38,
+MinimumAreaRectangle.cs:24, Coverage/CoverageUnion.cs:11,
+LinearReferencing/LengthIndexedLine.cs:15, Geometries/Utilities/
+GeometryFixer.cs:46 — all re-implemented fresh on numpy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import algorithms as alg
+from .types import GEOMETRYCOLLECTION, LINESTRING, MULTIPOLYGON, POINT, POLYGON, Geom
+
+
+# ---------------------------------------------------------------------------
+# discrete Fréchet distance (dynamic programming over vertex sequences)
+
+
+def frechet(a: Geom, b: Geom) -> float:
+    pa_ = a.all_coords()
+    pb = b.all_coords()
+    if len(pa_) == 0 or len(pb) == 0:
+        return float("nan")
+    d = np.hypot(pa_[:, 0][:, None] - pb[None, :, 0], pa_[:, 1][:, None] - pb[None, :, 1])
+    n, m = d.shape
+    ca = np.full((n, m), -1.0)
+    ca[0, 0] = d[0, 0]
+    for i in range(1, n):
+        ca[i, 0] = max(ca[i - 1, 0], d[i, 0])
+    for j in range(1, m):
+        ca[0, j] = max(ca[0, j - 1], d[0, j])
+    for i in range(1, n):
+        prev = ca[i - 1]
+        cur = ca[i]
+        for j in range(1, m):
+            cur[j] = max(min(prev[j], prev[j - 1], cur[j - 1]), d[i, j])
+    return float(ca[n - 1, m - 1])
+
+
+# ---------------------------------------------------------------------------
+# similarity measures (Algorithm/Match)
+
+
+def _env_diagonal(a: Geom, b: Geom) -> float:
+    ea = alg.envelope(a)
+    eb = alg.envelope(b)
+    if ea is None or eb is None:
+        return 0.0
+    return math.hypot(
+        max(ea[2], eb[2]) - min(ea[0], eb[0]), max(ea[3], eb[3]) - min(ea[1], eb[1])
+    )
+
+
+def hausdorff_similarity(a: Geom, b: Geom) -> float:
+    diag = _env_diagonal(a, b)
+    if diag == 0.0:
+        return 1.0
+    h = alg.hausdorff(a, b, densify_frac=0.25)
+    return max(0.0, 1.0 - h / diag)
+
+
+def frechet_similarity(a: Geom, b: Geom) -> float:
+    diag = _env_diagonal(a, b)
+    if diag == 0.0:
+        return 1.0
+    return max(0.0, 1.0 - frechet(a, b) / diag)
+
+
+def area_similarity(a: Geom, b: Geom) -> float:
+    """|A ∩ B| / |A ∪ B| (AreaSimilarityMeasure.cs)."""
+    from .overlay import overlay
+
+    inter = alg.area(overlay(a, b, "intersection"))
+    union = alg.area(overlay(a, b, "union"))
+    return inter / union if union > 0 else 0.0
+
+
+# ---------------------------------------------------------------------------
+# minimum bounding circle (deterministic Welzl), diameter, area rectangle
+
+
+def minimum_bounding_circle(g: Geom) -> tuple[tuple[float, float], float]:
+    """((cx, cy), radius); deterministic (fixed processing order)."""
+    pts = np.unique(g.all_coords(), axis=0)
+    if len(pts) == 0:
+        return (0.0, 0.0), float("nan")
+    # work on hull points only (small), simple O(h^3) exact search
+    hull = alg.convex_hull(g)
+    hp = np.unique(hull.all_coords(), axis=0)
+    n = len(hp)
+    if n == 1:
+        return (float(hp[0, 0]), float(hp[0, 1])), 0.0
+    best = None
+    # 2-point circles
+    for i in range(n):
+        for j in range(i + 1, n):
+            c = ((hp[i, 0] + hp[j, 0]) / 2, (hp[i, 1] + hp[j, 1]) / 2)
+            r = math.hypot(hp[i, 0] - c[0], hp[i, 1] - c[1])
+            if _covers_all(hp, c, r) and (best is None or r < best[1]):
+                best = (c, r)
+    if best is not None:
+        return best
+    # 3-point circumcircles
+    for i in range(n):
+        for j in range(i + 1, n):
+            for k in range(j + 1, n):
+                c = _circumcenter(hp[i], hp[j], hp[k])
+                if c is None:
+                    continue
+                r = math.hypot(hp[i, 0] - c[0], hp[i, 1] - c[1])
+                if _covers_all(hp, c, r) and (best is None or r < best[1]):
+                    best = (c, r)
+    return best if best else ((float(hp[0, 0]), float(hp[0, 1])), 0.0)
+
+
+def _covers_all(pts, c, r) -> bool:
+    d = np.hypot(pts[:, 0] - c[0], pts[:, 1] - c[1])
+    return bool((d <= r + 1e-9 * max(1.0, r)).all())
+
+
+def _circumcenter(p, q, r):
+    ax, ay = p
+    bx, by = q
+    cx, cy = r
+    d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0:
+        return None
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay) + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx) + (cx * cx + cy * cy) * (bx - ax)) / d
+    return (ux, uy)
+
+
+def minimum_diameter(g: Geom) -> tuple[float, Geom]:
+    """(width, the supporting 2-point LineString) — rotating calipers over
+    the convex hull (MinimumDiameter.cs:38)."""
+    hull = alg.convex_hull(g)
+    hp = hull.all_coords()
+    if len(hp) <= 2:
+        return 0.0, Geom.linestring(hp if len(hp) == 2 else np.zeros((0, 2)))
+    ring = hp if (hp[0] == hp[-1]).all() else np.concatenate([hp, hp[:1]])
+    best = None
+    for i in range(len(ring) - 1):
+        a, b = ring[i], ring[i + 1]
+        d = np.asarray(
+            alg.point_segments_distance(
+                ring[:-1, 0], ring[:-1, 1],
+                np.full(len(ring) - 1, a[0]), np.full(len(ring) - 1, a[1]),
+                np.full(len(ring) - 1, b[0]), np.full(len(ring) - 1, b[1]),
+            )
+        )
+        k = int(np.argmax(d))
+        if best is None or d[k] < best[0]:
+            best = (float(d[k]), np.array([a, b]), ring[k])
+    w, seg, far = best
+    # supporting segment: perpendicular from far point to the edge
+    ax, ay = seg[0]
+    bx, by = seg[1]
+    dx, dy = bx - ax, by - ay
+    ll = dx * dx + dy * dy
+    t = ((far[0] - ax) * dx + (far[1] - ay) * dy) / ll if ll else 0.0
+    foot = (ax + t * dx, ay + t * dy)
+    return w, Geom.linestring(np.array([foot, far]))
+
+
+def minimum_area_rectangle(g: Geom) -> Geom:
+    """Smallest-area enclosing rectangle (MinimumAreaRectangle.cs:24) —
+    one side is collinear with a hull edge."""
+    hull = alg.convex_hull(g)
+    hp = hull.all_coords()
+    if len(hp) < 3:
+        return hull
+    ring = hp if (hp[0] == hp[-1]).all() else np.concatenate([hp, hp[:1]])
+    body = ring[:-1]
+    best = None
+    for i in range(len(ring) - 1):
+        a, b = ring[i], ring[i + 1]
+        d = b - a
+        ll = math.hypot(d[0], d[1])
+        if ll == 0:
+            continue
+        u = d / ll
+        v = np.array([-u[1], u[0]])
+        pu = (body - a) @ u
+        pv = (body - a) @ v
+        area = (pu.max() - pu.min()) * (pv.max() - pv.min())
+        if best is None or area < best[0]:
+            best = (float(area), a, u, v, pu.min(), pu.max(), pv.min(), pv.max())
+    _ar, a, u, v, u0, u1, v0, v1 = best
+    corners = [a + u * u0 + v * v0, a + u * u1 + v * v0, a + u * u1 + v * v1, a + u * u0 + v * v1]
+    corners.append(corners[0])
+    return Geom(POLYGON, [np.array(corners)])
+
+
+# ---------------------------------------------------------------------------
+# coverage union (noding-free fast path)
+
+
+def coverage_union(polys) -> Geom:
+    """Union of a VALID non-overlapping polygonal coverage by shared-edge
+    cancellation (Coverage/CoverageUnion.cs:11): segments appearing twice
+    are interior — the survivors polygonize into the dissolved boundary.
+    O(E) with no noding; the 100 TB tile-dissolve fast path."""
+    from .construct import polygonize
+
+    counts: dict = {}
+    for p in polys:
+        comp = p if isinstance(p, Geom) else Geom(POLYGON, p)
+        for ring in comp.coords_list():
+            for i in range(len(ring) - 1):
+                a = (float(ring[i, 0]), float(ring[i, 1]))
+                b = (float(ring[i + 1, 0]), float(ring[i + 1, 1]))
+                if a == b:
+                    continue
+                key = (min(a, b), max(a, b))
+                counts[key] = counts.get(key, 0) + 1
+    border = [k for k, v in counts.items() if v == 1]
+    if not border:
+        return Geom.empty(POLYGON)
+    lines = Geom("MultiLineString", [np.array([a, b]) for a, b in border])
+    faces = polygonize(lines)
+    out = [c for c in faces.flatten() if c.gtype == POLYGON]
+    # polygonize emits both outer faces and hole faces; keep faces whose
+    # interior point is covered by an input polygon
+    kept = []
+    for f in out:
+        ip = alg.interior_point(f)
+        x, y = float(ip.data[0]), float(ip.data[1])
+        for p in polys:
+            comp = p if isinstance(p, Geom) else Geom(POLYGON, p)
+            if alg.locate_in_geom(x, y, comp) != alg.EXTERIOR:
+                kept.append(f)
+                break
+    if not kept:
+        return Geom.empty(POLYGON)
+    if len(kept) == 1:
+        return kept[0]
+    from .overlay import union_all
+
+    return union_all(kept)
+
+
+# ---------------------------------------------------------------------------
+# linear referencing (LengthIndexedLine)
+
+
+class LengthIndexedLine:
+    """Index positions along a line by length
+    (LinearReferencing/LengthIndexedLine.cs:15)."""
+
+    def __init__(self, line: Geom):
+        self.coords = line.all_coords()
+        d = np.diff(self.coords, axis=0)
+        seg = np.sqrt((d * d).sum(axis=1))
+        self.cum = np.concatenate([[0.0], np.cumsum(seg)])
+
+    @property
+    def end_index(self) -> float:
+        return float(self.cum[-1])
+
+    def extract_point(self, index: float) -> Geom:
+        index = min(max(index, 0.0), self.end_index)
+        i = int(np.searchsorted(self.cum, index, side="right") - 1)
+        i = min(i, len(self.coords) - 2)
+        seg_len = self.cum[i + 1] - self.cum[i]
+        t = (index - self.cum[i]) / seg_len if seg_len > 0 else 0.0
+        p = self.coords[i] + t * (self.coords[i + 1] - self.coords[i])
+        return Geom.point(float(p[0]), float(p[1]))
+
+    def extract_line(self, start: float, end: float) -> Geom:
+        start = min(max(start, 0.0), self.end_index)
+        end = min(max(end, 0.0), self.end_index)
+        if end < start:
+            start, end = end, start
+        pts = [self.extract_point(start).data]
+        mask = (self.cum > start) & (self.cum < end)
+        for i in np.nonzero(mask)[0]:
+            pts.append(self.coords[i])
+        pts.append(self.extract_point(end).data)
+        arr = np.array(pts)
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = (arr[1:] != arr[:-1]).any(axis=1)
+        arr = arr[keep]
+        if len(arr) < 2:
+            arr = np.array([arr[0], arr[0]]) if len(arr) else np.zeros((0, 2))
+        return Geom.linestring(arr)
+
+    def project(self, x: float, y: float) -> float:
+        """Length index of the closest point on the line."""
+        best = (float("inf"), 0.0)
+        for i in range(len(self.coords) - 1):
+            a = self.coords[i]
+            b = self.coords[i + 1]
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            ll = dx * dx + dy * dy
+            t = ((x - a[0]) * dx + (y - a[1]) * dy) / ll if ll else 0.0
+            t = min(max(t, 0.0), 1.0)
+            cx, cy = a[0] + t * dx, a[1] + t * dy
+            dist = math.hypot(x - cx, y - cy)
+            if dist < best[0]:
+                best = (dist, float(self.cum[i] + t * math.sqrt(ll)))
+        return best[1]
+
+
+# ---------------------------------------------------------------------------
+# geometry fixer (make-valid)
+
+
+def fix_geometry(g: Geom) -> Geom:
+    """Repair invalid polygonal geometry (GeometryFixer.cs:46): node the
+    rings, build faces, keep faces with odd even-odd parity against the
+    original rings (buffer(0)-like semantics)."""
+    from .construct import polygonize
+    from .overlay import union_all
+    from .validity import is_valid
+
+    if g.is_empty or g.dimension < 2:
+        return g
+    if is_valid(g):
+        return g
+    rings = [r for c in g.flatten() if c.gtype == POLYGON for r in c.data]
+    faces = polygonize(Geom(POLYGON, rings), node=True)
+    kept = []
+    for f in faces.flatten():
+        if f.gtype != POLYGON:
+            continue
+        ip = alg.interior_point(f)
+        loc = alg.locate_point_in_rings(float(ip.data[0]), float(ip.data[1]), rings)
+        if loc == alg.INTERIOR:
+            kept.append(f)
+    if not kept:
+        return Geom.empty(POLYGON)
+    if len(kept) == 1:
+        return kept[0]
+    return union_all(kept)

@@ -76,6 +76,35 @@ def tile_stats(ds, cell_col: str = "cell_id", count_alias: str = "n", small_resu
     return partials.groupby(cell_col).aggregate(Sum("partial_count", alias_name=count_alias))
 
 
+def grouped_topk_min(ds, cell_col: str, val_col: str, k: int, small_result: bool = True):
+    """Per cell: the k smallest distinct values of val_col.
+
+    Min-k is a MERGEABLE aggregate, so the skewed cell costs the same as
+    any other: each task emits at most k rows per cell it saw (map-side
+    combine), and the final merge re-takes min-k.  This is the skew-safe
+    shape for grouped top-k; for non-mergeable per-group logic use
+    find_hot_cells + salt_hot_cells and a two-level map_groups instead."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([cell_col, val_col]).to_pandas().drop_duplicates()
+        df = df.sort_values([cell_col, val_col], kind="mergesort")
+        df = df.groupby(cell_col, as_index=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if small_result:
+        def merge(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas().drop_duplicates()
+            df = df.sort_values([cell_col, val_col], kind="mergesort")
+            df = df.groupby(cell_col, as_index=False).head(k)
+            df["rank"] = df.groupby(cell_col).cumcount()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return partials.repartition(1).map_batches(merge, batch_format="pyarrow")
+    raise NotImplementedError("large-cardinality path: hash-shuffle groupby")
+
+
 def salt_hot_cells(
     batch: pa.Table,
     hot_cells: set,

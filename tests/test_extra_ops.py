@@ -1,0 +1,97 @@
+"""Tests for the extra SURVEY §2 operators (geom/extra.py)."""
+
+import math
+
+import numpy as np
+
+from nettopologysuite_ray.geom import algorithms as alg
+from nettopologysuite_ray.geom import extra
+from nettopologysuite_ray.geom.types import Geom
+from nettopologysuite_ray.geom.wkt import from_wkt, to_wkt
+
+
+def test_frechet_basic():
+    a = from_wkt("LINESTRING (0 0, 10 0)")
+    b = from_wkt("LINESTRING (0 1, 10 1)")
+    assert extra.frechet(a, b) == 1.0
+    c = from_wkt("LINESTRING (0 0, 10 0)")
+    assert extra.frechet(a, c) == 0.0
+
+
+def test_similarity_measures():
+    a = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    b = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert extra.area_similarity(a, b) == 1.0
+    c = from_wkt("POLYGON ((5 0, 15 0, 15 10, 5 10, 5 0))")
+    assert abs(extra.area_similarity(a, c) - 50.0 / 150.0) < 1e-12
+    assert extra.hausdorff_similarity(a, b) == 1.0
+    assert 0.0 < extra.hausdorff_similarity(a, c) < 1.0
+    assert extra.frechet_similarity(a, b) == 1.0
+
+
+def test_minimum_bounding_circle():
+    g = from_wkt("MULTIPOINT ((0 0), (10 0), (5 5))")
+    (cx, cy), r = extra.minimum_bounding_circle(g)
+    assert abs(cx - 5) < 1e-9 and abs(cy) < 1e-9 and abs(r - 5) < 1e-9
+    # all points covered
+    for p in g.data:
+        assert math.hypot(p[0] - cx, p[1] - cy) <= r + 1e-9
+    (cx1, cy1), r1 = extra.minimum_bounding_circle(from_wkt("POINT (3 4)"))
+    assert (cx1, cy1, r1) == (3.0, 4.0, 0.0)
+
+
+def test_minimum_diameter_and_rectangle():
+    g = from_wkt("POLYGON ((0 0, 20 0, 20 5, 0 5, 0 0))")
+    w, seg = extra.minimum_diameter(g)
+    assert abs(w - 5) < 1e-9
+    rect = extra.minimum_area_rectangle(g)
+    assert abs(alg.area(rect) - 100.0) < 1e-6
+    # rotated thin rectangle: min-area rect hugs it
+    g2 = from_wkt("POLYGON ((0 0, 10 10, 11 9, 1 -1, 0 0))")
+    rect2 = extra.minimum_area_rectangle(g2)
+    assert alg.area(rect2) <= alg.area(extra.minimum_area_rectangle(g2)) + 1e-9
+    assert alg.area(rect2) < 25  # far below the axis-aligned bbox (~121)
+
+
+def test_coverage_union_grid():
+    # 2x2 grid of unit squares → one 2x2 square, no noding
+    polys = []
+    for ix in range(2):
+        for iy in range(2):
+            polys.append(
+                from_wkt(
+                    f"POLYGON (({ix} {iy}, {ix+1} {iy}, {ix+1} {iy+1}, {ix} {iy+1}, {ix} {iy}))"
+                )
+            )
+    u = extra.coverage_union(polys)
+    assert abs(alg.area(u) - 4.0) < 1e-12
+    # topologically the 2x2 square (boundary chains keep lattice vertices,
+    # as the reference's noding-free CoverageUnion does)
+    from nettopologysuite_ray.geom import predicates as pred
+
+    assert pred.equals_topo(u, from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))
+
+
+def test_length_indexed_line():
+    line = from_wkt("LINESTRING (0 0, 10 0, 10 10)")
+    lil = extra.LengthIndexedLine(line)
+    assert lil.end_index == 20.0
+    assert to_wkt(lil.extract_point(5)) == "POINT (5 0)"
+    assert to_wkt(lil.extract_point(15)) == "POINT (10 5)"
+    sub = lil.extract_line(5, 15)
+    assert to_wkt(sub) == "LINESTRING (5 0, 10 0, 10 5)"
+    assert lil.project(7, 3) == 7.0
+    assert lil.project(12, 4) == 14.0
+
+
+def test_fix_geometry_bowtie():
+    bow = from_wkt("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))")
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    assert not is_valid(bow)
+    fixed = extra.fix_geometry(bow)
+    assert is_valid(fixed)
+    assert abs(alg.area(fixed) - alg.area(bow)) < 1e-9  # area preserved (50)
+    # valid input passes through untouched
+    ok = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert extra.fix_geometry(ok) is ok

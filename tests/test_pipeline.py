@@ -125,3 +125,33 @@ def test_cell_join_matches_bruteforce(ray_session):
     dy = ly[:, None] - ry[None, :]
     exp = set(zip(*np.nonzero(dx * dx + dy * dy <= r * r)))
     assert got == exp
+
+
+def test_salting_splits_hot_cells(ray_session, sf_dir):
+    """The skewed fixture puts ~30% of entities in one urban cell; the
+    salting pre-pass must detect it and split it into subkeys."""
+    from nettopologysuite_ray.pipelines.northstar import entity_dataset
+    from nettopologysuite_ray.stages.tiling import (
+        assign_cells_batch,
+        find_hot_cells,
+        salt_hot_cells,
+    )
+
+    ds = entity_dataset(sf_dir).map_batches(
+        lambda b: assign_cells_batch(b, level=6, kind="hilbert"), batch_format="pyarrow"
+    )
+    hot, stats = find_hot_cells(ds, threshold_frac=0.05)
+    assert len(hot) >= 1  # the urban cell
+    total = stats["n"].sum()
+    assert stats[stats["cell_id"].isin(hot)]["n"].sum() >= 0.2 * total
+    n_salt = 8
+    salted = ds.map_batches(
+        lambda b: salt_hot_cells(b, hot, n_salt), batch_format="pyarrow"
+    )
+    sdf = salted.to_pandas()
+    hot_cell = next(iter(hot))
+    sub = sdf[sdf["cell_id"] == hot_cell]["salted_cell"].nunique()
+    assert sub > 1  # the hot cell actually split
+    # non-hot cells keep exactly one subkey
+    cold = sdf[~sdf["cell_id"].isin(hot)]
+    assert (cold.groupby("cell_id")["salted_cell"].nunique() == 1).all()
