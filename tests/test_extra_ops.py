@@ -91,7 +91,8 @@ def test_fix_geometry_bowtie():
     assert not is_valid(bow)
     fixed = extra.fix_geometry(bow)
     assert is_valid(fixed)
-    assert abs(alg.area(fixed) - alg.area(bow)) < 1e-9  # area preserved (50)
+    assert abs(alg.area(fixed) - 50.0) < 1e-9  # both lobes kept (the raw
+    # bowtie shoelace self-cancels to 0)
     # valid input passes through untouched
     ok = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     assert extra.fix_geometry(ok) is ok
