@@ -43,16 +43,29 @@ I, B, E = alg.INTERIOR, alg.BOUNDARY, alg.EXTERIOR
 _OPS = ("intersection", "union", "difference", "symdifference")
 
 
+def _snap_arr(arr, grid: float):
+    """Round-half-UP to the grid (reference: PrecisionModel.MakePrecise,
+    Geometries/PrecisionModel.cs:310 — floor(v*scale + 0.5)/scale; banker's
+    rounding visibly diverges on .5 ordinates in the Prec corpus)."""
+    return np.floor(np.asarray(arr, dtype=np.float64) / grid + 0.5) * grid
+
+
 def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_line_output: bool = True, ng: bool = False) -> Geom:
     """merge_line_output: legacy OverlayOp merges lineal resultants into
     maximal linestrings; OverlayNG emits the noded edges unmerged."""
     if op not in _OPS:
         raise ValueError(op)
     dim_a, dim_b = a.dimension, b.dimension
+    extra_hot = None
     if grid_size:
+        if ng:
+            # snap-rounding (OverlayNG SR): crossings of the original
+            # inputs become hot nodes; the legacy engine only rounds the
+            # inputs and nodes the rounded arrangement
+            extra_hot = _original_crossings(a, b, grid_size)
         a = snap_clean(a, grid_size)
         b = snap_clean(b, grid_size)
-    res = _overlay_general(a, b, op, merge_line_output, ng)
+    res = _overlay_general(a, b, op, merge_line_output, ng, grid_size, extra_hot)
     if grid_size and res is not None:
         res = _snap_result(res, grid_size, op)
     if res is not None and not res.is_empty:
@@ -71,9 +84,9 @@ def _snap_result(g: Geom, grid: float, op: str) -> Geom:
     points = []
     for comp in g.flatten():
         if comp.gtype == POINT:
-            points.append(tuple(np.round(comp.data / grid) * grid))
+            points.append(tuple(_snap_arr(comp.data, grid)))
         elif comp.gtype == LINESTRING:
-            arr = _dedup(np.round(comp.data / grid) * grid)
+            arr = _dedup(_snap_arr(comp.data, grid))
             if len(arr) >= 2:
                 lines.append(arr)
             elif len(arr) == 1:
@@ -82,7 +95,7 @@ def _snap_result(g: Geom, grid: float, op: str) -> Geom:
             shells = []
             holes = []
             for ring in comp.data:
-                arr = _dedup(np.round(ring / grid) * grid)
+                arr = _dedup(_snap_arr(ring, grid))
                 if len(arr) >= 2 and (arr[0] != arr[-1]).any():
                     arr = np.concatenate([arr, arr[:1]])
                 closed = [tuple(p) for p in arr]
@@ -102,8 +115,16 @@ def _snap_result(g: Geom, grid: float, op: str) -> Geom:
                     got_ring = True
                     (shells if sa > 0 else holes).append(rs)
                 if not got_ring and not from_split and op in ("intersection", "union"):
-                    if len(arr) >= 2:
-                        lines.append(arr)
+                    # fully-collapsed ring: emit its UNDIRECTED segments once
+                    # (an out-and-back path is one segment, not a 3-point line)
+                    seen_s = set()
+                    for k2 in range(len(arr) - 1):
+                        a0 = tuple(arr[k2])
+                        a1 = tuple(arr[k2 + 1])
+                        kk = (min(a0, a1), max(a0, a1))
+                        if a0 != a1 and kk not in seen_s:
+                            seen_s.add(kk)
+                            lines.append(np.array([a0, a1], dtype=np.float64))
             # ring orientation from the source polygon may be either way:
             # first ring of the source is the shell side
             if not shells and holes:
@@ -159,7 +180,7 @@ def snap_to_grid(g: Geom, grid_size: float) -> Geom:
     MakePrecise semantics Geometries/PrecisionModel.cs:291)."""
 
     def snap_arr(arr):
-        return np.round(np.asarray(arr, dtype=np.float64) / grid_size) * grid_size
+        return _snap_arr(arr, grid_size)
 
     t = g.gtype
     if t == POINT:
@@ -210,9 +231,9 @@ def snap_clean(g: Geom, grid: float) -> Geom:
     points = []
     for comp in g.flatten():
         if comp.gtype == POINT:
-            points.append(np.round(comp.data / grid) * grid)
+            points.append(_snap_arr(comp.data, grid))
         elif comp.gtype == LINESTRING:
-            arr = _dedup(np.round(comp.data / grid) * grid)
+            arr = _dedup(_snap_arr(comp.data, grid))
             if len(arr) >= 2:
                 lines.append(arr)
             elif len(arr) == 1:
@@ -221,13 +242,25 @@ def snap_clean(g: Geom, grid: float) -> Geom:
             shells = []
             holes = []
             for ri, ring in enumerate(comp.data):
-                arr = _dedup(np.round(ring / grid) * grid)
+                arr = _dedup(_snap_arr(ring, grid))
                 if len(arr) >= 2 and (arr[0] != arr[-1]).any():
                     arr = np.concatenate([arr, arr[:1]])
                 subrings, degraded = _clean_ring(arr)
                 collapsed.extend(degraded)
+                if not subrings:
+                    continue
+                # a self-touching snapped ring splits into sub-rings whose
+                # traversal orientation ALTERNATES where the ring inverts:
+                # sub-rings oriented like the dominant one keep the ring's
+                # role, opposite-oriented ones invert it (a hole pinching
+                # off an ISLAND, a shell pinching off a hole) — observed
+                # OverlayNG fixed-precision behavior
+                dom = max(subrings, key=lambda r: abs(alg.ring_signed_area(r)))
+                dom_ccw = alg.is_ccw_robust(dom)
                 for rs in subrings:
-                    (shells if ri == 0 else holes).append(rs)
+                    same = alg.is_ccw_robust(rs) == dom_ccw
+                    is_shell = (ri == 0) == same
+                    (shells if is_shell else holes).append(rs)
             for s in shells:
                 if not alg.is_ccw_robust(s):
                     s = s[::-1].copy()
@@ -364,7 +397,7 @@ class _Edges:
                         )
 
 
-def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True):
+def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float | None = None, extra_hot=None):
     """Split both edge sets at mutual intersections.
 
     Returns (pieces_a, pieces_b): per input, list of
@@ -389,6 +422,9 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True):
                 continue
             if kind == "point":
                 p = (float(pts[0][0]), float(pts[0][1]))
+                if grid:
+                    # snap-rounding: every arrangement node lands on the grid
+                    p = (float(np.floor(p[0] / grid + 0.5) * grid), float(np.floor(p[1] / grid + 0.5) * grid))
                 node_pts.add(p)
                 splits_a[ia].append(_param_t(s1, p))
                 splits_b[ib].append(_param_t(s2, p))
@@ -448,6 +484,48 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True):
         for ia, s1 in enumerate(ea.segs):
             if alg.on_segment(p[0], p[1], s1[0][0], s1[0][1], s1[1][0], s1[1][1]):
                 splits_a[ia].append(_param_t(s1, p))
+    if grid and extra_hot:
+        # crossings of the ORIGINAL-precision inputs are hot nodes too:
+        # vertex snapping can destroy a crossing whose rounded location the
+        # reference's snap-rounding still nodes
+        node_pts.update(extra_hot)
+    if grid:
+        # hot-pixel pass: a segment passing within half a grid cell of any
+        # node snaps to (is split at) that node — the reference's
+        # SnapRoundingNoder hot-pixel rule (Noding/Snapround/SnapRoundingNoder.cs:38)
+        all_nodes = set(node_pts)
+        for es in (ea, eb):
+            for s in es.segs:
+                all_nodes.add(s[0])
+                all_nodes.add(s[1])
+        half = grid / 2.0
+        narr = np.array(sorted(all_nodes), dtype=np.float64) if all_nodes else np.empty((0, 2))
+        for es, splits in ((ea, splits_a), (eb, splits_b)):
+            for i9, s in enumerate(es.segs):
+                if len(narr) == 0:
+                    continue
+                minx = min(s[0][0], s[1][0]) - half
+                maxx = max(s[0][0], s[1][0]) + half
+                miny = min(s[0][1], s[1][1]) - half
+                maxy = max(s[0][1], s[1][1]) + half
+                cand = narr[
+                    (narr[:, 0] >= minx)
+                    & (narr[:, 0] <= maxx)
+                    & (narr[:, 1] >= miny)
+                    & (narr[:, 1] <= maxy)
+                ]
+                if len(cand) == 0:
+                    continue
+                for q in cand:
+                    qt = (float(q[0]), float(q[1]))
+                    if qt == s[0] or qt == s[1]:
+                        continue
+                    # hot pixel = the axis-aligned square of side `grid`
+                    # around the node (Chebyshev, not euclidean): a segment
+                    # crossing the square snaps to the node
+                    if _segment_hits_pixel(s[0], s[1], qt, half):
+                        splits[i9].append(_param_t(s, qt))
+                        node_pts.add(qt)
     return (
         _make_pieces(ea, splits_a, ovl_a),
         _make_pieces(eb, splits_b, ovl_b),
@@ -466,6 +544,36 @@ def _bbox_pairs(sa, sb):
     bmaxy = np.maximum(sb[:, 1], sb[:, 3])[None, :]
     cand = (aminx <= bmaxx) & (amaxx >= bminx) & (aminy <= bmaxy) & (amaxy >= bminy)
     return zip(*np.nonzero(cand))
+
+
+def _segment_hits_pixel(p0, p1, c, half) -> bool:
+    """Liang-Barsky: does segment p0p1 intersect the square c +- half?"""
+    x0, y0 = p0
+    dx = p1[0] - x0
+    dy = p1[1] - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, x0 - (c[0] - half)),
+        (dx, (c[0] + half) - x0),
+        (-dy, y0 - (c[1] - half)),
+        (dy, (c[1] + half) - y0),
+    ):
+        if p == 0:
+            if q < 0:
+                return False
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return False
+            if r > t0:
+                t0 = r
+        else:
+            if r < t0:
+                return False
+            if r < t1:
+                t1 = r
+    return t0 <= t1
 
 
 def _param_t(seg, pt):
@@ -522,14 +630,36 @@ def _member(locA, locB, op: str) -> bool:
     return (locA == I) != (locB == I)
 
 
-def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, ng: bool = False) -> Geom | None:
+def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, ng: bool = False, grid: float | None = None, extra_hot=None) -> Geom | None:
     ea = _Edges(a)
     eb = _Edges(b)
-    pa, pb, node_pts = _node_edges(ea, eb, point_noding=ng)
+    pa, pb, node_pts = _node_edges(ea, eb, point_noding=ng, grid=(grid if ng else None), extra_hot=extra_hot)
 
     result_edges = []  # directed (p0, p1) with result interior on left
     line_pieces = []  # dim-1 resultants
     seen_shared = set()
+
+    # exact piece-coincidence across sides: snap-rounding can bend two
+    # non-collinear input segments onto the SAME noded piece — detect by
+    # endpoint identity and synthesize the overlap label the collinear
+    # detector could not see
+    if grid:
+        a_map = {_piece_key(p): p for p in pa}
+        b_map = {_piece_key(p): p for p in pb}
+        for side_pieces, other_map in ((pa, b_map), (pb, a_map)):
+            for piece in side_pieces:
+                if piece["over"] is not None:
+                    continue
+                other = other_map.get(_piece_key(piece))
+                if other is None:
+                    continue
+                # lineal pieces only: a bent ring piece's interior side is
+                # no longer its structural il, so area labels stay on the
+                # midpoint-location path
+                if piece["kind"] != "ring" and other["kind"] != "ring":
+                    piece["over"] = (False, other["kind"])
+                elif piece["kind"] != "ring" and other["kind"] == "ring":
+                    piece["over"] = (False, "ring")
 
     def classify_area_side(piece, other: _Edges):
         """Location of the piece's 2-D SIDES w.r.t. the other operand's
@@ -1036,3 +1166,32 @@ def union_all(geoms, grid_size: float | None = None) -> Geom:
     if kinds == {POINT}:
         return Geom(MULTIPOINT, [p.data for p in parts])
     return Geom(GEOMETRYCOLLECTION, parts)
+
+
+def _original_crossings(a: Geom, b: Geom, grid: float) -> set:
+    """Rounded locations of all segment crossings of the ORIGINAL inputs
+    (A-B and self), before vertex snapping."""
+    segs = []
+    for g in (a, b):
+        for comp in g.flatten():
+            for arr in comp.coords_list():
+                for i in range(len(arr) - 1):
+                    if (arr[i] != arr[i + 1]).any():
+                        segs.append(
+                            (
+                                (float(arr[i, 0]), float(arr[i, 1])),
+                                (float(arr[i + 1, 0]), float(arr[i + 1, 1])),
+                            )
+                        )
+    out = set()
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            kind, pts = alg.segment_intersection(segs[i][0], segs[i][1], segs[j][0], segs[j][1])
+            for p in pts:
+                out.add(
+                    (
+                        float(np.floor(p[0] / grid + 0.5) * grid),
+                        float(np.floor(p[1] / grid + 0.5) * grid),
+                    )
+                )
+    return out
