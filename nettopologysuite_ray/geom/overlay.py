@@ -375,9 +375,10 @@ class _Edges:
             elif comp.gtype == LINESTRING:
                 d = _dedup(comp.data)
                 lkind = "cline" if comp.tag == "collapsed" else "line"
+                cid = len(self.segs)  # unique per component (first seg index)
                 for i2 in range(len(d) - 1):
                     self.segs.append(
-                        ((float(d[i2, 0]), float(d[i2, 1])), (float(d[i2 + 1, 0]), float(d[i2 + 1, 1])), lkind, False)
+                        ((float(d[i2, 0]), float(d[i2, 1])), (float(d[i2 + 1, 0]), float(d[i2 + 1, 1])), lkind, False, cid, i2)
                     )
             elif comp.gtype == POLYGON:
                 for ri, ring in enumerate(comp.data):
@@ -386,6 +387,7 @@ class _Edges:
                         continue
                     ccw = alg.is_ccw_robust(r)
                     interior_left = ccw if ri == 0 else (not ccw)
+                    cid = len(self.segs)
                     for i2 in range(len(r) - 1):
                         self.segs.append(
                             (
@@ -393,6 +395,8 @@ class _Edges:
                                 (float(r[i2 + 1, 0]), float(r[i2 + 1, 1])),
                                 "ring",
                                 interior_left,
+                                cid,
+                                i2,
                             )
                         )
 
@@ -484,6 +488,20 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float |
         for ia, s1 in enumerate(ea.segs):
             if alg.on_segment(p[0], p[1], s1[0][0], s1[0][1], s1[1][0], s1[1][1]):
                 splits_a[ia].append(_param_t(s1, p))
+    # revisited vertices (ring start, self-touching path) are chain-break
+    # points for LEGACY line output but not general arrangement nodes
+    revisit: set = set()
+    for es in (ea, eb):
+        counts: dict = {}
+        last_by_comp: dict = {}
+        for s in es.segs:
+            counts[s[0]] = counts.get(s[0], 0) + 1
+            last_by_comp[s[4]] = s[1]
+        for p in last_by_comp.values():
+            counts[p] = counts.get(p, 0) + 1
+        for p, c in counts.items():
+            if c >= 2:
+                revisit.add(p)
     if grid and extra_hot:
         # crossings of the ORIGINAL-precision inputs are hot nodes too:
         # vertex snapping can destroy a crossing whose rounded location the
@@ -530,6 +548,7 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float |
         _make_pieces(ea, splits_a, ovl_a),
         _make_pieces(eb, splits_b, ovl_b),
         node_pts,
+        revisit,
     )
 
 
@@ -612,7 +631,18 @@ def _make_pieces(es: _Edges, splits, ovls):
                 if t0 >= o0 - 1e-14 and t1 <= o1 + 1e-14:
                     over = (oil, okind)
                     break
-            pieces.append({"p0": p0, "p1": p1, "kind": seg[2], "il": seg[3], "over": over})
+            pieces.append(
+                {
+                    "p0": p0,
+                    "p1": p1,
+                    "kind": seg[2],
+                    "il": seg[3],
+                    "over": over,
+                    "comp": seg[4],
+                    "segidx": seg[5],
+                    "t0": t0,
+                }
+            )
     return pieces
 
 
@@ -633,7 +663,7 @@ def _member(locA, locB, op: str) -> bool:
 def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, ng: bool = False, grid: float | None = None, extra_hot=None) -> Geom | None:
     ea = _Edges(a)
     eb = _Edges(b)
-    pa, pb, node_pts = _node_edges(ea, eb, point_noding=ng, grid=(grid if ng else None), extra_hot=extra_hot)
+    pa, pb, node_pts, revisit = _node_edges(ea, eb, point_noding=ng, grid=(grid if ng else None), extra_hot=extra_hot)
 
     result_edges = []  # directed (p0, p1) with result interior on left
     line_pieces = []  # dim-1 resultants
@@ -708,7 +738,9 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
                 result_edges.append((piece["p1"], piece["p0"]))
         elif not m_l and op == "intersection" and over is not None and over[1] == "ring":
             # shared edge between abutting polygons: 1-D intersection resultant
-            line_pieces.append((piece["p0"], piece["p1"], "shared"))
+            line_pieces.append(
+                (piece["p0"], piece["p1"], "shared", ("a" if own_is_a else "b", piece["comp"], piece["segidx"], piece["t0"]))
+            )
 
     # area boundaries
     for piece in pa:
@@ -738,7 +770,10 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
 
     # drop lower-dim resultants covered by higher-dim ones
     poly_geoms = [Geom(POLYGON, rings) for rings in polygons]
-    lines = _ng_lines(line_pieces, node_pts)
+    if merge_line_output:
+        lines = _legacy_lines(line_pieces, node_pts | revisit)
+    else:
+        lines = _ng_lines(line_pieces, node_pts)
     lines = [ln for ln in lines if not _line_covered(ln, poly_geoms)]
     pts = [
         p
@@ -787,7 +822,9 @@ def _handle_line_piece(piece, own_is_a: bool, other_geom: Geom, op: str, line_pi
         keep = locO == E
     if keep:
         label = "shared" if (over is not None) else ("a" if own_is_a else "b")
-        line_pieces.append((piece["p0"], piece["p1"], label))
+        line_pieces.append(
+            (piece["p0"], piece["p1"], label, ("a" if own_is_a else "b", piece["comp"], piece["segidx"], piece["t0"]))
+        )
 
 
 def _point_resultants(a, b, ea, eb, pa, pb, op):
@@ -922,6 +959,24 @@ def _assemble_polygons(directed_edges):
     return polys
 
 
+def _drop_collinear(ring: np.ndarray) -> np.ndarray:
+    if len(ring) < 5:
+        return ring
+    body = ring[:-1]
+    n = len(body)
+    keep = []
+    for i in range(n):
+        p = body[(i - 1) % n]
+        q = body[i]
+        r = body[(i + 1) % n]
+        if alg.orient2d(p[0], p[1], q[0], q[1], r[0], r[1]) != 0:
+            keep.append(i)
+    if len(keep) < 3:
+        return ring
+    out = body[keep]
+    return np.concatenate([out, out[:1]])
+
+
 def _split_minimal_rings(ring):
     """Split a closed vertex list (first == last) at repeated nodes into
     minimal simple rings."""
@@ -972,7 +1027,7 @@ def _ng_lines(labeled_pieces, node_pts):
     are emitted unmerged (observed NG behavior on TestNGOverlayL/A.xml)."""
     seen = set()
     pieces = []
-    for p0, p1, label in labeled_pieces:
+    for p0, p1, label, _prov in labeled_pieces:
         key = (min(p0, p1), max(p0, p1))
         if key in seen or p0 == p1:
             continue
@@ -995,6 +1050,40 @@ def _ng_lines(labeled_pieces, node_pts):
     for p0, p1, l in pieces:
         if l == "shared":
             out.append(np.array([p0, p1], dtype=np.float64))
+    return out
+
+
+def _legacy_lines(labeled_pieces, node_pts):
+    """Legacy OverlayOp line output: one line per INPUT COMPONENT CHAIN,
+    split at arrangement nodes and at the component start (GeometryGraph
+    edges are per-component and rings break at their start vertex); chains
+    never merge across components; duplicate linework deduplicates."""
+    # dedup by undirected key, keep first provenance
+    seen = set()
+    pieces = []
+    for p0, p1, label, prov in labeled_pieces:
+        key = (min(p0, p1), max(p0, p1))
+        if key in seen or p0 == p1:
+            continue
+        seen.add(key)
+        pieces.append((p0, p1, prov))
+    bycomp: dict = {}
+    for p0, p1, prov in pieces:
+        side, comp, segidx, t0 = prov
+        bycomp.setdefault((side, comp), []).append((segidx, t0, p0, p1))
+    out = []
+    for _key, plist in sorted(bycomp.items()):
+        plist.sort()
+        chain = None
+        for _si, _t0, p0, p1 in plist:
+            if chain is not None and chain[-1] == p0 and p0 not in node_pts:
+                chain.append(p1)
+            else:
+                if chain is not None and len(chain) >= 2:
+                    out.append(np.array(chain, dtype=np.float64))
+                chain = [p0, p1]
+        if chain is not None and len(chain) >= 2:
+            out.append(np.array(chain, dtype=np.float64))
     return out
 
 

@@ -205,7 +205,7 @@ def run_conformance_case(op, a, b, arg1, arg2, arg3, pm_scale=None):
             grid = (1.0 / pm_scale) if (pm_scale and pm_scale == pm_scale) else None
         ng = op.lower().endswith("ng") or op.lower().endswith("sr")
         if b is None and base == "union":
-            return to_wkt(union_all(list(a.flatten()), grid)), True
+            return to_wkt(union_all([a], grid)), True
         return to_wkt(overlay(a, b, base, grid, merge_line_output=not ng, ng=ng)), True
     if op == "relate":
         return str(pred.matrix_matches(pred.relate(a, b), arg3)).lower(), True
