@@ -542,8 +542,10 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float |
                     # around the node (Chebyshev, not euclidean): a segment
                     # crossing the square snaps to the node
                     if _segment_hits_pixel(s[0], s[1], qt, half):
+                        # hot-pixel bends split the segment but are SOFT
+                        # nodes: NG line chains merge through them (only
+                        # true crossings/junctions break chains)
                         splits[i9].append(_param_t(s, qt))
-                        node_pts.add(qt)
     return (
         _make_pieces(ea, splits_a, ovl_a),
         _make_pieces(eb, splits_b, ovl_b),
@@ -596,12 +598,15 @@ def _segment_hits_pixel(p0, p1, c, half) -> bool:
 
 
 def _param_t(seg, pt):
+    """Ordering parameter of pt along seg by scalar projection — snap-round
+    bend points lie OFF the segment, where a dominant-axis parameter can
+    collide with an endpoint and silently replace it."""
     dx = seg[1][0] - seg[0][0]
     dy = seg[1][1] - seg[0][1]
-    if abs(dx) >= abs(dy):
-        t = (pt[0] - seg[0][0]) / dx if dx != 0 else 0.0
-    else:
-        t = (pt[1] - seg[0][1]) / dy if dy != 0 else 0.0
+    ll = dx * dx + dy * dy
+    if ll == 0:
+        return (0.0, pt)
+    t = ((pt[0] - seg[0][0]) * dx + (pt[1] - seg[0][1]) * dy) / ll
     return (t, pt)
 
 
@@ -778,7 +783,7 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
     pts = [
         p
         for p, derived in points
-        if not _point_covered(p, poly_geoms, lines, absorb_boundary=derived or ng)
+        if not _point_covered(p, poly_geoms, lines)
     ]
 
     return _compose(polygons, lines, pts)
@@ -831,11 +836,13 @@ def _point_resultants(a, b, ea, eb, pa, pb, op):
     """Isolated points of the result: operand points kept per op + boundary
     touch points in an intersection."""
     pts = []  # (point, is_derived_touch)
+    ea_points = list(dict.fromkeys(ea.points))
+    eb_points = list(dict.fromkeys(eb.points))
     if op == "intersection":
-        for p in ea.points:
+        for p in ea_points:
             if alg.locate_in_geom(p[0], p[1], b) != E:
                 pts.append((p, False))
-        for p in eb.points:
+        for p in eb_points:
             if alg.locate_in_geom(p[0], p[1], a) != E and (p, False) not in pts:
                 pts.append((p, False))
         if ea.dim >= 1 and eb.dim >= 1:
@@ -854,21 +861,21 @@ def _point_resultants(a, b, ea, eb, pa, pb, op):
     elif op == "union":
         # every operand point appears once; coincidences dedup; points
         # covered by kept lines/areas are filtered downstream
-        for p in ea.points:
+        for p in ea_points:
             if (p, False) not in pts:
                 pts.append((p, False))
-        for p in eb.points:
+        for p in eb_points:
             if (p, False) not in pts:
                 pts.append((p, False))
     elif op == "difference":
-        for p in ea.points:
+        for p in ea_points:
             if alg.locate_in_geom(p[0], p[1], b) == E:
                 pts.append((p, False))
     else:
-        for p in ea.points:
+        for p in ea_points:
             if alg.locate_in_geom(p[0], p[1], b) == E:
                 pts.append((p, False))
-        for p in eb.points:
+        for p in eb_points:
             if alg.locate_in_geom(p[0], p[1], a) == E:
                 pts.append((p, False))
     return pts
@@ -1148,14 +1155,11 @@ def _line_covered(line: np.ndarray, poly_geoms) -> bool:
     return True
 
 
-def _point_covered(p, poly_geoms, lines, absorb_boundary: bool = True) -> bool:
-    """absorb_boundary=False: OPERAND points on a result polygon's boundary
-    are still emitted (reference PointBuilder keeps points that are not in
-    the result interior); derived touch points are absorbed by any
-    polygon contact.  Points on result lines are always absorbed."""
+def _point_covered(p, poly_geoms, lines) -> bool:
+    """Point resultants are absorbed by ANY contact with a result polygon
+    (interior or boundary) or a result line."""
     for pg in poly_geoms:
-        loc = alg.locate_in_geom(p[0], p[1], pg)
-        if loc == I or (absorb_boundary and loc != E):
+        if alg.locate_in_geom(p[0], p[1], pg) != E:
             return True
     for ln in lines:
         for i6 in range(len(ln) - 1):
