@@ -486,9 +486,46 @@ def _q_tile_top_docs(sf_dir: str):
     return out.select_columns(["cell_id", "rank", "doc_id"])
 
 
+def _q_distributed_union(sf_dir: str):
+    """Distributed cascaded union (SURVEY §2.5 UnaryUnionOp/CascadedPolygonUnion
+    as a dataflow): admin cells shuffled by longitude band, per-band local
+    union (map_groups) of the 18 touching cells, band area emitted.
+    The oracle recomputes each band's area arithmetically."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.extra import coverage_union
+    from nettopologysuite_ray.geom.wkb import from_wkb
+    from nettopologysuite_ray.sources.pages import admin_boundaries_table
+
+    t = admin_boundaries_table(fancy=False).select(["admin_id", "geometry_wkb"])
+    ds = rd.from_arrow(t)
+
+    def band_of(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        aid = b["admin_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("band", pa.array((aid % 36).astype("int64")))
+
+    banded = ds.map_batches(band_of, batch_format="pyarrow")
+
+    def union_band(g: pd.DataFrame) -> pd.DataFrame:
+        polys = [from_wkb(w) for w in g["geometry_wkb"]]
+        u = coverage_union(polys)  # noding-free dissolve of the coverage
+        return pd.DataFrame(
+            {"band": [int(g["band"].iloc[0])], "band_area": [alg.area(u)],
+             "n_parts": [sum(1 for c in u.flatten())]}
+        )
+
+    return banded.groupby("band").map_groups(union_band, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "conformance_summary": _q_conformance,
+        "distributed_union": _q_distributed_union,
         "tile_top_docs": _q_tile_top_docs,
         "geom_stats": _q_geom_stats,
         "affine_entities": _q_affine_entities,
@@ -550,6 +587,10 @@ def _sql_morton_cell(level: int) -> str:
 def oracle_sql() -> dict[str, str]:
     morton = _sql_morton_cell(LEVEL)
     return {
+        "distributed_union": """
+WITH g AS (SELECT unnest(range(36)) AS band)
+SELECT band, 1800.0 AS band_area, CAST(1 AS BIGINT) AS n_parts FROM g
+""",
         "geom_stats": """
 WITH g AS (SELECT unnest(range(648)) AS admin_id)
 SELECT admin_id, 100.0 AS area,

@@ -1,0 +1,223 @@
+"""Delaunay triangulation + Voronoi diagram.
+
+Re-creates the semantics of the reference's triangulation API
+(reference: Triangulate/DelaunayTriangulationBuilder.cs:14 — GC of
+triangles; Triangulate/VoronoiDiagramBuilder.cs:28 — GC of cell polygons
+clipped to an envelope) with a fresh Bowyer-Watson implementation using
+the robust in-circle predicate (double filter + exact Fraction fallback,
+mirroring the orientation kernel's strategy).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+
+from . import algorithms as alg
+from .types import GEOMETRYCOLLECTION, POLYGON, Geom
+
+
+def _in_circle(ax, ay, bx, by, cx, cy, dx, dy) -> int:
+    """>0 if d strictly inside the circumcircle of CCW triangle abc."""
+    adx, ady = ax - dx, ay - dy
+    bdx, bdy = bx - dx, by - dy
+    cdx, cdy = cx - dx, cy - dy
+    ad = adx * adx + ady * ady
+    bd = bdx * bdx + bdy * bdy
+    cd = cdx * cdx + cdy * cdy
+    det = (
+        adx * (bdy * cd - bd * cdy)
+        - ady * (bdx * cd - bd * cdx)
+        + ad * (bdx * cdy - bdy * cdx)
+    )
+    # conservative filter; exact fallback when near zero
+    mag = (
+        (abs(adx) + abs(ady) + ad)
+        * (abs(bdx) + abs(bdy) + bd)
+        * (abs(cdx) + abs(cdy) + cd)
+    )
+    if abs(det) > 1e-12 * max(mag, 1.0):
+        return 1 if det > 0 else -1
+    F = Fraction
+    adx, ady = F(ax) - F(dx), F(ay) - F(dy)
+    bdx, bdy = F(bx) - F(dx), F(by) - F(dy)
+    cdx, cdy = F(cx) - F(dx), F(cy) - F(dy)
+    ad = adx * adx + ady * ady
+    bd = bdx * bdx + bdy * bdy
+    cd = cdx * cdx + cdy * cdy
+    det = (
+        adx * (bdy * cd - bd * cdy)
+        - ady * (bdx * cd - bd * cdx)
+        + ad * (bdx * cdy - bdy * cdx)
+    )
+    return (det > 0) - (det < 0)
+
+
+def delaunay_triangles(g: Geom) -> list[tuple[int, int, int]]:
+    """Bowyer-Watson over the unique vertices; returns vertex-index triples
+    (CCW) plus the point array via delaunay()."""
+    pts = np.unique(g.all_coords(), axis=0)
+    return _bowyer_watson(pts), pts
+
+
+def _bowyer_watson(pts: np.ndarray):
+    n = len(pts)
+    if n < 3:
+        return []
+    # super-triangle
+    minx, miny = pts.min(axis=0)
+    maxx, maxy = pts.max(axis=0)
+    d = max(maxx - minx, maxy - miny, 1.0) * 10
+    cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+    sp = np.array([[cx - 2 * d, cy - d], [cx + 2 * d, cy - d], [cx, cy + 2 * d]])
+    P = np.vstack([pts, sp])
+    tris = [(n, n + 1, n + 2)]
+    # deterministic insertion order (sorted by np.unique upstream)
+    for i in range(n):
+        px, py = P[i]
+        bad = []
+        for t in tris:
+            a, b, c = t
+            if (
+                _in_circle(
+                    P[a][0], P[a][1], P[b][0], P[b][1], P[c][0], P[c][1], px, py
+                )
+                > 0
+            ):
+                bad.append(t)
+        # boundary of the cavity = edges appearing once among bad triangles
+        edge_count: dict = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+                if edge_count[k] == 1:
+                    edge_count[(k, "dir")] = e
+        tris = [t for t in tris if t not in bad]
+        for k, cnt in list(edge_count.items()):
+            if isinstance(k, tuple) and len(k) == 2 and not isinstance(k[1], str) and cnt == 1:
+                e = edge_count[(k, "dir")]
+                tris.append((e[0], e[1], i))
+    # drop super-triangle incident faces; orient CCW
+    out = []
+    for t in tris:
+        if any(v >= n for v in t):
+            continue
+        a, b, c = t
+        if (
+            alg.orient2d(P[a][0], P[a][1], P[b][0], P[b][1], P[c][0], P[c][1]) < 0
+        ):
+            a, b, c = a, c, b
+        out.append((a, b, c))
+    return out
+
+
+def delaunay(g: Geom) -> Geom:
+    """GC of triangle polygons (DelaunayTriangulationBuilder.GetTriangles)."""
+    tris, pts = delaunay_triangles(g)
+    polys = []
+    for a, b, c in sorted(tris):
+        ring = np.array([pts[a], pts[b], pts[c], pts[a]])
+        polys.append(Geom(POLYGON, [ring]))
+    return Geom(GEOMETRYCOLLECTION, polys)
+
+
+def voronoi(g: Geom, clip_env=None) -> Geom:
+    """GC of Voronoi cell polygons, clipped to an envelope (default: the
+    input envelope expanded by 50% — VoronoiDiagramBuilder.ClipEnvelope
+    semantics)."""
+    from .extra import _circumcenter
+    from .overlay import overlay
+
+    tris, pts = delaunay_triangles(g)
+    if len(pts) == 0:
+        return Geom.empty(GEOMETRYCOLLECTION)
+    env = alg.envelope(g)
+    if clip_env is None:
+        w = (env[2] - env[0]) or 1.0
+        h = (env[3] - env[1]) or 1.0
+        clip_env = (env[0] - w / 2, env[1] - h / 2, env[2] + w / 2, env[3] + h / 2)
+    x0, y0, x1, y1 = clip_env
+    clip_poly = Geom(
+        POLYGON, [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
+    )
+    big = max(x1 - x0, y1 - y0) * 4
+    # cell of site i: intersection of half-planes vs its Delaunay neighbors;
+    # build from a big square clipped by each neighbor's bisector
+    neighbors: dict = {}
+    for a, b, c in tris:
+        for u, v in ((a, b), (b, c), (c, a)):
+            neighbors.setdefault(u, set()).add(v)
+            neighbors.setdefault(v, set()).add(u)
+    if not neighbors:
+        # degenerate site sets (1 site, 2 sites, all collinear): every other
+        # site is a neighbor — correct, just less pruned
+        n_sites = len(pts)
+        for i in range(n_sites):
+            neighbors[i] = {j for j in range(n_sites) if j != i}
+        if n_sites == 1:
+            neighbors[0] = set()
+    cells = []
+    for i in sorted(neighbors):
+        cell = Geom(
+            POLYGON,
+            [
+                np.array(
+                    [
+                        [pts[i][0] - big, pts[i][1] - big],
+                        [pts[i][0] + big, pts[i][1] - big],
+                        [pts[i][0] + big, pts[i][1] + big],
+                        [pts[i][0] - big, pts[i][1] + big],
+                        [pts[i][0] - big, pts[i][1] - big],
+                    ]
+                )
+            ],
+        )
+        for j in sorted(neighbors[i]):
+            cell = _halfplane_clip(cell, pts[i], pts[j], big)
+            if cell is None or cell.is_empty:
+                break
+        if cell is None or cell.is_empty:
+            continue
+        clipped = overlay(cell, clip_poly, "intersection")
+        if not clipped.is_empty:
+            cells.append(clipped)
+    return Geom(GEOMETRYCOLLECTION, cells)
+
+
+def _halfplane_clip(cell: Geom, p, q, big):
+    """Clip cell to the half-plane of points closer to p than q
+    (Sutherland-Hodgman against the perpendicular bisector)."""
+    mx, my = (p[0] + q[0]) / 2, (p[1] + q[1]) / 2
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    ll = np.hypot(dx, dy)
+    if ll == 0:
+        return cell
+    ux, uy = dx / ll, dy / ll
+    # bisector line direction = (-uy, ux); keep side containing p
+    a = np.array([mx - (-uy) * big * 2, my - ux * big * 2])
+    b = np.array([mx + (-uy) * big * 2, my + ux * big * 2])
+    ring = cell.data[0]
+    out = []
+    n = len(ring) - 1
+    # half-plane test: (x - mx, y - my) . (dx, dy) <= 0 keeps p's side
+    def inside(pt):
+        return (pt[0] - mx) * dx + (pt[1] - my) * dy <= 0
+
+    for k in range(n):
+        cur = ring[k]
+        nxt = ring[k + 1]
+        ci, ni = inside(cur), inside(nxt)
+        if ci:
+            out.append(cur)
+        if ci != ni:
+            # intersection of segment with the bisector
+            t = ((mx - cur[0]) * dx + (my - cur[1]) * dy) / (
+                (nxt[0] - cur[0]) * dx + (nxt[1] - cur[1]) * dy
+            )
+            out.append(cur + t * (nxt - cur))
+    if len(out) < 3:
+        return None
+    out.append(out[0])
+    return Geom(POLYGON, [np.array(out)])
