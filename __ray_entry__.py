@@ -25,6 +25,8 @@ try:  # pragma: no cover
 except Exception:  # noqa: BLE001 - best effort; cwd-based import still works
     pass
 
+
+
 LEVEL = 12  # tile level for morton/hilbert cell queries
 KNN_K = 3
 ANN_K = 5

@@ -1109,3 +1109,148 @@ def boundary(g: Geom) -> Geom:
     # collection: boundary of components, merged
     parts = [boundary(c) for c in g.data]
     return Geom(GEOMETRYCOLLECTION, parts)
+
+
+def simplify_tp(g: Geom, tol: float) -> Geom:
+    """Topology-preserving simplification (reference:
+    Simplify/TopologyPreservingSimplifier.cs:46): DP flattening of a
+    section is accepted only if the replacement chord does not properly
+    intersect any OTHER current linework (other components, other sections
+    of the same ring) — so components never cross, collapse, or touch new
+    things.  Rings keep >= 4 points."""
+    comps = []  # (kind, coords, owner)  kind: 'line'|'shell'|'hole'
+    layout = []  # to rebuild
+    t = g.gtype
+    def collect(gg):
+        if gg.gtype == LINESTRING:
+            comps.append(["line", gg.data.copy()])
+            layout.append(("line", len(comps) - 1, gg.tag))
+        elif gg.gtype == POLYGON:
+            idxs = []
+            for ri, r in enumerate(gg.data):
+                comps.append(["shell" if ri == 0 else "hole", r.copy()])
+                idxs.append(len(comps) - 1)
+            layout.append(("poly", idxs, None))
+        elif gg.gtype in (POINT, MULTIPOINT):
+            layout.append(("point", gg, None))
+        else:
+            for c in gg.geoms():
+                collect(c)
+    collect(g)
+
+    def chord_blocked(ci, i0, i1):
+        """True if replacing comps[ci][i0..i1] by a chord would cross other
+        current linework."""
+        coords = comps[ci][1]
+        a = coords[i0]
+        b = coords[i1]
+        for cj, (_k, other) in enumerate(comps):
+            for s in range(len(other) - 1):
+                if cj == ci and i0 <= s < i1:
+                    continue  # the section being replaced
+                p0, p1 = other[s], other[s + 1]
+                kind, pts = segment_intersection(
+                    (a[0], a[1]), (b[0], b[1]), (p0[0], p0[1]), (p1[0], p1[1])
+                )
+                if kind == "none":
+                    continue
+                if kind == "overlap":
+                    return True
+                q = pts[0]
+                # touching at the chord endpoints is fine if the other
+                # segment already met the original there
+                if (q[0] == a[0] and q[1] == a[1]) or (q[0] == b[0] and q[1] == b[1]):
+                    if cj == ci and (s == i1 or s + 1 == i0 or (s + 1) % (len(other) - 1) == i0):
+                        continue
+                    if (q == p0).all() or (q == p1).all():
+                        continue
+                    continue
+                return True
+        return False
+
+    def _region_occupied(comps_, ci, coords, i0, i1):
+        ring = np.concatenate([coords[i0 : i1 + 1], coords[i0 : i0 + 1]], axis=0)
+        if abs(ring_signed_area(ring)) == 0.0:
+            return False
+        for cj, (_k2, other) in enumerate(comps_):
+            if cj == ci:
+                continue
+            for p in other:
+                if locate_point_in_rings(float(p[0]), float(p[1]), [ring]) == INTERIOR:
+                    return True
+        return False
+
+    def simplify_comp(ci, is_ring):
+        coords = comps[ci][1]
+        n = len(coords)
+        if n <= 2:
+            return
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        sections = []
+        while stack:
+            i0, i1 = stack.pop()
+            if i1 - i0 < 2:
+                continue
+            seg = coords[i0 + 1 : i1]
+            d = point_segments_distance(
+                seg[:, 0], seg[:, 1],
+                np.full(len(seg), coords[i0, 0]), np.full(len(seg), coords[i0, 1]),
+                np.full(len(seg), coords[i1, 0]), np.full(len(seg), coords[i1, 1]),
+            )
+            k = int(np.argmax(d))
+            if d[k] > tol or (is_ring and i1 - i0 >= n - 1):
+                mid = i0 + 1 + k
+                keep[mid] = True
+                stack.append((i0, mid))
+                stack.append((mid, i1))
+            else:
+                sections.append((i0, i1))
+        # accept flattenings only when the chord is clear AND no other
+        # component sits inside the removed region (it would switch sides)
+        for i0, i1 in sections:
+            if i1 - i0 < 2:
+                continue
+            if chord_blocked(ci, i0, i1) or _region_occupied(comps, ci, coords, i0, i1):
+                keep[i0 + 1 : i1] = True  # keep the section intact
+        out = coords[keep]
+        if is_ring and len(out) >= 5:
+            d0 = point_segments_distance(
+                np.array([out[0, 0]]), np.array([out[0, 1]]),
+                np.array([out[1, 0]]), np.array([out[1, 1]]),
+                np.array([out[-2, 0]]), np.array([out[-2, 1]]),
+            )[0]
+            if d0 <= tol:
+                out = np.concatenate([out[1:-1], out[1:2]], axis=0)
+        if is_ring and len(out) < 4:
+            return
+        comps[ci][1] = out
+
+    for ci, (kind, _c) in enumerate(comps):
+        simplify_comp(ci, kind in ("shell", "hole"))
+
+    # rebuild
+    parts = []
+    for kind, ref, tag in layout:
+        if kind == "line":
+            parts.append(Geom(LINESTRING, comps[ref][1], tag=tag))
+        elif kind == "poly":
+            rings = [comps[i][1] for i in ref if len(comps[i][1]) >= 4 or comps[i][0] == "shell"]
+            if rings and len(rings[0]) >= 4:
+                parts.append(Geom(POLYGON, rings))
+            else:
+                parts.append(Geom.empty(POLYGON))
+        else:
+            parts.append(ref)
+    if t == POLYGON:
+        return parts[0] if parts else Geom.empty(POLYGON)
+    if t == LINESTRING:
+        return parts[0]
+    if t == MULTIPOLYGON:
+        return Geom(MULTIPOLYGON, [p.data for p in parts if p.gtype == POLYGON and not p.is_empty])
+    if t == MULTILINESTRING:
+        return Geom(MULTILINESTRING, [p.data for p in parts if p.gtype == LINESTRING])
+    if t in (POINT, MULTIPOINT):
+        return g
+    return Geom(GEOMETRYCOLLECTION, parts)

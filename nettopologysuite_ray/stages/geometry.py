@@ -248,8 +248,10 @@ def run_conformance_case(op, a, b, arg1, arg2, arg3, pm_scale=None):
         from ..geom.construct import polygonize
 
         return to_wkt(polygonize(a)), True
-    if op in ("simplifyDP", "simplifyTP"):
+    if op == "simplifyDP":
         return to_wkt(alg.simplify_dp(a, float(arg2 if arg2 else arg3))), True
+    if op == "simplifyTP":
+        return to_wkt(alg.simplify_tp(a, float(arg2 if arg2 else arg3))), True
     if op == "getboundary":
         return to_wkt(alg.boundary(a)), True
     if op == "getCentroid":

@@ -70,7 +70,19 @@ def tile_stats(ds, cell_col: str = "cell_id", count_alias: str = "n", small_resu
             np.add.at(sums, inv, cnts)
             return pa.table({cell_col: pa.array(uniq, type=pa.int64()), count_alias: pa.array(sums)})
 
-        return partials.repartition(1).map_batches(merge, batch_format="pyarrow")
+        def remerge(batch: pa.Table) -> pa.Table:
+            cells = batch[cell_col].to_numpy(zero_copy_only=False)
+            cnts = batch[count_alias].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(cells, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, cnts)
+            return pa.table({cell_col: pa.array(uniq, type=pa.int64()), count_alias: pa.array(sums)})
+
+        # two-level tree merge: a single-task concat of every upstream
+        # block's partials is a serial tail (~5s at 500 blocks x 10k cells);
+        # pre-combining in 8 groups shrinks the final task 8x
+        lvl1 = partials.repartition(8).map_batches(merge, batch_format="pyarrow")
+        return lvl1.repartition(1).map_batches(remerge, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
     return partials.groupby(cell_col).aggregate(Sum("partial_count", alias_name=count_alias))
