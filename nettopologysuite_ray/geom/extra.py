@@ -340,3 +340,84 @@ def fix_geometry(g: Geom) -> Geom:
     if len(kept) == 1:
         return kept[0]
     return union_all(kept)
+
+
+# ---------------------------------------------------------------------------
+# maximum inscribed circle / largest empty circle
+# (reference: Algorithm/Construct/MaximumInscribedCircle.cs:42,
+#  LargestEmptyCircle.cs:43 — successive cell refinement)
+
+
+def maximum_inscribed_circle(g: Geom, tolerance: float = 1e-3):
+    """((cx, cy), radius) of the largest circle inside the polygon —
+    grid refinement over distance-to-boundary (branch and bound)."""
+    from .types import POLYGON
+
+    polys = [c for c in g.flatten() if c.gtype == POLYGON]
+    if not polys:
+        return (0.0, 0.0), float("nan")
+    env = alg.envelope(g)
+    segs = alg._geom_segments(g)
+
+    def clearance(x, y):
+        loc_in = any(
+            alg.locate_point_in_rings(x, y, p.data) == alg.INTERIOR for p in polys
+        )
+        d = alg.points_to_segments_distance(np.array([[x, y]]), segs)[0]
+        return d if loc_in else -d
+
+    # seed grid + iterative refinement around the best cell
+    best = (None, -math.inf)
+    step = max(env[2] - env[0], env[3] - env[1]) / 16.0
+    xs = np.arange(env[0] + step / 2, env[2], step)
+    ys = np.arange(env[1] + step / 2, env[3], step)
+    cands = [(x, y) for x in xs for y in ys]
+    while step > tolerance:
+        scored = sorted(((clearance(x, y), x, y) for x, y in cands), reverse=True)
+        top = scored[: max(4, len(scored) // 8)]
+        if top[0][0] > best[1]:
+            best = ((top[0][1], top[0][2]), top[0][0])
+        step /= 2.0
+        cands = []
+        for _c, x, y in top:
+            for ddx in (-step, 0, step):
+                for ddy in (-step, 0, step):
+                    cands.append((x + ddx, y + ddy))
+    return best[0], best[1]
+
+
+def largest_empty_circle(obstacles: Geom, boundary: Geom, tolerance: float = 1e-3):
+    """((cx, cy), radius): largest circle inside `boundary` touching no
+    obstacle point/line."""
+    env = alg.envelope(boundary)
+    segs = alg._geom_segments(obstacles)
+    pts = obstacles.all_coords()
+    bpolys = [c for c in boundary.flatten() if c.gtype == "Polygon"]
+
+    def clearance(x, y):
+        if not any(alg.locate_point_in_rings(x, y, p.data) != alg.EXTERIOR for p in bpolys):
+            return -math.inf
+        d = math.inf
+        if segs is not None:
+            d = alg.points_to_segments_distance(np.array([[x, y]]), segs)[0]
+        elif len(pts):
+            d = float(np.hypot(pts[:, 0] - x, pts[:, 1] - y).min())
+        return d
+
+    best = (None, -math.inf)
+    step = max(env[2] - env[0], env[3] - env[1]) / 16.0
+    xs = np.arange(env[0] + step / 2, env[2], step)
+    ys = np.arange(env[1] + step / 2, env[3], step)
+    cands = [(x, y) for x in xs for y in ys]
+    while step > tolerance:
+        scored = sorted(((clearance(x, y), x, y) for x, y in cands), reverse=True)
+        top = scored[: max(4, len(scored) // 8)]
+        if top[0][0] > best[1]:
+            best = ((top[0][1], top[0][2]), top[0][0])
+        step /= 2.0
+        cands = []
+        for _c, x, y in top:
+            for ddx in (-step, 0, step):
+                for ddy in (-step, 0, step):
+                    cands.append((x + ddx, y + ddy))
+    return best[0], best[1]

@@ -96,3 +96,24 @@ def test_fix_geometry_bowtie():
     # valid input passes through untouched
     ok = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     assert extra.fix_geometry(ok) is ok
+
+
+def test_maximum_inscribed_circle():
+    sq = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    (cx, cy), r = extra.maximum_inscribed_circle(sq, 1e-3)
+    assert abs(cx - 5) < 0.05 and abs(cy - 5) < 0.05 and abs(r - 5) < 0.05
+    # with a hole: circle squeezes beside it
+    holed = from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 0.5, 6 0.5, 6 9.5, 4 9.5, 4 0.5))"
+    )
+    (hx, _hy), hr = extra.maximum_inscribed_circle(holed, 1e-3)
+    assert hr < 2.1  # bounded by the 4-wide side corridors
+    assert hx < 4 or hx > 6
+
+
+def test_largest_empty_circle():
+    obs = from_wkt("MULTIPOINT ((0 0), (10 0), (10 10), (0 10))")
+    bound = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    (cx, cy), r = extra.largest_empty_circle(obs, bound, 1e-3)
+    assert abs(cx - 5) < 0.05 and abs(cy - 5) < 0.05
+    assert abs(r - (50 ** 0.5)) < 0.05
