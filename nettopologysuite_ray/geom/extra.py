@@ -421,3 +421,189 @@ def largest_empty_circle(obstacles: Geom, boundary: Geom, tolerance: float = 1e-
                 for ddy in (-step, 0, step):
                     cands.append((x + ddx, y + ddy))
     return best[0], best[1]
+
+
+# ---------------------------------------------------------------------------
+# coverage hygiene (Coverage/CoverageValidator.cs:41, CoverageGapFinder.cs:21)
+
+
+def coverage_validate(polys) -> list:
+    """Edge-consistency check for a polygonal coverage: every interior edge
+    must appear EXACTLY twice (once per neighbor, opposite orientation) and
+    boundaries once; returns a list of (poly_index, segment) violations —
+    segments shared by >2 polygons or overlapping inconsistently."""
+    counts: dict = {}
+    for pi, p in enumerate(polys):
+        comp = p if isinstance(p, Geom) else Geom(POLYGON, p)
+        for ring in comp.coords_list():
+            for i in range(len(ring) - 1):
+                a = (float(ring[i, 0]), float(ring[i, 1]))
+                b = (float(ring[i + 1, 0]), float(ring[i + 1, 1]))
+                if a == b:
+                    continue
+                counts.setdefault((min(a, b), max(a, b)), []).append(pi)
+    return [(owners[0], seg) for seg, owners in counts.items() if len(owners) > 2]
+
+
+def coverage_gaps(polys) -> Geom:
+    """Gaps in a coverage = holes of the dissolved union that are not holes
+    of any input polygon (thin slivers between mis-snapped neighbors)."""
+    u = coverage_union(polys)
+    gaps = []
+    for comp in u.flatten():
+        if comp.gtype != POLYGON:
+            continue
+        for hole in comp.data[1:]:
+            hx, hy = float(hole[0, 0]), float(hole[0, 1])
+            is_input_hole = False
+            for p in polys:
+                pc = p if isinstance(p, Geom) else Geom(POLYGON, p)
+                for ring in pc.data[1:]:
+                    if len(ring) == len(hole) and alg.equals_exact(
+                        alg.normalize(Geom(POLYGON, [ring])), alg.normalize(Geom(POLYGON, [hole]))
+                    ):
+                        is_input_hole = True
+            if not is_input_hole:
+                gaps.append(Geom(POLYGON, [hole[::-1].copy()]))
+    return Geom(GEOMETRYCOLLECTION, gaps)
+
+
+# ---------------------------------------------------------------------------
+# line sequencer (Operation/Linemerge/LineSequencer.cs:45)
+
+
+def sequence_lines(lines) -> list:
+    """Order line components into continuous paths (greedy Eulerian-ish
+    walk over the endpoint graph); returns list of coordinate arrays."""
+    comps = []
+    for ln in lines:
+        arr = ln.all_coords() if isinstance(ln, Geom) else np.asarray(ln)
+        if len(arr) >= 2:
+            comps.append(arr)
+    unused = set(range(len(comps)))
+    by_endpoint: dict = {}
+    for i, arr in enumerate(comps):
+        by_endpoint.setdefault(tuple(arr[0]), []).append(i)
+        by_endpoint.setdefault(tuple(arr[-1]), []).append(i)
+    out = []
+    while unused:
+        # deterministic start: lowest-index unused component, odd endpoint first
+        start = min(unused)
+        unused.discard(start)
+        path = [comps[start]]
+        # extend forward
+        while True:
+            tail = tuple(path[-1][-1])
+            nxt = [j for j in by_endpoint.get(tail, []) if j in unused]
+            if not nxt:
+                break
+            j = min(nxt)
+            unused.discard(j)
+            arr = comps[j]
+            path.append(arr if tuple(arr[0]) == tail else arr[::-1])
+        # extend backward
+        while True:
+            head = tuple(path[0][0])
+            prv = [j for j in by_endpoint.get(head, []) if j in unused]
+            if not prv:
+                break
+            j = min(prv)
+            unused.discard(j)
+            arr = comps[j]
+            path.insert(0, arr if tuple(arr[-1]) == head else arr[::-1])
+        seq = [path[0]]
+        for arr in path[1:]:
+            seq.append(arr[1:])
+        out.append(np.concatenate(seq, axis=0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# variable buffer + offset curve (Operation/Buffer/VariableBuffer.cs:17,
+# OffsetCurve.cs:47)
+
+
+def variable_buffer(line: Geom, radii) -> Geom:
+    """Buffer a line with a per-vertex radius (tapered capsules)."""
+    from .buffer import _disk, _buffer_grid
+    from .overlay import union_all
+
+    arr = line.all_coords()
+    radii = np.asarray(radii, dtype=np.float64)
+    pieces = []
+    for i in range(len(arr)):
+        if radii[i] > 0:
+            pieces.append(_disk(float(arr[i, 0]), float(arr[i, 1]), float(radii[i]), 8))
+    for i in range(len(arr) - 1):
+        r0, r1 = radii[i], radii[i + 1]
+        p0, p1 = arr[i], arr[i + 1]
+        d = p1 - p0
+        ll = math.hypot(d[0], d[1])
+        if ll == 0 or (r0 <= 0 and r1 <= 0):
+            continue
+        nx, ny = -d[1] / ll, d[0] / ll
+        quad = np.array(
+            [
+                [p0[0] + nx * r0, p0[1] + ny * r0],
+                [p1[0] + nx * r1, p1[1] + ny * r1],
+                [p1[0] - nx * r1, p1[1] - ny * r1],
+                [p0[0] - nx * r0, p0[1] - ny * r0],
+                [p0[0] + nx * r0, p0[1] + ny * r0],
+            ]
+        )
+        pieces.append(Geom(POLYGON, [quad]))
+    if not pieces:
+        return Geom.empty(POLYGON)
+    return union_all(pieces, _buffer_grid(float(max(radii.max(), 1e-9))))
+
+
+def offset_curve(line: Geom, dist: float) -> Geom:
+    """One-sided offset of a line: the buffer boundary portion on the
+    signed side (positive = left).  Approximation via the full buffer's
+    boundary clipped to the offset side (OffsetCurve.cs semantics)."""
+    from .buffer import buffer as buffer_fn
+
+    if dist == 0:
+        return line
+    buf = buffer_fn(line, abs(dist))
+    bnd = alg.boundary(buf)
+    # keep boundary points whose signed side matches
+    arr = line.all_coords()
+    segs = alg._geom_segments(line)
+    out_lines = []
+    for comp in bnd.flatten():
+        coords = comp.all_coords()
+        keep = []
+        for p in coords:
+            # nearest line segment + side sign
+            best = (math.inf, 0.0)
+            for i in range(len(arr) - 1):
+                a, b = arr[i], arr[i + 1]
+                dx, dy = b[0] - a[0], b[1] - a[1]
+                llen = dx * dx + dy * dy
+                if llen == 0:
+                    continue
+                t = max(0.0, min(1.0, ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / llen))
+                cx, cy = a[0] + t * dx, a[1] + t * dy
+                dd = math.hypot(p[0] - cx, p[1] - cy)
+                if dd < best[0]:
+                    side = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+                    best = (dd, side)
+            keep.append(best[1] > 0 if dist > 0 else best[1] < 0)
+        # extract kept runs
+        run = []
+        for ok, p in zip(keep, coords):
+            if ok:
+                run.append(p)
+            elif len(run) >= 2:
+                out_lines.append(np.array(run))
+                run = []
+            else:
+                run = []
+        if len(run) >= 2:
+            out_lines.append(np.array(run))
+    if not out_lines:
+        return Geom.empty(LINESTRING)
+    if len(out_lines) == 1:
+        return Geom(LINESTRING, out_lines[0])
+    return Geom("MultiLineString", out_lines)

@@ -117,3 +117,29 @@ def test_largest_empty_circle():
     (cx, cy), r = extra.largest_empty_circle(obs, bound, 1e-3)
     assert abs(cx - 5) < 0.05 and abs(cy - 5) < 0.05
     assert abs(r - (50 ** 0.5)) < 0.05
+
+
+def test_coverage_validate_and_sequencer():
+    p1 = from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    p2 = from_wkt("POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))")
+    assert extra.coverage_validate([p1, p2]) == []
+    p3 = from_wkt("POLYGON ((1 0, 1 1, 2 2, 1 0))")
+    assert len(extra.coverage_validate([p1, p2, p3])) == 1
+    seqs = extra.sequence_lines(
+        [from_wkt("LINESTRING (0 0, 1 1)"), from_wkt("LINESTRING (2 2, 1 1)"), from_wkt("LINESTRING (2 2, 3 3)")]
+    )
+    assert len(seqs) == 1
+    assert seqs[0].tolist() == [[0, 0], [1, 1], [2, 2], [3, 3]]
+
+
+def test_variable_buffer_and_offset_curve():
+    vb = extra.variable_buffer(from_wkt("LINESTRING (0 0, 10 0)"), [1.0, 3.0])
+    a = alg.area(vb)
+    # trapezoid 40 + half-disks (pi/2 + 9pi/2 ~ 15.7), inscribed 32-gons
+    assert 52 < a < 58
+    oc = extra.offset_curve(from_wkt("LINESTRING (0 0, 10 0)"), 2.0)
+    pts = oc.all_coords()
+    assert len(pts) >= 2
+    assert (pts[:, 1] >= -1e-9).all()  # left side only (y >= 0)
+    oc2 = extra.offset_curve(from_wkt("LINESTRING (0 0, 10 0)"), -2.0)
+    assert (oc2.all_coords()[:, 1] <= 1e-9).all()
