@@ -141,6 +141,7 @@ def _snap_result(g: Geom, grid: float, op: str) -> Geom:
                     if probe and alg.locate_point_in_rings(probe[0], probe[1], [rings[0]]) == I:
                         rings.append(h)
                         break
+    polys = _split_touching_holes(polys)
     # drop lines covered by polygons, dedup
     poly_geoms = [Geom(POLYGON, rings) for rings in polys]
     out_lines = []
@@ -245,7 +246,7 @@ def snap_clean(g: Geom, grid: float) -> Geom:
                 arr = _dedup(_snap_arr(ring, grid))
                 if len(arr) >= 2 and (arr[0] != arr[-1]).any():
                     arr = np.concatenate([arr, arr[:1]])
-                subrings, degraded = _clean_ring(arr)
+                subrings, degraded = _clean_ring(arr, grid)
                 collapsed.extend(degraded)
                 if not subrings:
                     continue
@@ -296,8 +297,10 @@ def _empty_like(g: Geom) -> Geom:
     return Geom.empty(GEOMETRYCOLLECTION)
 
 
-def _clean_ring(arr: np.ndarray):
-    """Closed ring array → (valid minimal rings, collapsed line arrays)."""
+def _clean_ring(arr: np.ndarray, grid: float | None = None):
+    """Closed ring array → (valid minimal rings, collapsed line arrays).
+    Under a precision grid, self-intersection split points snap-round to
+    the grid (the reference's snap-rounding nodes them there)."""
     if len(arr) < 3:
         return [], ([_dedup(arr)] if len(_dedup(arr)) >= 2 else [])
     pts = [tuple(p) for p in arr]
@@ -311,6 +314,11 @@ def _clean_ring(arr: np.ndarray):
                 continue
             for p in ipts:
                 p = (float(p[0]), float(p[1]))
+                if grid:
+                    p = (
+                        float(np.floor(p[0] / grid + 0.5) * grid),
+                        float(np.floor(p[1] / grid + 0.5) * grid),
+                    )
                 if p != segs[i][0] and p != segs[i][1]:
                     splits[i].append(p)
                 if p != segs[j][0] and p != segs[j][1]:
@@ -673,11 +681,14 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
     result_edges = []  # directed (p0, p1) with result interior on left
     line_pieces = []  # dim-1 resultants
     seen_shared = set()
+    seen_shared_lines = set()
 
     # exact piece-coincidence across sides: snap-rounding can bend two
     # non-collinear input segments onto the SAME noded piece — detect by
     # endpoint identity and synthesize the overlap label the collinear
     # detector could not see
+    ring_keys_a = {_piece_key(p) for p in pa if p["kind"] == "ring"}
+    ring_keys_b = {_piece_key(p) for p in pb if p["kind"] == "ring"}
     if grid:
         a_map = {_piece_key(p): p for p in pa}
         b_map = {_piece_key(p): p for p in pb}
@@ -741,11 +752,25 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
                 result_edges.append((piece["p0"], piece["p1"]))
             else:
                 result_edges.append((piece["p1"], piece["p0"]))
-        elif not m_l and op == "intersection" and over is not None and over[1] == "ring":
-            # shared edge between abutting polygons: 1-D intersection resultant
-            line_pieces.append(
-                (piece["p0"], piece["p1"], "shared", ("a" if own_is_a else "b", piece["comp"], piece["segidx"], piece["t0"]))
+        elif (
+            not m_l
+            and op == "intersection"
+            and (
+                (over is not None and over[1] == "ring")
+                or (
+                    grid
+                    and _piece_key(piece)
+                    in (ring_keys_b if own_is_a else ring_keys_a)
+                )
             )
+        ):
+            # shared edge between abutting polygons: 1-D intersection resultant
+            key = _piece_key(piece)
+            if key not in seen_shared_lines:
+                seen_shared_lines.add(key)
+                line_pieces.append(
+                    (piece["p0"], piece["p1"], "shared", ("a" if own_is_a else "b", piece["comp"], piece["segidx"], piece["t0"]))
+                )
 
     # area boundaries
     for piece in pa:
@@ -756,6 +781,7 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
             handle_area_piece(piece, False, ea, a)
 
     polygons = _assemble_polygons(result_edges)
+    polygons = _split_touching_holes(polygons)
 
     # lineal operands (collapsed linework only participates in
     # intersection/union results)
@@ -982,6 +1008,44 @@ def _drop_collinear(ring: np.ndarray) -> np.ndarray:
         return ring
     out = body[keep]
     return np.concatenate([out, out[:1]])
+
+
+def _split_touching_holes(polygons):
+    """A hole meeting its shell (or another hole) in >= 2 points disconnects
+    the interior — the reference emits the separate faces instead of an
+    invalid shell+hole pair.  Re-decompose such polygons via the face walk
+    over their own noded rings."""
+    out = []
+    for rings in polygons:
+        if len(rings) < 2:
+            out.append(rings)
+            continue
+        vsets = [set(map(tuple, r[:-1])) for r in rings]
+        pinch = False
+        for i in range(len(rings)):
+            for j in range(i + 1, len(rings)):
+                if len(vsets[i] & vsets[j]) >= 2:
+                    pinch = True
+        if not pinch:
+            out.append(rings)
+            continue
+        from .construct import polygonize
+
+        faces = polygonize(Geom(POLYGON, rings))
+        kept = []
+        for f in faces.flatten():
+            if f.gtype != POLYGON:
+                continue
+            ip = alg.interior_point(f)
+            if alg.locate_point_in_rings(float(ip.data[0]), float(ip.data[1]), rings) == I:
+                kept.append(f)
+        if kept:
+            # re-nest: faces may themselves contain original holes
+            for f in kept:
+                out.append(list(f.data))
+        else:
+            out.append(rings)
+    return out
 
 
 def _split_minimal_rings(ring):

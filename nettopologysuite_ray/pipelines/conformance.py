@@ -21,12 +21,12 @@ def conformance_dataset(dirs=("general", "validate"), files=None):
     return rd.from_arrow(table)
 
 
-def run_conformance(dirs=("general", "validate"), files=None, concurrency=(1, 8)):
+def run_conformance(dirs=("general", "validate"), files=None, concurrency=(1, 16)):
     ds = conformance_dataset(dirs=dirs, files=files)
     return ds.map_batches(
         ConformanceRunner,
         batch_format="pyarrow",
-        batch_size=256,
+        batch_size=128,
         concurrency=concurrency,
         num_cpus=1,
     )
