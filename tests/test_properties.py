@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis): algebraic laws the engine must obey
+regardless of input shape — the robustness net beyond the XML corpus."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from nettopologysuite_ray.geom import algorithms as alg
+from nettopologysuite_ray.geom import predicates as pred
+from nettopologysuite_ray.geom.overlay import overlay, union_all
+from nettopologysuite_ray.geom.types import Geom
+from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
+from nettopologysuite_ray.geom.wkt import from_wkt, to_wkt
+
+coord = st.integers(min_value=-50, max_value=50)
+
+
+@st.composite
+def boxes(draw):
+    x0 = draw(coord)
+    y0 = draw(coord)
+    w = draw(st.integers(min_value=1, max_value=40))
+    h = draw(st.integers(min_value=1, max_value=40))
+    return Geom.polygon([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)])
+
+
+@st.composite
+def multipoints(draw):
+    pts = draw(st.lists(st.tuples(coord, coord), min_size=1, max_size=12))
+    return Geom("MultiPoint", [np.array(p, dtype=float) for p in pts])
+
+
+@st.composite
+def lines(draw):
+    pts = draw(st.lists(st.tuples(coord, coord), min_size=2, max_size=8, unique=True))
+    return Geom.linestring(np.array(pts, dtype=float))
+
+
+@settings(max_examples=120, deadline=None)
+@given(boxes(), boxes())
+def test_relate_transpose_symmetry(a, b):
+    """relate(b, a) is the transpose of relate(a, b)."""
+    m = pred.relate(a, b)
+    mt = pred.relate(b, a)
+    idx = [0, 3, 6, 1, 4, 7, 2, 5, 8]
+    assert "".join(m[i] for i in idx) == mt
+
+
+@settings(max_examples=120, deadline=None)
+@given(boxes(), boxes())
+def test_overlay_area_algebra(a, b):
+    """|A∪B| = |A| + |B| - |A∩B| and |A\\B| = |A| - |A∩B| (exact for
+    integer boxes)."""
+    ai = alg.area(overlay(a, b, "intersection"))
+    au = alg.area(overlay(a, b, "union"))
+    ad = alg.area(overlay(a, b, "difference"))
+    asym = alg.area(overlay(a, b, "symdifference"))
+    assert abs(au - (alg.area(a) + alg.area(b) - ai)) < 1e-6
+    assert abs(ad - (alg.area(a) - ai)) < 1e-6
+    assert abs(asym - (au - ai)) < 1e-6
+
+
+@settings(max_examples=120, deadline=None)
+@given(boxes(), boxes())
+def test_predicates_consistent_with_overlay(a, b):
+    inter = overlay(a, b, "intersection")
+    has_area = alg.area(inter) > 0
+    if has_area:
+        assert pred.intersects(a, b)
+        assert not pred.touches(a, b)
+    if pred.contains(a, b):
+        assert abs(alg.area(inter) - alg.area(b)) < 1e-9
+    assert pred.intersects(a, b) == pred.intersects(b, a)
+    assert pred.disjoint(a, b) != pred.intersects(a, b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(multipoints())
+def test_wkb_wkt_roundtrip_property(g):
+    assert alg.equals_exact(from_wkb(to_wkb(g)), g)
+    assert alg.equals_exact(from_wkt(to_wkt(g)), g)
+
+
+@settings(max_examples=100, deadline=None)
+@given(multipoints())
+def test_hull_contains_all_points(g):
+    hull = alg.convex_hull(g)
+    for p in g.data:
+        assert alg.locate_in_geom(float(p[0]), float(p[1]), hull) != alg.EXTERIOR or hull.gtype in ("Point", "LineString")
+        if hull.gtype == "Polygon":
+            assert alg.locate_in_geom(float(p[0]), float(p[1]), hull) != alg.EXTERIOR
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(boxes(), min_size=1, max_size=5))
+def test_union_all_area_upper_bound(parts):
+    u = union_all(parts)
+    total = sum(alg.area(p) for p in parts)
+    au = alg.area(u)
+    assert au <= total + 1e-6
+    assert au >= max(alg.area(p) for p in parts) - 1e-6
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    assert is_valid(u)
+
+
+@settings(max_examples=80, deadline=None)
+@given(lines(), st.integers(min_value=1, max_value=10))
+def test_buffer_contains_input(line, d):
+    from nettopologysuite_ray.geom.buffer import buffer
+
+    buf = buffer(line, float(d))
+    assert buf.gtype in ("Polygon", "MultiPolygon")
+    for p in line.all_coords():
+        assert alg.locate_in_geom(float(p[0]), float(p[1]), buf) == alg.INTERIOR
+
+
+def test_random_simple_polygon_overlay_fuzz():
+    """Seeded fuzz: random star-shaped simple polygons; inclusion-exclusion
+    and result validity must hold for every pair."""
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    rng = np.random.default_rng(13)
+
+    def rand_simple_poly(n, scale=20):
+        pts = rng.integers(-scale, scale, size=(n, 2)).astype(float)
+        c = pts.mean(axis=0)
+        ang = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+        ring = pts[np.argsort(ang)]
+        ring = ring[np.concatenate([[True], (np.diff(ring, axis=0) != 0).any(axis=1)])]
+        if len(ring) < 3:
+            return None
+        g = Geom.polygon(ring)
+        return g if is_valid(g) else None
+
+    trials = 0
+    for _ in range(120):
+        a = rand_simple_poly(int(rng.integers(4, 9)))
+        b = rand_simple_poly(int(rng.integers(4, 9)))
+        if a is None or b is None:
+            continue
+        trials += 1
+        ai = alg.area(overlay(a, b, "intersection"))
+        au = alg.area(overlay(a, b, "union"))
+        assert abs(au - (alg.area(a) + alg.area(b) - ai)) < 1e-6
+        assert is_valid(overlay(a, b, "union"))
+        if ai > 1e-9:
+            assert pred.intersects(a, b)
+    assert trials > 60
