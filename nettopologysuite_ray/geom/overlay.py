@@ -602,7 +602,15 @@ def _segment_hits_pixel(p0, p1, c, half) -> bool:
                 return False
             if r < t1:
                 t1 = r
-    return t0 <= t1
+    if t0 > t1:
+        return False
+    # half-open pixel (closed bottom/left, open top/right — the reference's
+    # HotPixel convention): a graze along the top/right boundary must not
+    # snap, or diagonal edges touching a pixel corner get spurious bends
+    tm = (t0 + t1) / 2.0
+    px = x0 + tm * dx
+    py = y0 + tm * dy
+    return px < c[0] + half and py < c[1] + half
 
 
 def _param_t(seg, pt):
@@ -780,8 +788,21 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
         if piece["kind"] == "ring":
             handle_area_piece(piece, False, ea, a)
 
-    polygons = _assemble_polygons(result_edges)
+    degenerate_rings: list = []
+    polygons = _assemble_polygons(result_edges, degenerate_out=degenerate_rings)
     polygons = _split_touching_holes(polygons)
+    if grid and op in ("intersection", "union"):
+        # collapsed result slivers (zero-area rings) surface as lineal
+        # resultants under fixed precision (OverlayNG SR behavior)
+        for r in degenerate_rings:
+            seen_d = set()
+            for k3 in range(len(r) - 1):
+                a3 = (float(r[k3][0]), float(r[k3][1]))
+                b3 = (float(r[k3 + 1][0]), float(r[k3 + 1][1]))
+                kk = (min(a3, b3), max(a3, b3))
+                if a3 != b3 and kk not in seen_d:
+                    seen_d.add(kk)
+                    line_pieces.append((a3, b3, "shared", ("a", -1, k3, 0.0)))
 
     # lineal operands (collapsed linework only participates in
     # intersection/union results)
@@ -911,8 +932,10 @@ def _point_resultants(a, b, ea, eb, pa, pb, op):
 # ring assembly
 
 
-def _assemble_polygons(directed_edges):
-    """Directed edges (interior on LEFT) → polygons (rings lists)."""
+def _assemble_polygons(directed_edges, degenerate_out=None):
+    """Directed edges (interior on LEFT) → polygons (rings lists).
+    Zero-area rings (collapsed slivers, out-and-back walks) are appended to
+    degenerate_out when provided — the SR pipeline degrades them to lines."""
     if not directed_edges:
         return []
     # dedup identical directed edges
@@ -937,8 +960,9 @@ def _assemble_polygons(directed_edges):
             used[cur] = True
             p0, p1 = directed_edges[cur]
             ring.append(p0)
-            if p1 == directed_edges[start][0] and len(ring) >= 3:
-                break
+            if p1 == directed_edges[start][0] and len(ring) >= 2:
+                break  # 2-edge out-and-back rings close too: they carry
+                # zero area and surface via degenerate_out
             cands = [i3 for i3 in out_by_node.get(p1, []) if not used[i3]]
             if not cands:
                 ok = False
@@ -958,7 +982,7 @@ def _assemble_polygons(directed_edges):
                     if best is None or ang > best[0]:
                         best = (ang, i3)
                 cur = best[1]
-        if ok and len(ring) >= 3:
+        if ok and len(ring) >= 2:
             ring.append(ring[0])
             # maximal ring → minimal rings: split at repeated nodes
             # (reference: Operation/Overlay/MaximalEdgeRing → MinimalEdgeRing)
@@ -973,6 +997,10 @@ def _assemble_polygons(directed_edges):
             shells.append(r)
         elif sa < 0:
             holes.append(r)
+    if degenerate_out is not None:
+        for r in rings:
+            if alg.ring_signed_area(r) == 0.0 and len(r) >= 3:
+                degenerate_out.append(r)
     polys = [[s] for s in shells]
     for h in holes:
         # assign to the smallest shell containing a point ON the hole ring
