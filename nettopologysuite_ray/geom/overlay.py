@@ -56,16 +56,16 @@ def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_lin
     if op not in _OPS:
         raise ValueError(op)
     dim_a, dim_b = a.dimension, b.dimension
-    extra_hot = None
     if grid_size:
         if ng:
-            # snap-rounding (OverlayNG SR): crossings of the original
-            # inputs become hot nodes; the legacy engine only rounds the
-            # inputs and nodes the rounded arrangement
-            extra_hot = _original_crossings(a, b, grid_size)
+            # snap-rounding (OverlayNG SR): node the ORIGINAL arrangement —
+            # re-route chains through the hot pixels their original segments
+            # cross — THEN round (snap_round_inputs); rounding vertices
+            # first destroys/fabricates pixel hits
+            a, b = snap_round_inputs(a, b, grid_size)
         a = snap_clean(a, grid_size)
         b = snap_clean(b, grid_size)
-    res = _overlay_general(a, b, op, merge_line_output, ng, grid_size, extra_hot)
+    res = _overlay_general(a, b, op, merge_line_output, ng, grid_size)
     if grid_size and res is not None:
         res = _snap_result(res, grid_size, op)
     if res is not None and not res.is_empty:
@@ -409,7 +409,7 @@ class _Edges:
                         )
 
 
-def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float | None = None, extra_hot=None):
+def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float | None = None):
     """Split both edge sets at mutual intersections.
 
     Returns (pieces_a, pieces_b): per input, list of
@@ -510,11 +510,6 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float |
         for p, c in counts.items():
             if c >= 2:
                 revisit.add(p)
-    if grid and extra_hot:
-        # crossings of the ORIGINAL-precision inputs are hot nodes too:
-        # vertex snapping can destroy a crossing whose rounded location the
-        # reference's snap-rounding still nodes
-        node_pts.update(extra_hot)
     if grid:
         # hot-pixel pass: a segment passing within half a grid cell of any
         # node snaps to (is split at) that node — the reference's
@@ -681,10 +676,10 @@ def _member(locA, locB, op: str) -> bool:
     return (locA == I) != (locB == I)
 
 
-def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, ng: bool = False, grid: float | None = None, extra_hot=None) -> Geom | None:
+def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, ng: bool = False, grid: float | None = None) -> Geom | None:
     ea = _Edges(a)
     eb = _Edges(b)
-    pa, pb, node_pts, revisit = _node_edges(ea, eb, point_noding=ng, grid=(grid if ng else None), extra_hot=extra_hot)
+    pa, pb, node_pts, revisit = _node_edges(ea, eb, point_noding=ng, grid=(grid if ng else None))
 
     result_edges = []  # directed (p0, p1) with result interior on left
     line_pieces = []  # dim-1 resultants
@@ -1353,30 +1348,113 @@ def union_all(geoms, grid_size: float | None = None) -> Geom:
     return Geom(GEOMETRYCOLLECTION, parts)
 
 
-def _original_crossings(a: Geom, b: Geom, grid: float) -> set:
-    """Rounded locations of all segment crossings of the ORIGINAL inputs
-    (A-B and self), before vertex snapping."""
+def _snap_round_pt(p, grid: float):
+    return (
+        float(np.floor(p[0] / grid + 0.5) * grid),
+        float(np.floor(p[1] / grid + 0.5) * grid),
+    )
+
+
+def snap_round_inputs(a: Geom, b: Geom, grid: float):
+    """True snap rounding of both operands as a joint pre-pass (reference:
+    Noding/Snapround/SnapRoundingNoder.cs:38): hot pixels at every ROUNDED
+    input vertex and every rounded intersection of the ORIGINAL segments;
+    each original chain is re-routed through the pixel centers its segments
+    cross, ordered along the original segment.  Rounding vertices first and
+    noding the rounded arrangement (the old approach) both destroys pixel
+    hits (an original segment through a pixel whose rounded image only
+    grazes the corner) and fabricates them."""
     segs = []
     for g in (a, b):
         for comp in g.flatten():
             for arr in comp.coords_list():
                 for i in range(len(arr) - 1):
-                    if (arr[i] != arr[i + 1]).any():
-                        segs.append(
-                            (
-                                (float(arr[i, 0]), float(arr[i, 1])),
-                                (float(arr[i + 1, 0]), float(arr[i + 1, 1])),
-                            )
-                        )
-    out = set()
-    for i in range(len(segs)):
-        for j in range(i + 1, len(segs)):
-            kind, pts = alg.segment_intersection(segs[i][0], segs[i][1], segs[j][0], segs[j][1])
+                    p0 = (float(arr[i, 0]), float(arr[i, 1]))
+                    p1 = (float(arr[i + 1, 0]), float(arr[i + 1, 1]))
+                    if p0 != p1:
+                        segs.append((p0, p1))
+    hot = set()
+    for g in (a, b):
+        for comp in g.flatten():
+            if comp.gtype == POINT:
+                continue  # point operands are LOCATED against the noded
+                # arrangement, never noded into it (no hot pixel)
+            for arr in comp.coords_list():
+                for p in arr:
+                    hot.add(_snap_round_pt((float(p[0]), float(p[1])), grid))
+    if segs:
+        sarr = np.array([(s[0][0], s[0][1], s[1][0], s[1][1]) for s in segs])
+        for i, j in _bbox_pairs(sarr, sarr):
+            if j <= i:
+                continue
+            _k, pts = alg.segment_intersection(segs[i][0], segs[i][1], segs[j][0], segs[j][1])
             for p in pts:
-                out.add(
-                    (
-                        float(np.floor(p[0] / grid + 0.5) * grid),
-                        float(np.floor(p[1] / grid + 0.5) * grid),
-                    )
-                )
-    return out
+                hot.add(_snap_round_pt((float(p[0]), float(p[1])), grid))
+    half = grid / 2.0
+    narr = np.array(sorted(hot), dtype=np.float64) if hot else np.empty((0, 2))
+
+    def route(arr):
+        """One original chain -> rounded chain detouring through every hot
+        pixel its ORIGINAL segments cross (consecutive duplicates merged)."""
+        out = []
+        for i in range(len(arr) - 1):
+            q0 = (float(arr[i, 0]), float(arr[i, 1]))
+            q1 = (float(arr[i + 1, 0]), float(arr[i + 1, 1]))
+            r0 = _snap_round_pt(q0, grid)
+            r1 = _snap_round_pt(q1, grid)
+            if not out:
+                out.append(r0)
+            if q0 == q1:
+                continue
+            minx = min(q0[0], q1[0]) - half
+            maxx = max(q0[0], q1[0]) + half
+            miny = min(q0[1], q1[1]) - half
+            maxy = max(q0[1], q1[1]) + half
+            m = (
+                (narr[:, 0] >= minx)
+                & (narr[:, 0] <= maxx)
+                & (narr[:, 1] >= miny)
+                & (narr[:, 1] <= maxy)
+            )
+            inner = []
+            dx = q1[0] - q0[0]
+            dy = q1[1] - q0[1]
+            ll = dx * dx + dy * dy
+            for qq in narr[m]:
+                c = (float(qq[0]), float(qq[1]))
+                if c == r0 or c == r1:
+                    continue
+                if _segment_hits_pixel(q0, q1, c, half):
+                    t = ((c[0] - q0[0]) * dx + (c[1] - q0[1]) * dy) / ll
+                    inner.append((t, c))
+            for _t, c in sorted(inner):
+                if c != out[-1]:
+                    out.append(c)
+            if r1 != out[-1]:
+                out.append(r1)
+        if not out and len(arr):
+            out.append(_snap_round_pt((float(arr[0, 0]), float(arr[0, 1])), grid))
+        return np.array(out, dtype=np.float64)
+
+    def rebuild(g):
+        parts = []
+        for comp in g.flatten():
+            if comp.gtype == POINT:
+                parts.append(Geom(POINT, np.array(_snap_round_pt((float(comp.data[0]), float(comp.data[1])), grid))))
+            elif comp.gtype == LINESTRING:
+                r = route(comp.data)
+                if len(r) >= 2:
+                    parts.append(Geom(LINESTRING, r, tag=comp.tag))
+                elif len(r) == 1:
+                    parts.append(Geom(POINT, r[0]))
+            elif comp.gtype == POLYGON:
+                parts.append(Geom(POLYGON, [route(rg) for rg in comp.data]))
+        if not parts:
+            return _empty_like(g)
+        if len(parts) == 1:
+            return parts[0]
+        return Geom(GEOMETRYCOLLECTION, parts)
+
+    return rebuild(a), rebuild(b)
+
+
