@@ -165,8 +165,8 @@ def buffer(g: Geom, dist: float, quad_segs: int = 8, join: str = "round") -> Geo
             for r in rings:
                 pieces.extend(_mitre_wedges(r, -dist))
         grid = _buffer_grid(dist)
-        shrink = union_all(pieces, grid)
-        res = overlay(area, shrink, "difference", grid)
+        shrink = union_all(pieces, grid, weld=True)
+        res = overlay(area, shrink, "difference", grid, weld=True)
         # erosion yields areas only
         out = [c for c in res.flatten() if c.gtype == POLYGON]
         if not out:

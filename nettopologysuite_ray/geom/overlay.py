@@ -50,9 +50,11 @@ def _snap_arr(arr, grid: float):
     return np.floor(np.asarray(arr, dtype=np.float64) / grid + 0.5) * grid
 
 
-def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_line_output: bool = True, ng: bool = False) -> Geom:
+def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_line_output: bool = True, ng: bool = False, weld: bool = False) -> Geom:
     """merge_line_output: legacy OverlayOp merges lineal resultants into
-    maximal linestrings; OverlayNG emits the noded edges unmerged."""
+    maximal linestrings; OverlayNG emits the noded edges unmerged.
+    weld: grid is a robustness weld (buffer piece unions), not a precision
+    model - vertex snapping only, no node rounding / collapse semantics."""
     if op not in _OPS:
         raise ValueError(op)
     dim_a, dim_b = a.dimension, b.dimension
@@ -65,15 +67,17 @@ def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_lin
             a, b = snap_round_inputs(a, b, grid_size)
         a = snap_clean(a, grid_size)
         b = snap_clean(b, grid_size)
-    res = _overlay_general(a, b, op, merge_line_output, ng, grid_size)
+    res, protected = _overlay_general(a, b, op, merge_line_output, ng, grid_size, weld)
     if grid_size and res is not None:
-        res = _snap_result(res, grid_size, op)
+        # legacy dimensional-collapse lines survive even inside the result
+        # area (TestOverlayAAPrec); other covered lines are filtered
+        res = _snap_result(res, grid_size, op, protected_lines=protected)
     if res is not None and not res.is_empty:
         return res
     return _empty_result(op, dim_a, dim_b)
 
 
-def _snap_result(g: Geom, grid: float, op: str) -> Geom:
+def _snap_result(g: Geom, grid: float, op: str, protected_lines: set | None = None) -> Geom:
     """Snap-rounding post-pass on an overlay result: round ordinates to the
     grid, split self-touching rings created by the rounding into minimal
     rings, and degrade collapsed slivers to lines/points (reference
@@ -154,6 +158,25 @@ def _snap_result(g: Geom, grid: float, op: str) -> Geom:
         seenl.add(key)
         if not _line_covered(ln, poly_geoms):
             out_lines.append(ln)
+            continue
+        # covered dimensional-collapse lines survive ONLY in intersection,
+        # and only when both endpoints touch the result-area boundary
+        # (legacy LineBuilder.CollectBoundaryTouchEdge: interior-area edges
+        # are collected for the intersection op)
+        prot = protected_lines and any(
+            (min(tuple(ln[k2]), tuple(ln[k2 + 1])), max(tuple(ln[k2]), tuple(ln[k2 + 1])))
+            in protected_lines
+            for k2 in range(len(ln) - 1)
+        )
+        if prot and op == "intersection":
+            def _on_boundary(px, py):
+                return any(
+                    alg.locate_point_in_rings(px, py, rings) == B for rings in polys
+                )
+            if _on_boundary(float(ln[0, 0]), float(ln[0, 1])) and _on_boundary(
+                float(ln[-1, 0]), float(ln[-1, 1])
+            ):
+                out_lines.append(ln)
     pts = [p for p in dict.fromkeys(points) if not _point_covered(p, poly_geoms, out_lines)]
     return _compose(polys, out_lines, pts)
 
@@ -409,7 +432,7 @@ class _Edges:
                         )
 
 
-def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float | None = None):
+def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float | None = None, hot: bool = True):
     """Split both edge sets at mutual intersections.
 
     Returns (pieces_a, pieces_b): per input, list of
@@ -417,6 +440,11 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float |
     pieces collinear with an edge of the OTHER geometry:
     (other_interior_left_relative_to_piece_dir, other_kind).
     """
+    # legacy fixed-precision rounds COMPUTED intersection points to the
+    # model (LineIntersector + PrecisionModel); its lineal EdgeList
+    # semantics differ, so the legacy path rounds only in the area/area
+    # case (NG always rounds - inputs are already snap-rounded)
+    node_grid = grid if (hot or (ea.dim == 2 and eb.dim == 2)) else None
     splits_a = [[] for _ in ea.segs]
     splits_b = [[] for _ in eb.segs]
     ovl_a = [[] for _ in ea.segs]
@@ -434,9 +462,9 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float |
                 continue
             if kind == "point":
                 p = (float(pts[0][0]), float(pts[0][1]))
-                if grid:
-                    # snap-rounding: every arrangement node lands on the grid
-                    p = (float(np.floor(p[0] / grid + 0.5) * grid), float(np.floor(p[1] / grid + 0.5) * grid))
+                if node_grid:
+                    # precision model: every arrangement node lands on the grid
+                    p = _snap_round_pt(p, node_grid)
                 node_pts.add(p)
                 splits_a[ia].append(_param_t(s1, p))
                 splits_b[ib].append(_param_t(s2, p))
@@ -471,6 +499,8 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float |
                     continue
                 for p in pts if kind == "overlap" else pts[:1]:
                     p = (float(p[0]), float(p[1]))
+                    if node_grid:
+                        p = _snap_round_pt(p, node_grid)
                     in1 = p != s1[0] and p != s1[1]
                     in2 = p != s2[0] and p != s2[1]
                     if in1:
@@ -510,7 +540,7 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float |
         for p, c in counts.items():
             if c >= 2:
                 revisit.add(p)
-    if grid:
+    if grid and hot:
         # hot-pixel pass: a segment passing within half a grid cell of any
         # node snaps to (is split at) that node — the reference's
         # SnapRoundingNoder hot-pixel rule (Noding/Snapround/SnapRoundingNoder.cs:38)
@@ -676,15 +706,41 @@ def _member(locA, locB, op: str) -> bool:
     return (locA == I) != (locB == I)
 
 
-def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, ng: bool = False, grid: float | None = None) -> Geom | None:
+def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, ng: bool = False, grid: float | None = None, weld: bool = False) -> Geom | None:
     ea = _Edges(a)
     eb = _Edges(b)
-    pa, pb, node_pts, revisit = _node_edges(ea, eb, point_noding=ng, grid=(grid if ng else None))
+    pa, pb, node_pts, revisit = _node_edges(
+        ea, eb, point_noding=ng, grid=(None if (weld and not ng) else grid), hot=ng
+    )
 
     result_edges = []  # directed (p0, p1) with result interior on left
     line_pieces = []  # dim-1 resultants
+    collapse_pieces = []  # legacy dimensional-collapse lines (unfiltered)
     seen_shared = set()
     seen_shared_lines = set()
+    seen_own_interior = set()
+
+    # legacy fixed precision: node rounding can make two ring pieces of the
+    # SAME operand coincide with opposite interior sides (adjacent shells,
+    # zero-width slivers).  The merged edge is interior to that operand
+    # (Label becomes a dim-collapse line label, GeometryGraph.EdgeList
+    # merge): it is NOT a result-area boundary, and it surfaces as a LINE
+    # resultant wherever the op includes (I, loc_other) - even inside the
+    # result area (observed legacy artifact, TestOverlayAAPrec).
+    own_interior_keys_a: set = set()
+    own_interior_keys_b: set = set()
+    if grid and not ng and not weld:
+        for pieces, tgt in ((pa, own_interior_keys_a), (pb, own_interior_keys_b)):
+            groups: dict = {}
+            for p in pieces:
+                if p["kind"] != "ring":
+                    continue
+                k = _piece_key(p)
+                nil = p["il"] if p["p0"] == k[0] else (not p["il"])
+                groups.setdefault(k, set()).add(nil)
+            for k, nils in groups.items():
+                if len(nils) == 2:
+                    tgt.add(k)
 
     # exact piece-coincidence across sides: snap-rounding can bend two
     # non-collinear input segments onto the SAME noded piece — detect by
@@ -729,10 +785,33 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
 
     def handle_area_piece(piece, own_is_a: bool, other: _Edges, other_geom: Geom):
         """Ring piece → maybe a result boundary edge and/or a line resultant."""
+        key0 = _piece_key(piece)
+        own_coll = own_interior_keys_a if own_is_a else own_interior_keys_b
+        other_coll = own_interior_keys_b if own_is_a else own_interior_keys_a
+        if key0 in own_coll:
+            # collapsed-interior edge of this operand: no boundary edge;
+            # a line resultant if the op includes (I, loc_other)
+            if key0 in seen_own_interior:
+                return
+            seen_own_interior.add(key0)
+            if piece["over"] is not None and piece["over"][1] == "ring":
+                loc_other = I  # on the other's boundary: counts as covered
+            else:
+                loc_other = classify_area_side(piece, other)
+            la2, lb2 = (I, loc_other) if own_is_a else (loc_other, I)
+            if _member(la2, lb2, op):
+                collapse_pieces.append(
+                    (piece["p0"], piece["p1"], "shared", ("a" if own_is_a else "b", piece["comp"], piece["segidx"], piece["t0"]))
+                )
+            return
         il = piece["il"]
         own_left, own_right = (I, E) if il else (E, I)
         over = piece["over"]
-        if over is not None and over[1] == "ring":
+        if over is not None and over[1] == "ring" and key0 in other_coll:
+            # coincident with a collapsed pair of the OTHER operand: its
+            # 2-D sides there are Exterior (zero-width interior)
+            o_left = o_right = E
+        elif over is not None and over[1] == "ring":
             key = _piece_key(piece)
             if key in seen_shared:
                 return
@@ -815,20 +894,47 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
     # puntal resultants
     points = _point_resultants(a, b, ea, eb, pa, pb, op)
 
+    # legacy fixed precision: a crossing between COLLAPSED interior edges
+    # (or a lineal piece and the other operand's collapsed edge) is a
+    # point with location (I, I) - a point resultant where the op admits
+    # it and nothing higher-dimensional covers it (PointBuilder over
+    # dim-collapse labels; TestOverlayAAPrec "intersecting slivers")
+    if grid and not ng and not weld and (own_interior_keys_a or own_interior_keys_b):
+        colla = [p for p in pa if p["kind"] == "ring" and _piece_key(p) in own_interior_keys_a]
+        collb = [p for p in pb if p["kind"] == "ring" and _piece_key(p) in own_interior_keys_b]
+        linesa = [p for p in pa if p["kind"] == "line"]
+        linesb = [p for p in pb if p["kind"] == "line"]
+        seen_cp = set()
+        if _member(I, I, op):
+            for side1, side2 in ((colla, collb + linesb), (linesa, collb)):
+                for p1 in side1:
+                    for p2 in side2:
+                        _k4, ipts = alg.segment_intersection(p1["p0"], p1["p1"], p2["p0"], p2["p1"])
+                        for q in ipts:
+                            q = (float(q[0]), float(q[1]))
+                            if q not in seen_cp:
+                                seen_cp.add(q)
+                                points.append((q, True))
+
     # drop lower-dim resultants covered by higher-dim ones
     poly_geoms = [Geom(POLYGON, rings) for rings in polygons]
     if merge_line_output:
         lines = _legacy_lines(line_pieces, node_pts | revisit)
+        extra_lines = _legacy_lines(collapse_pieces, node_pts | revisit) if collapse_pieces else []
     else:
         lines = _ng_lines(line_pieces, node_pts)
-    lines = [ln for ln in lines if not _line_covered(ln, poly_geoms)]
+        extra_lines = []
+    lines = [ln for ln in lines if not _line_covered(ln, poly_geoms)] + extra_lines
     pts = [
         p
         for p, derived in points
         if not _point_covered(p, poly_geoms, lines)
     ]
 
-    return _compose(polygons, lines, pts)
+    protected = {
+        (min(p0, p1), max(p0, p1)) for p0, p1, _k, _m in collapse_pieces
+    }
+    return _compose(polygons, lines, pts), protected
 
 
 def _piece_key(piece):
@@ -1281,7 +1387,7 @@ def _compose(polygons, lines, points) -> Geom | None:
     return Geom(GEOMETRYCOLLECTION, parts)
 
 
-def union_all(geoms, grid_size: float | None = None) -> Geom:
+def union_all(geoms, grid_size: float | None = None, weld: bool = False) -> Geom:
     """Unary union (reference: Operation/Union/UnaryUnionOp.cs:46): fold
     polygonal components through binary union (cascaded semantics,
     CascadedPolygonUnion.cs:37); node lineal components among themselves
@@ -1307,7 +1413,7 @@ def union_all(geoms, grid_size: float | None = None) -> Geom:
                 points.append((float(comp.data[0]), float(comp.data[1])))
     acc = None
     for p in polys:
-        acc = p if acc is None else overlay(acc, p, "union", grid_size)
+        acc = p if acc is None else overlay(acc, p, "union", grid_size, weld=weld)
     parts = []
     if acc is not None:
         parts.extend(c for c in acc.flatten() if c.gtype == POLYGON)
