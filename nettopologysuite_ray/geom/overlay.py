@@ -729,7 +729,7 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
     # result area (observed legacy artifact, TestOverlayAAPrec).
     own_interior_keys_a: set = set()
     own_interior_keys_b: set = set()
-    if grid and not ng and not weld:
+    if grid and not weld:
         for pieces, tgt in ((pa, own_interior_keys_a), (pb, own_interior_keys_b)):
             groups: dict = {}
             for p in pieces:
@@ -794,6 +794,55 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
             if key0 in seen_own_interior:
                 return
             seen_own_interior.add(key0)
+            if ng:
+                # OverlayNG: probe the operand's area depth on each side.
+                # interior|interior -> gap collapse, faces fuse silently;
+                # exterior|exterior -> a zero-width INTERIOR strip (shell
+                # meeting hole): collapsed line with own location I
+                mx = (piece["p0"][0] + piece["p1"][0]) / 2.0
+                my = (piece["p0"][1] + piece["p1"][1]) / 2.0
+                dx = piece["p1"][0] - piece["p0"][0]
+                dy = piece["p1"][1] - piece["p0"][1]
+                ll = math.hypot(dx, dy)
+                eps = (grid or 1.0) * 1e-3
+                ox, oy = -dy / ll * eps, dx / ll * eps
+
+                def _loc_own(px, py):
+                    cr = 0
+                    for comp in (ea if own_is_a else eb).geom.flatten():
+                        if comp.gtype != POLYGON:
+                            continue
+                        lo = alg.locate_point_in_rings(px, py, comp.data)
+                        if lo == B:
+                            return I
+                        if lo == I:
+                            cr += 1
+                    return I if cr % 2 == 1 else E
+
+                dl_ = _loc_own(mx + ox, my + oy)
+                dr_ = _loc_own(mx - ox, my - oy)
+                if dl_ == I and dr_ == I:
+                    return
+                if dl_ == E and dr_ == E:
+                    loc_other = classify_area_side(piece, other)
+                    la2, lb2 = (I, loc_other) if own_is_a else (loc_other, I)
+                    if _member(la2, lb2, op):
+                        line_pieces.append(
+                            (piece["p0"], piece["p1"], "shared", ("a" if own_is_a else "b", piece["comp"], piece["segidx"], piece["t0"]))
+                        )
+                    return
+                # mixed: genuine boundary edge with interior on the probed side
+                loc_other = classify_area_side(piece, other)
+                la_l, lb_l = (dl_, loc_other) if own_is_a else (loc_other, dl_)
+                la_r, lb_r = (dr_, loc_other) if own_is_a else (loc_other, dr_)
+                m_l2 = _member(la_l, lb_l, op)
+                m_r2 = _member(la_r, lb_r, op)
+                if m_l2 != m_r2:
+                    if m_l2:
+                        result_edges.append((piece["p0"], piece["p1"]))
+                    else:
+                        result_edges.append((piece["p1"], piece["p0"]))
+                return
             if piece["over"] is not None and piece["over"][1] == "ring":
                 loc_other = I  # on the other's boundary: counts as covered
             else:
@@ -878,17 +927,13 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
                     seen_d.add(kk)
                     line_pieces.append((a3, b3, "shared", ("a", -1, k3, 0.0)))
 
-    # lineal operands (collapsed linework only participates in
-    # intersection/union results)
+    # lineal operands; collapsed linework participates in every op
+    # (A-collapsed spikes survive difference where B does not cover them)
     for piece in pa:
-        if piece["kind"] == "line" or (
-            piece["kind"] == "cline" and op in ("intersection", "union")
-        ):
+        if piece["kind"] in ("line", "cline"):
             _handle_line_piece(piece, True, b, op, line_pieces)
     for piece in pb:
-        if piece["kind"] == "line" or (
-            piece["kind"] == "cline" and op in ("intersection", "union")
-        ):
+        if piece["kind"] == "line" or (piece["kind"] == "cline" and op != "difference"):
             _handle_line_piece(piece, False, a, op, line_pieces)
 
     # puntal resultants
