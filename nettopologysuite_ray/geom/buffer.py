@@ -181,7 +181,10 @@ def buffer(g: Geom, dist: float, quad_segs: int = 8, join: str = "round") -> Geo
             pieces.extend(_mitre_wedges(arr, dist))
     for p in points:
         pieces.append(_disk(float(p[0]), float(p[1]), dist, quad_segs))
-    res = union_all(pieces)
+    # weld half-ulp near-misses between piece vertices (a disk vertex at a
+    # 45-degree turn cannot hit the abutting rect corner bit-exactly);
+    # without this the union fold can drop a whole piece boundary
+    res = union_all(pieces, _buffer_grid(dist), weld=True)
     out = [c for c in res.flatten() if c.gtype == POLYGON]
     if not out:
         return Geom.empty(POLYGON)

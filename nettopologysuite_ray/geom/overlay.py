@@ -58,6 +58,7 @@ def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_lin
     if op not in _OPS:
         raise ValueError(op)
     dim_a, dim_b = a.dimension, b.dimension
+    orig_a, orig_b = a, b
     if grid_size:
         if ng:
             # snap-rounding (OverlayNG SR): node the ORIGINAL arrangement —
@@ -67,7 +68,10 @@ def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_lin
             a, b = snap_round_inputs(a, b, grid_size)
         a = snap_clean(a, grid_size)
         b = snap_clean(b, grid_size)
-    res, protected = _overlay_general(a, b, op, merge_line_output, ng, grid_size, weld)
+    res, protected = _overlay_general(
+        a, b, op, merge_line_output, ng, grid_size, weld,
+        point_loc_geoms=((orig_a, orig_b) if (grid_size and ng) else None),
+    )
     if grid_size and res is not None:
         # legacy dimensional-collapse lines survive even inside the result
         # area (TestOverlayAAPrec); other covered lines are filtered
@@ -441,10 +445,13 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float |
     (other_interior_left_relative_to_piece_dir, other_kind).
     """
     # legacy fixed-precision rounds COMPUTED intersection points to the
-    # model (LineIntersector + PrecisionModel); its lineal EdgeList
-    # semantics differ, so the legacy path rounds only in the area/area
-    # case (NG always rounds - inputs are already snap-rounded)
-    node_grid = grid if (hot or (ea.dim == 2 and eb.dim == 2)) else None
+    # model (LineIntersector + PrecisionModel).  The legacy path applies
+    # this when an areal operand is involved; pure line/line keeps exact
+    # nodes - this engine's per-segment line dedup would otherwise merge
+    # retraces that only coincide AFTER rounding, which the reference
+    # keeps as one edge (TestOverlayLLPrec "narrow V").  NG always rounds:
+    # its inputs are already snap-rounded.
+    node_grid = grid if (hot or ea.dim == 2 or eb.dim == 2) else None
     splits_a = [[] for _ in ea.segs]
     splits_b = [[] for _ in eb.segs]
     ovl_a = [[] for _ in ea.segs]
@@ -706,7 +713,7 @@ def _member(locA, locB, op: str) -> bool:
     return (locA == I) != (locB == I)
 
 
-def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, ng: bool = False, grid: float | None = None, weld: bool = False) -> Geom | None:
+def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, ng: bool = False, grid: float | None = None, weld: bool = False, point_loc_geoms=None) -> Geom | None:
     ea = _Edges(a)
     eb = _Edges(b)
     pa, pb, node_pts, revisit = _node_edges(
@@ -936,8 +943,17 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
         if piece["kind"] == "line" or (piece["kind"] == "cline" and op != "difference"):
             _handle_line_piece(piece, False, a, op, line_pieces)
 
-    # puntal resultants
-    points = _point_resultants(a, b, ea, eb, pa, pb, op)
+    # puntal resultants; under OverlayNG snap-rounding, a rounded point
+    # operand is located against the ORIGINAL other geometry - the
+    # non-point input is not rounded for the location test (reference:
+    # OverlayNG/OverlayMixedPoints.cs; TestNGOverlayPPrec "line is not
+    # rounded")
+    # ...but only when the other operand is non-puntal: point-vs-point
+    # compares rounded against rounded, and derived boundary-touch nodes
+    # come from the rounded arrangement
+    loc_a = point_loc_geoms[0] if (point_loc_geoms and ea.dim >= 1) else a
+    loc_b = point_loc_geoms[1] if (point_loc_geoms and eb.dim >= 1) else b
+    points = _point_resultants(loc_a, loc_b, ea, eb, pa, pb, op, touch_a=a, touch_b=b)
 
     # legacy fixed precision: a crossing between COLLAPSED interior edges
     # (or a lineal piece and the other operand's collapsed edge) is a
@@ -1025,7 +1041,7 @@ def _handle_line_piece(piece, own_is_a: bool, other_geom: Geom, op: str, line_pi
         )
 
 
-def _point_resultants(a, b, ea, eb, pa, pb, op):
+def _point_resultants(a, b, ea, eb, pa, pb, op, touch_a=None, touch_b=None):
     """Isolated points of the result: operand points kept per op + boundary
     touch points in an intersection."""
     pts = []  # (point, is_derived_touch)
@@ -1040,15 +1056,18 @@ def _point_resultants(a, b, ea, eb, pa, pb, op):
                 pts.append((p, False))
         if ea.dim >= 1 and eb.dim >= 1:
             # boundary/boundary touch nodes (derived, absorbed by any
-            # polygon contact downstream)
-            ends: dict = {}
-            for piece in pa + pb:
-                for q in (piece["p0"], piece["p1"]):
-                    ends.setdefault(q, 0)
-                    ends[q] += 1
-            for q in ends:
-                la = alg.locate_in_geom(q[0], q[1], a)
-                lb = alg.locate_in_geom(q[0], q[1], b)
+            # polygon contact downstream).  A node that is an endpoint of
+            # noded pieces from BOTH sides lies on both by construction -
+            # the float locate can miss a rational crossing point
+            ends_a = {q for piece in pa for q in (piece["p0"], piece["p1"])}
+            ends_b = {q for piece in pb for q in (piece["p0"], piece["p1"])}
+            for q in ends_a | ends_b:
+                la = alg.locate_in_geom(q[0], q[1], touch_a if touch_a is not None else a)
+                lb = alg.locate_in_geom(q[0], q[1], touch_b if touch_b is not None else b)
+                if la == E and q in ends_a and q in ends_b:
+                    la = I
+                if lb == E and q in ends_a and q in ends_b:
+                    lb = I
                 if la != E and lb != E:
                     pts.append((q, True))
     elif op == "union":
@@ -1460,15 +1479,19 @@ def union_all(geoms, grid_size: float | None = None, weld: bool = False) -> Geom
     for p in polys:
         acc = p if acc is None else overlay(acc, p, "union", grid_size, weld=weld)
     parts = []
-    if acc is not None:
-        parts.extend(c for c in acc.flatten() if c.gtype == POLYGON)
-    line_parts = []
-    if lines:
-        lines_g = Geom(MULTILINESTRING, lines)
-        other = acc if acc is not None else Geom.empty(POLYGON)
-        line_res = overlay(lines_g, other, "difference", grid_size)
-        line_parts = [c for c in line_res.flatten() if c.gtype == LINESTRING]
-        parts.extend(line_parts)
+    if lines and acc is not None:
+        # area/line union through overlay, as UnaryUnionOp does: the area
+        # boundary is NODED where lines touch it, and only uncovered line
+        # remnants survive
+        mixed = overlay(acc, Geom(MULTILINESTRING, lines), "union", grid_size, weld=weld)
+        parts.extend(c for c in mixed.flatten() if c.gtype in (POLYGON, LINESTRING))
+    else:
+        if acc is not None:
+            parts.extend(c for c in acc.flatten() if c.gtype == POLYGON)
+        if lines:
+            lines_g = Geom(MULTILINESTRING, lines)
+            line_res = overlay(lines_g, Geom.empty(POLYGON), "difference", grid_size)
+            parts.extend(c for c in line_res.flatten() if c.gtype == LINESTRING)
     for pt in dict.fromkeys(points):
         covered = False
         for pg in parts:
