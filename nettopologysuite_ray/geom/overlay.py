@@ -1478,6 +1478,28 @@ def union_all(geoms, grid_size: float | None = None, weld: bool = False) -> Geom
     acc = None
     for p in polys:
         acc = p if acc is None else overlay(acc, p, "union", grid_size, weld=weld)
+    if grid_size is None and acc is not None and len(polys) > 1:
+        # robust-union fallback (reference: UnaryUnionOp -> OverlayNGRobust
+        # snap retry): float noise between nearly-coincident boundaries can
+        # leave abutting components unmerged.  Retry the fold on a
+        # magnitude-relative weld grid; accept only if it MERGES components
+        # and preserves area
+        out0 = [c for c in acc.flatten() if c.gtype == POLYGON]
+        if len(out0) > 1:
+            mx = max(
+                (abs(float(v)) for c in polys for arr in c.coords_list() for q in arr for v in q),
+                default=0.0,
+            )
+            if mx > 0:
+                tol = 2.0 ** (math.floor(math.log2(mx)) - 40)
+                acc2 = None
+                for p in polys:
+                    acc2 = p if acc2 is None else overlay(acc2, p, "union", tol, weld=True)
+                out2 = [c for c in acc2.flatten() if c.gtype == POLYGON]
+                a0 = sum(alg.area(c) for c in out0)
+                a2 = sum(alg.area(c) for c in out2)
+                if 0 < len(out2) < len(out0) and abs(a2 - a0) <= 1e-6 * max(a0, 1.0):
+                    acc = acc2
     parts = []
     if lines and acc is not None:
         # area/line union through overlay, as UnaryUnionOp does: the area
