@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from fractions import Fraction
 
+import math
 import numpy as np
 
 from .types import (
@@ -787,16 +788,32 @@ def simplify_dp(g: Geom, tol: float) -> Geom:
                 return polys[0]
             if polys:
                 return Geom(MULTIPOLYGON, [p.data for p in polys])
+        from .validity import is_valid
+
+        if len(rings) > 1 and not is_valid(out):
+            # a simplified hole crossing the shell: the reference repairs
+            # by winding (buffer-0 semantics) - shell minus hole areas,
+            # poking hole parts clipped at the shell boundary
+            from .overlay import overlay, union_all
+
+            shell_g = Geom(POLYGON, [rings[0]])
+            holes_u = union_all([Geom(POLYGON, [h]) for h in rings[1:]])
+            return overlay(shell_g, holes_u, "difference")
         return out
     if t == MULTILINESTRING:
         return Geom(MULTILINESTRING, [_dp(ls, tol, False) for ls in g.data])
     if t == MULTIPOLYGON:
-        out = []
+        parts = []
         for rings in g.data:
             p = simplify_dp(Geom(POLYGON, rings), tol)
             if not p.is_empty:
-                out.append(p.data)
-        return Geom(MULTIPOLYGON, out)
+                parts.extend(c for c in p.flatten() if c.gtype == POLYGON)
+        if not parts:
+            return Geom.empty(POLYGON)
+        if len(parts) == 1:
+            # collapsed components drop; a single survivor is a POLYGON
+            return parts[0]
+        return Geom(MULTIPOLYGON, [p.data for p in parts])
     return Geom(GEOMETRYCOLLECTION, [simplify_dp(c, tol) for c in g.data])
 
 
@@ -1112,23 +1129,32 @@ def boundary(g: Geom) -> Geom:
 
 
 def simplify_tp(g: Geom, tol: float) -> Geom:
-    """Topology-preserving simplification (reference:
-    Simplify/TopologyPreservingSimplifier.cs:46): DP flattening of a
-    section is accepted only if the replacement chord does not properly
-    intersect any OTHER current linework (other components, other sections
-    of the same ring) — so components never cross, collapse, or touch new
-    things.  Rings keep >= 4 points."""
-    comps = []  # (kind, coords, owner)  kind: 'line'|'shell'|'hole'
-    layout = []  # to rebuild
+    """Topology-preserving simplification - a faithful re-creation of the
+    reference pipeline (Simplify/TopologyPreservingSimplifier.cs,
+    TaggedLineStringSimplifier.cs, ComponentJumpChecker.cs):
+
+    - every linear component (line / ring) becomes a tagged line with
+      min_size (4 for closed, else 2), simplified in ascending
+      envelope-area order against SHARED input/output segment indexes
+    - a section flattens only if (a) the depth-based worst-case keeps the
+      result above min_size, (b) max deviation <= tol, (c) the chord has
+      no interior intersection with any output segment or any live input
+      segment outside the section, and (d) it does not jump any other
+      component (ray-crossing parity at the component's second vertex)
+    - rings get a final endpoint-removal pass under the same checks
+    """
     t = g.gtype
+    comps = []  # dicts: coords, closed, min_size
+    layout = []
+
     def collect(gg):
         if gg.gtype == LINESTRING:
-            comps.append(["line", gg.data.copy()])
+            comps.append({"pts": [(float(p[0]), float(p[1])) for p in gg.data]})
             layout.append(("line", len(comps) - 1, gg.tag))
         elif gg.gtype == POLYGON:
             idxs = []
-            for ri, r in enumerate(gg.data):
-                comps.append(["shell" if ri == 0 else "hole", r.copy()])
+            for r in gg.data:
+                comps.append({"pts": [(float(p[0]), float(p[1])) for p in r]})
                 idxs.append(len(comps) - 1)
             layout.append(("poly", idxs, None))
         elif gg.gtype in (POINT, MULTIPOINT):
@@ -1136,107 +1162,177 @@ def simplify_tp(g: Geom, tol: float) -> Geom:
         else:
             for c in gg.geoms():
                 collect(c)
-    collect(g)
 
-    def chord_blocked(ci, i0, i1):
-        """True if replacing comps[ci][i0..i1] by a chord would cross other
-        current linework."""
-        coords = comps[ci][1]
-        a = coords[i0]
-        b = coords[i1]
-        for cj, (_k, other) in enumerate(comps):
-            for s in range(len(other) - 1):
-                if cj == ci and i0 <= s < i1:
-                    continue  # the section being replaced
-                p0, p1 = other[s], other[s + 1]
-                kind, pts = segment_intersection(
-                    (a[0], a[1]), (b[0], b[1]), (p0[0], p0[1]), (p1[0], p1[1])
-                )
-                if kind == "none":
-                    continue
-                if kind == "overlap":
-                    return True
-                q = pts[0]
-                # touching at the chord endpoints is fine if the other
-                # segment already met the original there
-                if (q[0] == a[0] and q[1] == a[1]) or (q[0] == b[0] and q[1] == b[1]):
-                    if cj == ci and (s == i1 or s + 1 == i0 or (s + 1) % (len(other) - 1) == i0):
-                        continue
-                    if (q == p0).all() or (q == p1).all():
-                        continue
-                    continue
+    collect(g)
+    for c in comps:
+        pts = c["pts"]
+        c["closed"] = len(pts) >= 2 and pts[0] == pts[-1]
+        c["min_size"] = 4 if c["closed"] else 2
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        c["env_area"] = (max(xs) - min(xs)) * (max(ys) - min(ys)) if pts else 0.0
+
+    # shared input index: one entry per original segment, with a live flag
+    inp = []  # [ci, si, p0, p1, alive]
+    for ci, c in enumerate(comps):
+        for si in range(len(c["pts"]) - 1):
+            inp.append([ci, si, c["pts"][si], c["pts"][si + 1], True])
+    out_segs = []  # flattened chords, shared across components
+
+    def _interior_hit(a0, a1, b0, b1):
+        """HasInvalidIntersection: equal segments, or an intersection point
+        interior to either segment."""
+        if (a0, a1) in ((b0, b1), (b1, b0)):
+            return True
+        kind, pts = segment_intersection(a0, a1, b0, b1)
+        if kind == "none":
+            return False
+        if kind == "overlap":
+            return True
+        q = (float(pts[0][0]), float(pts[0][1]))
+        return (q != a0 and q != a1) or (q != b0 and q != b1)
+
+    def _ray_count(pt, segs):
+        n = 0
+        for p0, p1 in segs:
+            if (p0[1] > pt[1]) != (p1[1] > pt[1]):
+                xi = p0[0] + (pt[1] - p0[1]) * (p1[0] - p0[0]) / (p1[1] - p0[1])
+                if pt[0] < xi:
+                    n += 1
+        return n
+
+    def _jump(ci, section_segs, env, flat):
+        for cj, c2 in enumerate(comps):
+            if cj == ci or len(c2["pts"]) < 2:
+                continue
+            cp = c2["pts"][1]
+            if not (env[0] <= cp[0] <= env[2] and env[1] <= cp[1] <= env[3]):
+                continue
+            if _ray_count(cp, section_segs) % 2 != _ray_count(cp, [flat]) % 2:
                 return True
         return False
 
-    def _region_occupied(comps_, ci, coords, i0, i1):
-        ring = np.concatenate([coords[i0 : i1 + 1], coords[i0 : i0 + 1]], axis=0)
-        if abs(ring_signed_area(ring)) == 0.0:
-            return False
-        for cj, (_k2, other) in enumerate(comps_):
-            if cj == ci:
+    def _topo_ok(ci, i, j, flat):
+        for os_ in out_segs:
+            if _interior_hit(os_[0], os_[1], flat[0], flat[1]):
+                return False
+        for e in inp:
+            if not e[4]:
                 continue
-            for p in other:
-                if locate_point_in_rings(float(p[0]), float(p[1]), [ring]) == INTERIOR:
-                    return True
-        return False
-
-    def simplify_comp(ci, is_ring):
-        coords = comps[ci][1]
-        n = len(coords)
-        if n <= 2:
-            return
-        keep = np.zeros(n, dtype=bool)
-        keep[0] = keep[n - 1] = True
-        stack = [(0, n - 1)]
-        sections = []
-        while stack:
-            i0, i1 = stack.pop()
-            if i1 - i0 < 2:
+            if e[0] == ci and i <= e[1] < j:
                 continue
-            seg = coords[i0 + 1 : i1]
-            d = point_segments_distance(
-                seg[:, 0], seg[:, 1],
-                np.full(len(seg), coords[i0, 0]), np.full(len(seg), coords[i0, 1]),
-                np.full(len(seg), coords[i1, 0]), np.full(len(seg), coords[i1, 1]),
-            )
-            k = int(np.argmax(d))
-            if d[k] > tol or (is_ring and i1 - i0 >= n - 1):
-                mid = i0 + 1 + k
-                keep[mid] = True
-                stack.append((i0, mid))
-                stack.append((mid, i1))
-            else:
-                sections.append((i0, i1))
-        # accept flattenings only when the chord is clear AND no other
-        # component sits inside the removed region (it would switch sides)
-        for i0, i1 in sections:
-            if i1 - i0 < 2:
-                continue
-            if chord_blocked(ci, i0, i1) or _region_occupied(comps, ci, coords, i0, i1):
-                keep[i0 + 1 : i1] = True  # keep the section intact
-        out = coords[keep]
-        if is_ring and len(out) >= 5:
-            d0 = point_segments_distance(
-                np.array([out[0, 0]]), np.array([out[0, 1]]),
-                np.array([out[1, 0]]), np.array([out[1, 1]]),
-                np.array([out[-2, 0]]), np.array([out[-2, 1]]),
-            )[0]
-            if d0 <= tol:
-                out = np.concatenate([out[1:-1], out[1:2]], axis=0)
-        if is_ring and len(out) < 4:
-            return
-        comps[ci][1] = out
+            if _interior_hit(e[2], e[3], flat[0], flat[1]):
+                return False
+        pts = comps[ci]["pts"]
+        sect = [(pts[k], pts[k + 1]) for k in range(i, j)]
+        xs = [p[0] for s in sect for p in s]
+        ys = [p[1] for s in sect for p in s]
+        return not _jump(ci, sect, (min(xs), min(ys), max(xs), max(ys)), flat)
 
-    for ci, (kind, _c) in enumerate(comps):
-        simplify_comp(ci, kind in ("shell", "hole"))
+    def _seg_dist(p, a, b):
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        ll = dx * dx + dy * dy
+        if ll == 0:
+            return math.hypot(p[0] - a[0], p[1] - a[1])
+        tt = ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / ll
+        tt = 0.0 if tt < 0 else (1.0 if tt > 1 else tt)
+        return math.hypot(p[0] - (a[0] + tt * dx), p[1] - (a[1] + tt * dy))
 
-    # rebuild
+    order = sorted(range(len(comps)), key=lambda i: comps[i]["env_area"])
+    for ci in order:
+        c = comps[ci]
+        pts = c["pts"]
+        if len(pts) < 2:
+            c["res"] = []
+            continue
+        res = []  # [p0, p1, orig_seg_index | None]
+        min_size = c["min_size"]
+
+        def sect(i, j, depth):
+            depth += 1
+            if i + 1 == j:
+                res.append([pts[i], pts[j], i])
+                return
+            valid = True
+            result_size = 0 if not res else len(res) + 1
+            if result_size < min_size and depth + 1 < min_size:
+                valid = False
+            max_d = -1.0
+            kf = i
+            for k in range(i + 1, j):
+                d = _seg_dist(pts[k], pts[i], pts[j])
+                if d > max_d:
+                    max_d = d
+                    kf = k
+            if max_d > tol:
+                valid = False
+            if valid and not _topo_ok(ci, i, j, (pts[i], pts[j])):
+                valid = False
+            if valid:
+                for e in inp:
+                    if e[0] == ci and i <= e[1] < j:
+                        e[4] = False
+                out_segs.append((pts[i], pts[j]))
+                res.append([pts[i], pts[j], None])
+                return
+            sect(i, kf, depth)
+            sect(kf, j, depth)
+
+        sect(0, len(pts) - 1, 0)
+
+        # ring endpoint pass
+        if c["closed"] and (len(res) + 1) > min_size:
+            first, last = res[0], res[-1]
+            simp = (last[0], first[1])
+            end_pt = first[0]
+            if _seg_dist(end_pt, simp[0], simp[1]) <= tol:
+                ok = orient2d(simp[0][0], simp[0][1], simp[1][0], simp[1][1], end_pt[0], end_pt[1]) == 0
+                if not ok:
+                    ok = True
+                    for os_ in out_segs:
+                        if _interior_hit(os_[0], os_[1], simp[0], simp[1]):
+                            ok = False
+                            break
+                    if ok:
+                        for e in inp:
+                            if e[4] and _interior_hit(e[2], e[3], simp[0], simp[1]):
+                                ok = False
+                                break
+                    if ok:
+                        segs2 = [(first[0], first[1]), (last[0], last[1])]
+                        xs = [p[0] for s in segs2 for p in s]
+                        ys = [p[1] for s in segs2 for p in s]
+                        if _jump(ci, segs2, (min(xs), min(ys), max(xs), max(ys)), simp):
+                            ok = False
+                if ok:
+                    for seg in (first, last):
+                        if seg[2] is not None:
+                            for e in inp:
+                                if e[0] == ci and e[1] == seg[2]:
+                                    e[4] = False
+                        else:
+                            key = (seg[0], seg[1])
+                            if key in out_segs:
+                                out_segs.remove(key)
+                    first[0] = last[0]
+                    first[2] = None
+                    res.pop()
+                    out_segs.append((first[0], first[1]))
+        c["res"] = res
+
+    def coords_of(ci):
+        res = comps[ci]["res"]
+        if not res:
+            return np.asarray(comps[ci]["pts"], dtype=np.float64)
+        return np.array([res[0][0]] + [s[1] for s in res], dtype=np.float64)
+
     parts = []
     for kind, ref, tag in layout:
         if kind == "line":
-            parts.append(Geom(LINESTRING, comps[ref][1], tag=tag))
+            parts.append(Geom(LINESTRING, coords_of(ref), tag=tag))
         elif kind == "poly":
-            rings = [comps[i][1] for i in ref if len(comps[i][1]) >= 4 or comps[i][0] == "shell"]
+            rings = [coords_of(i) for i in ref]
+            rings = [r for k, r in enumerate(rings) if len(r) >= 4 or k == 0]
             if rings and len(rings[0]) >= 4:
                 parts.append(Geom(POLYGON, rings))
             else:
