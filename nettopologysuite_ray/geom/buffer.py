@@ -103,17 +103,23 @@ def _mitre_wedges(arr, d: float, limit: float = 5.0):
     beveled implicitly when beyond the mitre limit (wedge skipped —
     the rect union then gives a bevel-ish join)."""
     wedges = []
-    for i in range(1, len(arr) - 1):
-        p = arr[i]
-        n1 = _seg_normal(arr[i - 1], p, d)
-        n2 = _seg_normal(p, arr[i + 1], d)
+    closed = len(arr) >= 3 and (arr[0] == arr[-1]).all()
+    # interior vertices, plus the wrap vertex of a closed ring (the join
+    # between the last and first segments - previously missed, leaving a
+    # round-join arc at the ring seam)
+    corners = [(arr[i - 1], arr[i], arr[i + 1]) for i in range(1, len(arr) - 1)]
+    if closed:
+        corners.append((arr[-2], arr[0], arr[1]))
+    for prev_p, p, next_p in corners:
+        n1 = _seg_normal(prev_p, p, d)
+        n2 = _seg_normal(p, next_p, d)
         if n1 is None or n2 is None:
             continue
         for sgn in (1.0, -1.0):
             a1 = (p[0] + sgn * n1[0], p[1] + sgn * n1[1])
             a2 = (p[0] + sgn * n2[0], p[1] + sgn * n2[1])
-            d1 = (p[0] - arr[i - 1][0], p[1] - arr[i - 1][1])
-            d2 = (arr[i + 1][0] - p[0], arr[i + 1][1] - p[1])
+            d1 = (p[0] - prev_p[0], p[1] - prev_p[1])
+            d2 = (next_p[0] - p[0], next_p[1] - p[1])
             den = d1[0] * d2[1] - d1[1] * d2[0]
             if den == 0:
                 continue
