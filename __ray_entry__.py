@@ -524,6 +524,35 @@ def _q_distributed_union(sf_dir: str):
     return banded.groupby("band").map_groups(union_band, batch_format="pandas")
 
 
+def _q_gml_kml_roundtrip(sf_dir: str):
+    """Every conformance-corpus geometry encoded as GML2/GML3/KML and
+    parsed back (reference IO surface); returns per-format totals.
+    Distributed: corpus rows shard across the ConformanceRunner-style
+    actor pool.  Rows-only check (XML IO is not SQL-expressible)."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.sources.conformance import load_cases
+    from nettopologysuite_ray.stages.geometry import GmlKmlRoundtrip
+
+    table = load_cases(dirs=("general",)).select(["a_wkt"])
+    ds = rd.from_arrow(table)
+    partial = ds.map_batches(
+        GmlKmlRoundtrip,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    def merge(b):
+        import pyarrow as pa2
+
+        df = b.to_pandas().groupby("fmt", as_index=False)[["n", "n_ok", "bytes"]].sum()
+        return pa2.Table.from_pandas(df.sort_values("fmt"), preserve_index=False)
+
+    return partial.repartition(1).map_batches(merge, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "conformance_summary": _q_conformance,
@@ -549,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
+        "gml_kml_roundtrip": _q_gml_kml_roundtrip,
     }
 
 

@@ -239,9 +239,12 @@ def _ringseq_or_empty(tk: _Tokens, extra: int):
 
 
 def _num(v: float) -> str:
+    v = float(v)
+    if v != v:
+        return "NaN"  # reference WKTWriter invariant-culture NaN
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
-    return repr(float(v))
+    return repr(v)
 
 
 def _seq(arr) -> str:

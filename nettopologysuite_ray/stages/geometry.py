@@ -357,3 +357,58 @@ def _compare(result: str, expected: str) -> bool:
         return alg.equals_exact(eg, rg, 1e-9)
     except ValueError:
         return False
+
+
+class GmlKmlRoundtrip:
+    """Actor stage: encode each geometry as GML2, GML3 and KML, parse it
+    back, and report byte sizes + exact-equality per format (reference
+    IO surface: IO/GML2/GMLReader.cs:17, IO/KML/KMLWriter.cs:27)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geom.gml import from_gml, to_gml2, to_gml3
+        from ..geom.kml import from_kml, to_kml
+
+        def same_content(a, b):
+            """Exact equality, or identical flattened components - KML has
+            no collection typing (the reference's KMLReader rebuilds with
+            BuildGeometry, promoting homogeneous collections), so a
+            GC-of-polygons legitimately reads back as a MultiPolygon."""
+            if alg.equals_exact(a, b):
+                return True
+            if to_wkt(a) == to_wkt(b):
+                return True  # NaN ordinates: equal bytes, NaN != NaN
+            ca = list(a.flatten())
+            cb = list(b.flatten())
+            if len(ca) != len(cb):
+                return False
+            return all(
+                alg.equals_exact(x, y) or to_wkt(x) == to_wkt(y)
+                for x, y in zip(ca, cb)
+            )
+
+        wkts = batch["a_wkt"].to_pylist()
+        rows = {"fmt": [], "n": [], "n_ok": [], "bytes": []}
+        stats = {"gml2": [0, 0, 0], "gml3": [0, 0, 0], "kml": [0, 0, 0]}
+        for w in wkts:
+            if not w:
+                continue
+            try:
+                g = from_wkt(w)
+            except ValueError:
+                continue
+            for name, enc, dec in (("gml2", to_gml2, from_gml), ("gml3", to_gml3, from_gml), ("kml", to_kml, from_kml)):
+                try:
+                    doc = enc(g)
+                    ok = same_content(dec(doc), g)
+                except ValueError:
+                    doc, ok = "", False
+                s = stats[name]
+                s[0] += 1
+                s[1] += int(bool(ok))
+                s[2] += len(doc)
+        for name, (n, n_ok, nbytes) in stats.items():
+            rows["fmt"].append(name)
+            rows["n"].append(n)
+            rows["n_ok"].append(n_ok)
+            rows["bytes"].append(nbytes)
+        return pa.Table.from_pydict(rows)

@@ -174,3 +174,38 @@ def test_grid_index_candidates_cover_truth():
     )
     true_pairs = set(zip(*np.nonzero(hits)))
     assert true_pairs <= cand
+
+
+def test_gml_kml_roundtrip():
+    """GML2/GML3/KML IO (reference: IO/GML2/GMLWriter.cs:20,
+    IO/KML/KMLReader.cs:16): every geometry type roundtrips exactly;
+    the reader is dialect- and namespace-agnostic."""
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.gml import from_gml, to_gml2, to_gml3
+    from nettopologysuite_ray.geom.kml import from_kml, to_kml
+    from nettopologysuite_ray.geom.wkt import from_wkt, to_wkt
+
+    cases = [
+        "POINT (10 20)",
+        "LINESTRING (0 0, 10 5, 20 0)",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+        "MULTIPOINT ((1 2), (3 4))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 5 0, 5 5, 0 5, 0 0)), ((10 10, 15 10, 15 15, 10 15, 10 10)))",
+        "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 2), POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0)))",
+        "POINT (10.25 -3.5)",
+    ]
+    for w in cases:
+        g = from_wkt(w)
+        for enc, dec in ((to_gml2, from_gml), (to_gml3, from_gml), (to_kml, from_kml)):
+            assert alg.equals_exact(dec(enc(g)), g), (enc.__name__, w)
+    # GML2 dialect detail: comma-in-tuple coordinates
+    assert "<gml:coordinates>0,0 10,5 20,0</gml:coordinates>" in to_gml2(from_wkt(cases[1]))
+    # GML3 dialect: posList with flat ordinates
+    assert "<gml:posList>0 0 10 5 20 0</gml:posList>" in to_gml3(from_wkt(cases[1]))
+    # reader tolerates Placemark wrappers and z ordinates (dropped)
+    doc = (
+        '<kml xmlns="http://www.opengis.net/kml/2.2"><Placemark>'
+        "<Point><coordinates>1,2,30</coordinates></Point></Placemark></kml>"
+    )
+    assert to_wkt(from_kml(doc)) == "POINT (1 2)"
