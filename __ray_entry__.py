@@ -553,6 +553,70 @@ def _q_gml_kml_roundtrip(sf_dir: str):
     return partial.repartition(1).map_batches(merge, batch_format="pyarrow")
 
 
+def _q_coverage_simplify(sf_dir: str):
+    """Per-band coverage simplification of the admin-boundary coverage
+    (reference: Coverage/CoverageSimplifier.cs:48): polygons grouped into
+    bands, each band's coverage simplified edge-consistently inside a
+    map_groups task; reports vertex reduction + validity.  Rows-only."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.sources.pages import admin_boundaries_table
+
+    t = admin_boundaries_table(fancy=True).select(["admin_id", "geometry_wkb"])
+    ds = rd.from_arrow(t)
+
+    def band_of(b):
+        import numpy as np
+        import pyarrow as pa2
+
+        aid = b["admin_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("band", pa2.array((aid % 12).astype("int64")))
+
+    def simplify_band(g: pd.DataFrame) -> pd.DataFrame:
+        from nettopologysuite_ray.geom import algorithms as alg
+        from nettopologysuite_ray.geom.coverage_simplify import coverage_simplify
+        from nettopologysuite_ray.geom.validity import is_valid
+        from nettopologysuite_ray.geom.wkb import from_wkb as _fwkb
+
+        import numpy as np
+        import pandas as pd2
+
+        from nettopologysuite_ray.geom.types import Geom as _G
+
+        def densify(p, k=4):
+            rings = []
+            for r in p.data:
+                pts = [r[0]]
+                for a2, b2 in zip(r[:-1], r[1:]):
+                    for s in range(1, k + 1):
+                        pts.append(a2 + (b2 - a2) * (s / k))
+                rings.append(np.array(pts))
+            return _G("Polygon", rings)
+
+        # densified borders (collinear vertices) give the simplifier real
+        # work; shared borders densify identically so edges still dedup
+        polys = [densify(_fwkb(w)) for w in g["geometry_wkb"]]
+        simp = coverage_simplify(polys, 0.05)
+        nv0 = sum(len(r) for p in polys for r in p.data)
+        nv1 = sum(len(r) for p in simp for r in p.data)
+        return pd2.DataFrame(
+            {
+                "band": [int(g["band"].iloc[0])],
+                "n_polys": [len(polys)],
+                "verts_before": [nv0],
+                "verts_after": [nv1],
+                "all_valid": [bool(all(is_valid(p) for p in simp))],
+                "area_after": [float(sum(alg.area(p) for p in simp))],
+            }
+        )
+
+    return (
+        ds.map_batches(band_of, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(simplify_band, batch_format="pandas")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "conformance_summary": _q_conformance,
@@ -579,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
         "gml_kml_roundtrip": _q_gml_kml_roundtrip,
+        "coverage_simplify": _q_coverage_simplify,
     }
 
 

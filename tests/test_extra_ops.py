@@ -143,3 +143,58 @@ def test_variable_buffer_and_offset_curve():
     assert (pts[:, 1] >= -1e-9).all()  # left side only (y >= 0)
     oc2 = extra.offset_curve(from_wkt("LINESTRING (0 0, 10 0)"), -2.0)
     assert (oc2.all_coords()[:, 1] <= 1e-9).all()
+
+
+def test_simplify_vw():
+    """Visvalingam-Whyatt (reference: Simplify/VWSimplifier.cs:29)."""
+    from nettopologysuite_ray.geom.coverage_simplify import simplify_vw
+    from nettopologysuite_ray.geom.wkt import from_wkt, to_wkt
+
+    g = from_wkt("LINESTRING (0 0, 1 0.1, 2 0, 3 0.1, 4 0, 10 0, 10 10)")
+    assert to_wkt(simplify_vw(g, 1.0)) == "LINESTRING (0 0, 10 0, 10 10)"
+    # tiny tolerance: unchanged
+    assert to_wkt(simplify_vw(g, 0.01)) == to_wkt(g)
+
+
+def test_coverage_simplify_edge_consistent():
+    """Coverage simplification keeps shared borders identical between
+    neighbours (reference: Coverage/CoverageSimplifier.cs:48)."""
+    import numpy as np
+
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.coverage_simplify import coverage_simplify
+    from nettopologysuite_ray.geom.overlay import overlay, union_all
+    from nettopologysuite_ray.geom.types import Geom
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    def wiggle(p0, p1, k=4, amp=0.15, seed=0):
+        rng = np.random.default_rng(seed)
+        ts = np.linspace(0, 1, k + 1)
+        base = np.outer(1 - ts, p0) + np.outer(ts, p1)
+        d = np.array(p1) - np.array(p0)
+        nrm = np.array([-d[1], d[0]]) / np.hypot(*d)
+        off = rng.uniform(-amp, amp, size=k + 1)
+        off[0] = off[-1] = 0
+        return base + np.outer(off, nrm)
+
+    H = {(i, j): wiggle((i, j), (i + 1, j), seed=100 + i * 10 + j) for i in range(3) for j in range(4)}
+    V = {(i, j): wiggle((i, j), (i, j + 1), seed=200 + i * 10 + j) for i in range(4) for j in range(3)}
+    cells = []
+    for i in range(3):
+        for j in range(3):
+            ring = np.concatenate(
+                [H[(i, j)][:-1], V[(i + 1, j)][:-1], H[(i, j + 1)][::-1][:-1], V[(i, j)][::-1]]
+            )
+            cells.append(Geom.polygon(ring))
+    simp = coverage_simplify(cells, 0.4)
+    assert all(is_valid(c) for c in simp)
+    nv0 = sum(len(c.data[0]) for c in cells)
+    nv1 = sum(len(c.data[0]) for c in simp)
+    assert nv1 < nv0 * 0.5
+    # coverage property: no overlaps appear between any pair
+    for x in range(len(simp)):
+        for y in range(x + 1, len(simp)):
+            assert alg.area(overlay(simp[x], simp[y], "intersection")) == 0.0
+    # inner-only keeps the union (outer boundary) EXACT
+    simp2 = coverage_simplify(cells, 0.4, inner_only=True)
+    assert abs(alg.area(union_all(simp2)) - alg.area(union_all(cells))) < 1e-9
