@@ -52,7 +52,7 @@ def simplify_vw(g: Geom, tol: float) -> Geom:
             if not p.is_empty:
                 parts.append(p.data)
         if not parts:
-            return Geom.empty(POLYGON)
+            return Geom.empty(MULTIPOLYGON)
         if len(parts) == 1:
             return Geom(POLYGON, parts[0])
         return Geom(MULTIPOLYGON, parts)
@@ -133,7 +133,10 @@ def coverage_simplify(geoms, tol: float, inner_only: bool = False):
     for pts in rings:
         n = len(pts) - 1
         for i in range(n):
-            prev_b = is_boundary(pts[i - 1], pts[i])
+            # at i=0 the true previous vertex is pts[n-1]; pts[-1] is the
+            # closing duplicate of pts[0] (a degenerate segment) and would
+            # make every ring-start vertex a spurious node
+            prev_b = is_boundary(pts[(i - 1) % n], pts[i])
             next_b = is_boundary(pts[i], pts[i + 1])
             if prev_b != next_b:
                 nodes.add(pts[i])  # boundary/inner transition vertex
@@ -177,11 +180,16 @@ def coverage_simplify(geoms, tol: float, inner_only: bool = False):
     area_tol = tol * tol
 
     def all_other_vertices(skip_ei):
-        out = []
+        arrs = []
         for ej, e in enumerate(edges):
+            if ej == skip_ei:
+                continue
             pts = e["new"] if "new" in e else e["pts"]
-            out.extend(pts if ej != skip_ei else [])
-        return out
+            if pts:
+                arrs.append(np.asarray(pts, dtype=np.float64))
+        if not arrs:
+            return np.empty((0, 2), dtype=np.float64)
+        return np.concatenate(arrs)
 
     for ei, e in enumerate(edges):
         pts = list(e["pts"])
@@ -234,10 +242,12 @@ def coverage_simplify(geoms, tol: float, inner_only: bool = False):
     return out_geoms
 
 
-def _corner_clear(pts, i, guard_vertices) -> bool:
+def _corner_clear(pts, i, guard_xy) -> bool:
     """True if removing corner i keeps topology: no other vertex of the
     edge set lies inside (or on) the corner triangle (reference:
-    TPVWSimplifier.Edge.IsRemovable / HasIntersectingVertex)."""
+    TPVWSimplifier.Edge.IsRemovable / HasIntersectingVertex).  guard_xy is
+    an (N,2) float array; candidates are bbox-filtered vectorized so only
+    the (usually tiny) survivors pay the robust orientation test."""
     a, b, c = pts[i - 1], pts[i], pts[i + 1]
     minx = min(a[0], b[0], c[0])
     maxx = max(a[0], b[0], c[0])
@@ -256,9 +266,16 @@ def _corner_clear(pts, i, guard_vertices) -> bool:
         pos = (d1 > 0) or (d2 > 0) or (d3 > 0)
         return not (neg and pos)
 
-    for p in guard_vertices:
-        if inside(p):
-            return False
+    if len(guard_xy):
+        m = (
+            (guard_xy[:, 0] >= minx)
+            & (guard_xy[:, 0] <= maxx)
+            & (guard_xy[:, 1] >= miny)
+            & (guard_xy[:, 1] <= maxy)
+        )
+        for p in guard_xy[m]:
+            if inside((p[0], p[1])):
+                return False
     for j, p in enumerate(pts):
         if j not in (i - 1, i, i + 1) and inside(p):
             return False

@@ -1492,6 +1492,26 @@ def union_all(geoms, grid_size: float | None = None, weld: bool = False) -> Geom
             )
             if mx > 0:
                 tol = 2.0 ** (math.floor(math.log2(mx)) - 40)
+                # a multi-component result is the NORMAL outcome for
+                # genuinely disjoint inputs (cascaded union of disjoint
+                # cells); only pay the ~2x retry when a merge is plausible:
+                # some two components' envelopes within the weld tolerance
+                envs = sorted(alg.envelope(c) for c in out0)
+                plausible = False
+                for ei in range(len(envs)):
+                    x0, y0, x1, y1 = envs[ei]
+                    for ej in range(ei + 1, len(envs)):
+                        bx0, by0, bx1, by1 = envs[ej]
+                        if bx0 > x1 + tol:
+                            break  # sorted by minx: no later env can touch
+                        if by0 <= y1 + tol and by1 >= y0 - tol:
+                            plausible = True
+                            break
+                    if plausible:
+                        break
+                if not plausible:
+                    mx = 0.0  # skip retry
+            if mx > 0:
                 acc2 = None
                 for p in polys:
                     acc2 = p if acc2 is None else overlay(acc2, p, "union", tol, weld=True)

@@ -37,36 +37,43 @@ def within_distance_join(
     n = 1 << level
     world_w = 36000  # cents
     world_h = 18000
-    cell_w = world_w / n
-    cell_h = world_h / n
     r = int(radius_1e2)
 
     def cells_of(lon, lat, expand: bool):
         """Cell ids covered by [lon-r, lon+r] x [lat-r, lat+r] (expand) or
-        the single containing cell."""
+        the single containing cell.  Pure integer arithmetic (coords are
+        integer cents) so cell assignment is deterministic cross-platform;
+        floor is monotonic, so a left point within distance r of a right
+        point always lands inside the right point's expanded cell range."""
+        lon = lon.astype(np.int64)
+        lat = lat.astype(np.int64)
         if expand:
-            x0 = np.clip(((lon - r + 18000) // cell_w).astype(np.int64), 0, n - 1)
-            x1 = np.clip(((lon + r + 18000) // cell_w).astype(np.int64), 0, n - 1)
-            y0 = np.clip(((lat - r + 9000) // cell_h).astype(np.int64), 0, n - 1)
-            y1 = np.clip(((lat + r + 9000) // cell_h).astype(np.int64), 0, n - 1)
+            x0 = np.clip((lon - r + 18000) * n // world_w, 0, n - 1)
+            x1 = np.clip((lon + r + 18000) * n // world_w, 0, n - 1)
+            y0 = np.clip((lat - r + 9000) * n // world_h, 0, n - 1)
+            y1 = np.clip((lat + r + 9000) * n // world_h, 0, n - 1)
             return x0, x1, y0, y1
-        x = np.clip(((lon + 18000) // cell_w).astype(np.int64), 0, n - 1)
-        y = np.clip(((lat + 9000) // cell_h).astype(np.int64), 0, n - 1)
+        x = np.clip((lon + 18000) * n // world_w, 0, n - 1)
+        y = np.clip((lat + 9000) * n // world_h, 0, n - 1)
         return x, x, y, y
 
     def tag(batch: pa.Table, keys, expand: bool, side: int) -> pa.Table:
         lon = batch["lon_1e2"].to_numpy(zero_copy_only=False)
         lat = batch["lat_1e2"].to_numpy(zero_copy_only=False)
         x0, x1, y0, y1 = cells_of(lon, lat, expand)
-        counts = ((x1 - x0 + 1) * (y1 - y0 + 1)).astype(np.int64)
+        sx = x1 - x0 + 1
+        counts = (sx * (y1 - y0 + 1)).astype(np.int64)
+        total = int(counts.sum())
         idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
-        cells = np.empty(int(counts.sum()), dtype=np.int64)
-        pos = 0
-        for i2 in range(len(batch)):
-            for cy in range(int(y0[i2]), int(y1[i2]) + 1):
-                for cx in range(int(x0[i2]), int(x1[i2]) + 1):
-                    cells[pos] = cy * n + cx
-                    pos += 1
+        # vectorized row-major (y outer, x inner) enumeration of each row's
+        # cell rectangle: off = position within the row's block
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        sx_r = np.repeat(sx, counts)
+        cx = np.repeat(x0, counts) + off % sx_r
+        cy = np.repeat(y0, counts) + off // sx_r
+        cells = cy * n + cx
         out = {k: batch[k].take(pa.array(idx)) for k in keys}
         out["lon_1e2"] = batch["lon_1e2"].take(pa.array(idx))
         out["lat_1e2"] = batch["lat_1e2"].take(pa.array(idx))
@@ -111,11 +118,14 @@ def within_distance_join(
         d2 = dx * dx + dy * dy
         ii, jj = np.nonzero(d2 <= r2)
         out = {}
+        # the null-padded union promotes key columns to NaN-bearing float64
+        # in pandas; cast back so every output block shares one int64 schema
+        # (the driver value-hash distinguishes 42.0 from 42)
         for k in lk:
-            out[k] = lefts[k].to_numpy()[ii]
+            out[k] = lefts[k].to_numpy()[ii].astype(np.int64)
         for k in rk:
-            out[k] = rights[k].to_numpy()[jj]
-        out["dist2"] = d2[ii, jj]
+            out[k] = rights[k].to_numpy()[jj].astype(np.int64)
+        out["dist2"] = d2[ii, jj].astype(np.int64)
         return pd.DataFrame(out)
 
     return both.groupby("cell").map_groups(join_cell, batch_format="pandas")

@@ -198,3 +198,36 @@ def test_coverage_simplify_edge_consistent():
     # inner-only keeps the union (outer boundary) EXACT
     simp2 = coverage_simplify(cells, 0.4, inner_only=True)
     assert abs(alg.area(union_all(simp2)) - alg.area(union_all(cells))) < 1e-9
+
+
+def test_coverage_simplify_standalone_ring_survives():
+    """A free ring (no nodes) must keep >= 4 vertices at any tolerance —
+    the ring-wrap vertex is not a node (reference: CoverageSimplifier
+    preserves a minimal ring; regression for the pts[-1] closing-dup bug)."""
+    from nettopologysuite_ray.geom.coverage_simplify import coverage_simplify
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    sq = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    (out,) = coverage_simplify([sq], tol=8)
+    assert not out.is_empty
+    assert len(out.data[0]) >= 4
+    # shared border between two squares stays identical and un-noded
+    a = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    b = from_wkt("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")
+    oa, ob = coverage_simplify([a, b], tol=3)
+    sa = {tuple(p) for p in oa.data[0]}
+    sb = {tuple(p) for p in ob.data[0]}
+    assert {(10.0, 0.0), (10.0, 10.0)} <= (sa & sb)
+
+
+def test_simplify_vw_multi_collapse_keeps_type():
+    """simplify_vw of a MultiPolygon whose parts all vanish returns an
+    empty MULTIpolygon (type-stable), not an empty Polygon."""
+    from nettopologysuite_ray.geom.coverage_simplify import simplify_vw
+    from nettopologysuite_ray.geom.types import Geom, MULTIPOLYGON
+    import numpy as np
+
+    deg = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])  # <4 pts => collapses
+    mp = Geom(MULTIPOLYGON, [[deg], [deg + 5.0]])
+    out = simplify_vw(mp, 100.0)
+    assert out.gtype == "MultiPolygon" and out.is_empty
