@@ -46,7 +46,14 @@ class MinHasher:
     banded into `bands` LSH buckets of `rows` rows each.
     """
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3, seed: int = 42):
+    def __init__(
+        self,
+        num_perm: int = 64,
+        bands: int = 16,
+        ngram: int = 3,
+        seed: int = 42,
+        emit_shingles: bool = False,
+    ):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _M61, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _M61, size=num_perm, dtype=np.uint64)
@@ -54,6 +61,10 @@ class MinHasher:
         self.bands = bands
         self.rows = num_perm // bands
         self.ngram = ngram
+        # emit_shingles: also output each doc's unique shingle-hash set
+        # (list<int64> "sh") so exact-Jaccard verification downstream never
+        # re-reads/re-tokenizes the text — the expensive pass runs once
+        self.emit_shingles = emit_shingles
         # per-actor token hash cache: md5 per UNIQUE token, not per shingle
         # occurrence — vocabulary is small relative to the token stream
         self._token_hash: dict[str, int] = {}
@@ -69,22 +80,31 @@ class MinHasher:
             out[i] = h
         return out
 
-    def signature(self, text: str) -> np.ndarray:
+    def shingle_set(self, text: str) -> np.ndarray:
+        """Unique shingle hashes of text (uint64).  Distinct hashes are in
+        1:1 correspondence with distinct word-n-gram strings (md5-based
+        token hashes; collision probability negligible), so set sizes and
+        intersections equal the exact string-shingle Jaccard quantities."""
         toks = text.split()
         n = self.ngram
         if not toks:
-            return np.full(self.num_perm, _M61, dtype=np.uint64)
+            return np.empty(0, dtype=np.uint64)
         ids = self._token_ids(toks)
         if len(ids) < n:
-            h = np.array([ids.sum(dtype=np.uint64)], dtype=np.uint64)
-        else:
-            # vectorized shingle hash: position-weighted combination of the
-            # n token hashes (deterministic; no per-shingle string building)
-            P1 = np.uint64(1099511628211)
-            h = ids[: len(ids) - n + 1].copy()
-            for k in range(1, n):
-                h = h * P1 + ids[k : len(ids) - n + 1 + k]
-            h = np.unique(h)
+            return np.array([ids.sum(dtype=np.uint64)], dtype=np.uint64)
+        # vectorized shingle hash: position-weighted combination of the
+        # n token hashes (deterministic; no per-shingle string building)
+        P1 = np.uint64(1099511628211)
+        h = ids[: len(ids) - n + 1].copy()
+        for k in range(1, n):
+            h = h * P1 + ids[k : len(ids) - n + 1 + k]
+        return np.unique(h)
+
+    def signature(self, text: str, h: np.ndarray | None = None) -> np.ndarray:
+        if h is None:
+            h = self.shingle_set(text)
+        if len(h) == 0:
+            return np.full(self.num_perm, _M61, dtype=np.uint64)
         # (P, S) matrix of permuted hashes; min over shingles
         v = (
             self.a[:, None] * (h[None, :] % _M61) + self.b[:, None]
@@ -93,7 +113,8 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts])
+        shs = [self.shingle_set(t) for t in texts]
+        sigs = np.stack([self.signature(t, h) for t, h in zip(texts, shs)])
         out = batch.drop_columns([c for c in ("text",) if c in batch.column_names])
         # band keys: hash of each band's rows → LSH bucket ids
         band_keys = np.empty((len(texts), self.bands), dtype=np.int64)
@@ -105,77 +126,146 @@ class MinHasher:
             band_keys[:, b] = (mix >> np.uint64(1)).astype(np.int64)
         out = out.append_column("minhash_sig", pa.array(list(sigs.astype(np.int64))))
         out = out.append_column("band_keys", pa.array(list(band_keys)))
+        if self.emit_shingles:
+            out = out.append_column(
+                "sh",
+                pa.array([h.astype(np.int64) for h in shs], type=pa.list_(pa.int64())),
+            )
         return out
 
 
-def lsh_candidate_pairs(ds, id_col: str = "doc_id"):
-    """Explode band keys → groupby(band, key) → per-bucket candidate pairs.
+def lsh_candidate_pairs(ds, id_col: str = "doc_id", max_bucket: int = 10000):
+    """Explode band keys → groupby(band, bucket) shuffle → per-bucket
+    candidate pairs → distinct.
 
-    The classic MinHash-LSH shuffle: pairs sharing ANY band bucket are
-    candidates; exact-verify downstream with jaccard().  Dedup of the
-    pair list across buckets happens in the final distinct.
+    The classic MinHash-LSH shuffle, fully distributed: the only all-to-all
+    carries (id, band, bucket) int rows — docs × bands of them, independent
+    of text size — and pairs sharing ANY band bucket are emitted where the
+    bucket lives.  No driver-side materialization at any stage; a pair
+    appearing in k buckets is deduped by a second (tiny, pair-keyed)
+    shuffle.  Exact-verify candidates downstream with
+    lsh_verified_pairs()/jaccard().
+
+    max_bucket guards a degenerate hot bucket (m members emit m^2/2 pairs):
+    buckets above the cap are skipped — at sane signature params a bucket
+    that large means the docs are near-identical and already pair through
+    their other bands.
     """
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        bks = batch["band_keys"].to_pylist()
-        out_id, out_band, out_key = [], [], []
-        for i, keys in zip(ids, bks):
-            for b, k in enumerate(keys):
-                out_id.append(i)
-                out_band.append(b)
-                out_key.append(k)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bks = np.asarray(batch["band_keys"].to_pylist(), dtype=np.int64)
+        nb = bks.shape[1] if bks.ndim == 2 else 0
         return pa.table(
             {
-                id_col: pa.array(out_id, type=pa.int64()),
-                "band": pa.array(out_band, type=pa.int32()),
-                "bucket": pa.array(out_key, type=pa.int64()),
+                id_col: pa.array(np.repeat(ids, nb)),
+                "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), len(ids))),
+                "bucket": pa.array(bks.reshape(-1)),
             }
         )
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    # candidate buckets (>= 2 members) are RARE — count with a map-side
-    # combiner, then pair only rows in those buckets.  Far cheaper than a
-    # per-bucket map_groups over every singleton bucket (8000 tiny tasks).
-    def bucket_counts(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(["band", "bucket"], as_index=False).size()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                }
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
-    partials = exploded.map_batches(bucket_counts, batch_format="pyarrow")
+    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+        pair_bucket, batch_format="pandas"
+    )
 
-    def hot_and_pair(batch: pa.Table, rows_df: pd.DataFrame) -> pd.DataFrame:
-        df = batch.to_pandas()
-        tot = df.groupby(["band", "bucket"], as_index=False)["size"].sum()
-        hot = tot[tot["size"] >= 2][["band", "bucket"]]
-        members = rows_df.merge(hot, on=["band", "bucket"])
-        out = set()
-        for (_b, _k), g in members.groupby(["band", "bucket"]):
-            ids = sorted(set(g[id_col].tolist()))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out.add((ids[i], ids[j]))
-        pairs = sorted(out)
-        return pd.DataFrame(
+    # distinct (id_a, id_b): local dedup per block, then a pair-keyed
+    # groupby over the (near-dup-density-sized) remainder
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Count
+
+    deduped = (
+        pairs.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="nbuckets"))
+    )
+    return deduped.select_columns(["id_a", "id_b"])
+
+
+def lsh_verified_pairs(
+    sigs,
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    num_partitions: int = 16,
+    max_bucket: int = 10000,
+):
+    """MinHash-LSH candidates exact-verified by true n-gram Jaccard
+    (distributed end-to-end; reference for the dedup role: SURVEY.md §2.8).
+
+    sigs must carry id_col, band_keys and the per-doc unique shingle-hash
+    set "sh" (MinHasher(emit_shingles=True)) — the expensive tokenize pass
+    runs once; verification joins the (small) candidate pair list back to
+    shingle sets with two hash-shuffle joins, never re-reading text.
+
+    A pair qualifies when jaccard >= threshold_num/threshold_den, tested in
+    exact integer arithmetic: threshold_den * |A∩B| >= threshold_num *
+    |A∪B|.  Output: id_a, id_b, inter, uni (all int64) — deterministic at
+    any parallelism, so the whole operator is SQL-oracle-checkable.
+    """
+    sigs = sigs.materialize()  # consumed twice: banding + shingle lookup
+    cand = lsh_candidate_pairs(sigs, id_col=id_col, max_bucket=max_bucket)
+
+    sh = sigs.select_columns([id_col, "sh"])
+
+    def _packed(idname: str, shname: str):
+        # Ray's hash join rejects list-typed payload columns; ship the
+        # sorted int64 shingle set as its raw little-endian bytes instead
+        def pack(b: pa.Table) -> pa.Table:
+            packed = [
+                np.asarray(v, dtype="<i8").tobytes() for v in b["sh"].to_pylist()
+            ]
+            return pa.table(
+                {idname: b[id_col], shname: pa.array(packed, type=pa.binary())}
+            )
+
+        return sh.map_batches(pack, batch_format="pyarrow")
+
+    sh_a = _packed("id_a", "sh_a")
+    sh_b = _packed("id_b", "sh_b")
+    j = cand.join(sh_a, "inner", num_partitions, on=("id_a",))
+    j = j.join(sh_b, "inner", num_partitions, on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ia = batch["id_a"].to_numpy(zero_copy_only=False)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False)
+        sa = batch["sh_a"].to_pylist()
+        sb = batch["sh_b"].to_pylist()
+        inter = np.empty(len(ia), dtype=np.int64)
+        uni = np.empty(len(ia), dtype=np.int64)
+        for i in range(len(ia)):
+            a = np.frombuffer(sa[i], dtype="<i8")
+            b = np.frombuffer(sb[i], dtype="<i8")
+            k = len(np.intersect1d(a, b, assume_unique=True))
+            inter[i] = k
+            uni[i] = len(a) + len(b) - k
+        keep = threshold_den * inter >= threshold_num * uni
+        return pa.table(
             {
-                "id_a": pd.Series([p[0] for p in pairs], dtype="int64"),
-                "id_b": pd.Series([p[1] for p in pairs], dtype="int64"),
+                "id_a": pa.array(ia[keep]),
+                "id_b": pa.array(ib[keep]),
+                "inter": pa.array(inter[keep]),
+                "uni": pa.array(uni[keep]),
             }
         )
 
-    # the exploded table is small per-row (3 ints); collecting it into the
-    # final single-task pairing is fine at any realistic near-dup density —
-    # at extreme scale the same shape runs as a bucket-hash shuffle instead
-    import ray
-
-    rows_ref = ray.put(exploded.to_pandas())
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        rows_df = ray.get(rows_ref)
-        return pa.Table.from_pandas(hot_and_pair(batch, rows_df), preserve_index=False)
-
-    return partials.repartition(1).map_batches(finalize, batch_format="pyarrow")
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
@@ -220,14 +310,24 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", small_result: bool = True):
+def exact_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    small_result: bool = False,
+    shuffle_partitions: int = 32,
+):
     """Exact dedup: md5(text) partition key → keep min id per group.
 
     The LineDissolver/KdTree-snap shape of SURVEY.md §2.8 exact dedup:
     canonical key + groupby.first.  Map-side combining keeps the shuffle
-    at one row per (task, distinct text).  small_result=True merges the
-    combined partials in one task (fine while |distinct| fits a block);
-    at corpus scale set False for the hash-shuffle groupby path.
+    at one row per (task, distinct text).  The DEFAULT merge is a
+    key-colocating sort groupby over the combined partials (no task ever
+    holds more than its key range — at corpus scale distinct ≈ docs, so
+    this is the only safe default); repartition(shuffle_partitions) first
+    keeps the all-to-all task matrix small.  small_result=True merges in
+    ONE task — only for inputs whose distinct-text count is known to fit
+    a block.
     """
 
     def keyed(batch: pa.Table) -> pa.Table:
@@ -252,6 +352,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", small_result
         return partials.repartition(1).map_batches(merge, batch_format="pyarrow")
     from ray.data.aggregate import Min, Sum
 
-    return partials.groupby("text_key").aggregate(
-        Min("keep_id", alias_name="keep_id"), Sum("dup_count", alias_name="dup_count")
+    return (
+        partials.repartition(shuffle_partitions)
+        .groupby("text_key")
+        .aggregate(
+            Min("keep_id", alias_name="keep_id"),
+            Sum("dup_count", alias_name="dup_count"),
+        )
     )

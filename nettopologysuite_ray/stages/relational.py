@@ -59,11 +59,13 @@ def grouped_sum(ds, keys, sum_cols, count_alias: str | None = None, small_result
     the all-to-all shuffle moves |tasks|x|keys| rows instead of the full
     dataset — the skew-proof aggregate shape (SURVEY.md §4.2).
 
-    small_result=True (low-cardinality keys): the partials are coalesced to
-    one block before the final combine, replacing the 64-reducer sort
-    shuffle with a single-task reduce — same result, ~6s less fixed
-    overhead per query at this cluster size.  Set False when |keys| is
-    large (e.g. per-cell stats at high tile levels)."""
+    small_result=True (the default) is for STRUCTURALLY bounded key sets —
+    group-by-category rollups (returnflag/status, region, lang) whose
+    cardinality does not grow with data size: the partials coalesce to one
+    block and a single-task reduce replaces the sort shuffle (~6s less
+    fixed overhead per query at this cluster size).  Set False whenever
+    |keys| scales with the data (per-cell stats at high tile levels,
+    per-entity rollups) for the key-colocating sort-groupby path."""
     keys = list(keys)
     sum_cols = list(sum_cols)
 
@@ -89,7 +91,7 @@ def grouped_sum(ds, keys, sum_cols, count_alias: str | None = None, small_result
     aggs = [Sum(c, alias_name=c) for c in sum_cols]
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))
-    return partials.groupby(keys).aggregate(*aggs)
+    return partials.repartition(32).groupby(keys).aggregate(*aggs)
 
 
 def top_k(ds, sort_cols, k: int, descending=True):

@@ -50,14 +50,22 @@ def partial_cell_counts(batch: pa.Table, cell_col: str = "cell_id") -> pa.Table:
     )
 
 
-def tile_stats(ds, cell_col: str = "cell_id", count_alias: str = "n", small_result: bool = True):
+def tile_stats(
+    ds,
+    cell_col: str = "cell_id",
+    count_alias: str = "n",
+    small_result: bool = True,
+    shuffle_partitions: int = 32,
+):
     """cell_id → row count, with map-side pre-aggregation before the shuffle.
 
     Equivalent to ds.groupby(cell).count() but the exchange carries partial
     counts (skew-proof: a hot cell adds one row per upstream task, not one
-    per entity).  small_result=True merges the partials in one task —
-    right whenever |distinct cells| fits a block (level<=12 world grids);
-    at higher levels set False for the hash-shuffle groupby path."""
+    per entity).  small_result=True merges the partials in one task — the
+    key set here is STRUCTURALLY bounded by the grid (4^level cells
+    regardless of data size), so this is scale-safe for level<=12 world
+    grids; at higher levels set False for the key-colocating sort-groupby
+    path (repartitioned first so the all-to-all task matrix stays small)."""
     partials = ds.map_batches(
         lambda b: partial_cell_counts(b, cell_col), batch_format="pyarrow"
     )
@@ -85,17 +93,33 @@ def tile_stats(ds, cell_col: str = "cell_id", count_alias: str = "n", small_resu
         return lvl1.repartition(1).map_batches(remerge, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
-    return partials.groupby(cell_col).aggregate(Sum("partial_count", alias_name=count_alias))
+    return (
+        partials.repartition(shuffle_partitions)
+        .groupby(cell_col)
+        .aggregate(Sum("partial_count", alias_name=count_alias))
+    )
 
 
-def grouped_topk_min(ds, cell_col: str, val_col: str, k: int, small_result: bool = True):
-    """Per cell: the k smallest distinct values of val_col.
+def grouped_topk_min(
+    ds,
+    cell_col: str,
+    val_col: str,
+    k: int,
+    small_result: bool = False,
+    shuffle_partitions: int = 32,
+):
+    """Per cell: the k smallest distinct values of val_col, ranked.
 
     Min-k is a MERGEABLE aggregate, so the skewed cell costs the same as
     any other: each task emits at most k rows per cell it saw (map-side
-    combine), and the final merge re-takes min-k.  This is the skew-safe
-    shape for grouped top-k; for non-mergeable per-group logic use
-    find_hot_cells + salt_hot_cells and a two-level map_groups instead."""
+    combine), and the final merge re-takes min-k.  The default merge is a
+    key-colocating sort groupby over the pre-combined partials (no task
+    ever holds more than its key range — safe at any cell cardinality);
+    repartition(shuffle_partitions) first keeps the shuffle task matrix
+    small (the all-to-all fixed cost scales with blocks^2, and partials
+    are tiny).  small_result=True merges in ONE task instead — only valid
+    when |cells| * k is block-sized (e.g. structurally bounded low-level
+    grids)."""
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -105,16 +129,37 @@ def grouped_topk_min(ds, cell_col: str, val_col: str, k: int, small_result: bool
         return pa.Table.from_pandas(df, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    if small_result:
-        def merge(batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas().drop_duplicates()
-            df = df.sort_values([cell_col, val_col], kind="mergesort")
-            df = df.groupby(cell_col, as_index=False).head(k)
-            df["rank"] = df.groupby(cell_col).cumcount()
-            return pa.Table.from_pandas(df, preserve_index=False)
 
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        df = df.sort_values([cell_col, val_col], kind="mergesort")
+        df = df.groupby(cell_col, as_index=False).head(k)
+        df["rank"] = df.groupby(cell_col).cumcount()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    if small_result:
         return partials.repartition(1).map_batches(merge, batch_format="pyarrow")
-    raise NotImplementedError("large-cardinality path: hash-shuffle groupby")
+    # large-cardinality path: bucket cells by deterministic hash, co-locate
+    # each bucket with groupby(bucket).map_groups, and run the SAME
+    # vectorized pandas merge per bucket.  Group count = shuffle_partitions
+    # (so no per-tiny-group Python overhead), per-task memory = partial
+    # rows / shuffle_partitions (hash-balanced), and every cell's rows meet
+    # in exactly one task — safe at any cell cardinality.
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cells = batch[cell_col].to_numpy(zero_copy_only=False)
+        b = (cells.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - 32)
+        return batch.append_column(
+            "_bucket", pa.array((b % np.uint64(shuffle_partitions)).astype(np.int64))
+        )
+
+    def merge_bucket(g) -> "pd.DataFrame":
+        return merge(pa.Table.from_pandas(g.drop(columns=["_bucket"]), preserve_index=False)).to_pandas()
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
 
 
 def salt_hot_cells(
