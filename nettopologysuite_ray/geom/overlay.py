@@ -1451,6 +1451,48 @@ def _compose(polygons, lines, points) -> Geom | None:
     return Geom(GEOMETRYCOLLECTION, parts)
 
 
+def _snap_cluster(polys, tol: float):
+    """SnappingNoder-style vertex snap (reference: Noding/Snap/
+    SnappingNoder.cs, SnappingPointIndex.cs): cluster ALL vertices of all
+    polygons within chebyshev tol; the representative is the FIRST-seen
+    vertex in document order (seed order of the snap index), so every
+    output coordinate is an input coordinate.  Grid-bucketed for O(V)."""
+    buckets: dict = {}
+
+    def snap_xy(x: float, y: float):
+        cx = math.floor(x / tol)
+        cy = math.floor(y / tol)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for rx, ry in buckets.get((cx + dx, cy + dy), ()):
+                    if abs(rx - x) <= tol and abs(ry - y) <= tol:
+                        return rx, ry
+        buckets.setdefault((cx, cy), []).append((x, y))
+        return x, y
+
+    out = []
+    for g in polys:
+        arrs = []
+        for ri, a in enumerate(g.coords_list()):
+            b = np.array(a, dtype=np.float64, copy=True)
+            for i in range(len(b)):
+                b[i] = snap_xy(float(b[i, 0]), float(b[i, 1]))
+            # drop consecutive duplicates created by snapping
+            keep = np.ones(len(b), dtype=bool)
+            keep[1:] = (b[1:] != b[:-1]).any(axis=1)
+            b = b[keep]
+            if len(b) and (b[0] != b[-1]).any():
+                b = np.vstack([b, b[:1]])
+            if len(b) >= 4:
+                arrs.append(b)
+            elif ri == 0:
+                arrs = None  # shell collapsed: drop the whole polygon
+                break
+        if arrs:
+            out.append(Geom(POLYGON, arrs))
+    return out
+
+
 def union_all(geoms, grid_size: float | None = None, weld: bool = False) -> Geom:
     """Unary union (reference: Operation/Union/UnaryUnionOp.cs:46): fold
     polygonal components through binary union (cascaded semantics,
@@ -1480,17 +1522,23 @@ def union_all(geoms, grid_size: float | None = None, weld: bool = False) -> Geom
         acc = p if acc is None else overlay(acc, p, "union", grid_size, weld=weld)
     if grid_size is None and acc is not None and len(polys) > 1:
         # robust-union fallback (reference: UnaryUnionOp -> OverlayNGRobust
-        # snap retry): float noise between nearly-coincident boundaries can
-        # leave abutting components unmerged.  Retry the fold on a
-        # magnitude-relative weld grid; accept only if it MERGES components
-        # and preserves area
+        # snap retries, OverlayNGRobust.cs:178): float noise between
+        # nearly-coincident boundaries can leave abutting components
+        # unmerged or produce zero-area sliver components.  First try
+        # SnappingNoder-style vertex snapping (tol = ordinate magnitude /
+        # 1e12, escalating x10 — OverlayNGRobust.SnapTolerance), which
+        # keeps result vertices on INPUT coordinates; last resort is the
+        # magnitude-relative weld grid.  Accept only results that merge
+        # components / remove slivers and preserve area.
         out0 = [c for c in acc.flatten() if c.gtype == POLYGON]
+        out0_pos = [c for c in out0 if alg.area(c) > 0.0]
+        has_sliver = len(out0_pos) < len(out0)
         if len(out0) > 1:
             mx = max(
                 (abs(float(v)) for c in polys for arr in c.coords_list() for q in arr for v in q),
                 default=0.0,
             )
-            if mx > 0:
+            if mx > 0 and not has_sliver:
                 tol = 2.0 ** (math.floor(math.log2(mx)) - 40)
                 # a multi-component result is the NORMAL outcome for
                 # genuinely disjoint inputs (cascaded union of disjoint
@@ -1512,13 +1560,42 @@ def union_all(geoms, grid_size: float | None = None, weld: bool = False) -> Geom
                 if not plausible:
                     mx = 0.0  # skip retry
             if mx > 0:
-                acc2 = None
-                for p in polys:
-                    acc2 = p if acc2 is None else overlay(acc2, p, "union", tol, weld=True)
-                out2 = [c for c in acc2.flatten() if c.gtype == POLYGON]
                 a0 = sum(alg.area(c) for c in out0)
-                a2 = sum(alg.area(c) for c in out2)
-                if 0 < len(out2) < len(out0) and abs(a2 - a0) <= 1e-6 * max(a0, 1.0):
+
+                def _accept(res):
+                    comps = [c for c in res.flatten() if c.gtype == POLYGON]
+                    pos = [c for c in comps if alg.area(c) > 0.0]
+                    if not pos or len(pos) != len(comps):
+                        return None
+                    a2 = sum(alg.area(c) for c in pos)
+                    if abs(a2 - a0) > 1e-6 * max(a0, 1.0):
+                        return None
+                    merged = len(pos) < len(out0_pos)
+                    cleaned = has_sliver and len(pos) <= len(out0_pos)
+                    if not (merged or cleaned):
+                        return None
+                    if len(pos) == 1:
+                        return pos[0]
+                    return Geom(MULTIPOLYGON, [c.data for c in pos])
+
+                acc2 = None
+                snap_tol = mx / 1e12
+                for _try in range(5):
+                    snapped = _snap_cluster(polys, snap_tol)
+                    accs = None
+                    for p in snapped:
+                        accs = p if accs is None else overlay(accs, p, "union")
+                    acc2 = _accept(accs) if accs is not None else None
+                    if acc2 is not None:
+                        break
+                    snap_tol *= 10.0
+                if acc2 is None:
+                    tol = 2.0 ** (math.floor(math.log2(mx)) - 40)
+                    accw = None
+                    for p in polys:
+                        accw = p if accw is None else overlay(accw, p, "union", tol, weld=True)
+                    acc2 = _accept(accw) if accw is not None else None
+                if acc2 is not None:
                     acc = acc2
     parts = []
     if lines and acc is not None:

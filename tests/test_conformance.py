@@ -94,3 +94,23 @@ def test_buffer_tolerance_match():
         except Exception:  # noqa: BLE001
             pass
     assert n_ok >= 30, n_ok
+
+
+def test_unary_union_floating_snap_fallback():
+    """The TestUnaryUnionFloating robust case is reproduced bit-exact by the
+    SnappingNoder-style vertex-snap retry (reference:
+    OverlayNGRobust.cs:178 OverlaySnapTries; magnitude/1e12 tolerance)."""
+    from nettopologysuite_ray.sources.conformance import load_cases
+    from nettopologysuite_ray.geom.overlay import union_all
+    from nettopologysuite_ray.geom.wkt import from_wkt, to_wkt
+    from nettopologysuite_ray.stages.geometry import _compare
+
+    rows = [
+        r
+        for r in load_cases(dirs=("general",)).to_pylist()
+        if "UnaryUnionFloating" in r["file"] and r["op"] == "union"
+    ]
+    assert rows
+    for r in rows:
+        got = union_all(list(from_wkt(r["a_wkt"]).flatten()))
+        assert _compare(to_wkt(got), r["expected"]), r["file"]
