@@ -1132,6 +1132,16 @@ def _assemble_polygons(directed_edges, degenerate_out=None):
             if not cands:
                 ok = False
                 break
+            if len(cands) > 1:
+                # the exact reverse edge is only a correct continuation when
+                # no other edge remains (immediate double-back = spur); it
+                # must also never win the angle comparison below — its true
+                # turn is -pi, but atan2 rounding can flip -pi to +pi-eps
+                nonrev = [
+                    i3 for i3 in cands if directed_edges[i3][1] != p0
+                ]
+                if nonrev:
+                    cands = nonrev
             if len(cands) == 1:
                 cur = cands[0]
             else:
