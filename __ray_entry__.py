@@ -564,6 +564,121 @@ def _q_gml_kml_roundtrip(sf_dir: str):
     return partial.repartition(1).map_batches(merge, batch_format="pyarrow")
 
 
+def _q_cluster_hulls(sf_dir: str):
+    """Per-cluster concave hull as a map_groups stage (reference:
+    Algorithm/Hull/ConcaveHull.cs:57).  Fixture points: 4 forced box
+    corners (0..10000 cents) + interior points strictly inside, so the
+    length_ratio=1 hull is exactly the box — vertex count and doubled
+    area are arithmetically oracle-checkable."""
+    import numpy as np
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def pts(b: "pa.Table"):
+        import pyarrow as pa2
+
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = did % 5
+        pi = did // 5
+        corners = np.array([[0, 0], [10000, 0], [10000, 10000], [0, 10000]])
+        x = np.where(pi < 4, corners[np.minimum(pi, 3), 0], 1 + (did * 7919) % 9999)
+        y = np.where(pi < 4, corners[np.minimum(pi, 3), 1], 1 + (did * 104729) % 9999)
+        return pa2.table(
+            {
+                "cluster": pa2.array(cluster),
+                "x": pa2.array(x.astype(np.int64)),
+                "y": pa2.array(y.astype(np.int64)),
+            }
+        )
+
+    def hull_group(g):
+        import numpy as np
+        import pandas as pd
+
+        from nettopologysuite_ray.geom import algorithms as alg
+        from nettopologysuite_ray.geom.hull import concave_hull
+        from nettopologysuite_ray.geom.types import MULTIPOINT, Geom
+
+        xy = np.stack([g["x"].to_numpy(), g["y"].to_numpy()], axis=1).astype(
+            np.float64
+        )
+        h = concave_hull(Geom(MULTIPOINT, list(xy)), length_ratio=1.0)
+        return pd.DataFrame(
+            {
+                "cluster": [np.int64(g["cluster"].iloc[0])],
+                "n_points": [np.int64(len(g))],
+                "hull_nverts": [np.int64(len(h.data[0]) - 1)],
+                "hull_area2": [np.int64(round(2 * alg.area(h)))],
+            }
+        )
+
+    return (
+        docs.map_batches(pts, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(hull_group, batch_format="pandas")
+    )
+
+
+def _q_triangulate_events(sf_dir: str):
+    """Constrained-Delaunay triangulation of per-event L-shaped polygons
+    (reference: Triangulate/Polygon/ConstrainedDelaunayTriangulator.cs:18).
+    Integer-cent vertices make the doubled triangle areas exact, so
+    triangle count (6-vertex simple polygon -> 4 tris) and total doubled
+    area are arithmetically oracle-checkable."""
+    import numpy as np
+    import ray.data as rd
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def tri_batch(b: "pa.Table"):
+        import pyarrow as pa2
+
+        from nettopologysuite_ray.geom.polytri import constrained_delaunay
+        from nettopologysuite_ray.geom.types import POLYGON, Geom
+
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = 1000 + (eid * 7) % 500
+        bb = 500 + (eid * 11) % 300
+        c = a // 2
+        d = bb + 200 + (eid * 13) % 100
+        n_tris = np.empty(len(eid), dtype=np.int64)
+        area2 = np.empty(len(eid), dtype=np.int64)
+        for i in range(len(eid)):
+            ring = np.array(
+                [
+                    [0, 0],
+                    [a[i], 0],
+                    [a[i], bb[i]],
+                    [c[i], bb[i]],
+                    [c[i], d[i]],
+                    [0, d[i]],
+                    [0, 0],
+                ],
+                dtype=np.float64,
+            )
+            gc = constrained_delaunay(Geom(POLYGON, [ring]))
+            tris = list(gc.flatten())
+            n_tris[i] = len(tris)
+            tot = 0
+            for t in tris:
+                r = t.data[0]
+                tot += abs(
+                    (r[1, 0] - r[0, 0]) * (r[2, 1] - r[0, 1])
+                    - (r[2, 0] - r[0, 0]) * (r[1, 1] - r[0, 1])
+                )
+            area2[i] = np.int64(round(tot))
+        return pa2.table(
+            {
+                "event_id": pa2.array(eid),
+                "n_tris": pa2.array(n_tris),
+                "area2": pa2.array(area2),
+            }
+        )
+
+    return events.map_batches(tri_batch, batch_format="pyarrow")
+
+
 def _q_coverage_simplify(sf_dir: str):
     """Per-band coverage simplification of the admin-boundary coverage
     (reference: Coverage/CoverageSimplifier.cs:48): polygons grouped into
@@ -655,6 +770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "gml_kml_roundtrip": _q_gml_kml_roundtrip,
         "coverage_simplify": _q_coverage_simplify,
+        "cluster_hulls": _q_cluster_hulls,
+        "triangulate_events": _q_triangulate_events,
     }
 
 
@@ -827,6 +944,29 @@ FROM documents GROUP BY lang
 SELECT md5(text) AS text_key, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
        CAST(COUNT(*) AS BIGINT) AS dup_count
 FROM documents GROUP BY md5(text)
+""",
+        # the forced-corner fixture makes the ratio=1 concave hull exactly
+        # the 10000x10000 box (see _q_cluster_hulls)
+        "cluster_hulls": """
+SELECT doc_id % 5 AS cluster, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(4 AS BIGINT) AS hull_nverts,
+       CAST(200000000 AS BIGINT) AS hull_area2
+FROM documents GROUP BY 1
+""",
+        # L-shape (0,0)-(a,0)-(a,b)-(c,b)-(c,d)-(0,d): 6-vertex simple
+        # polygon -> 4 triangles; doubled area = 2*(a*b + c*(d-b))
+        "triangulate_events": """
+WITH e AS (
+  SELECT event_id,
+         1000 + (event_id * 7) % 500 AS a,
+         500 + (event_id * 11) % 300 AS b,
+         (1000 + (event_id * 7) % 500) // 2 AS c,
+         500 + (event_id * 11) % 300 + 200 + (event_id * 13) % 100 AS d
+  FROM events
+)
+SELECT event_id, CAST(4 AS BIGINT) AS n_tris,
+       CAST(2 * (a * b + c * (d - b)) AS BIGINT) AS area2
+FROM e
 """,
         # exact all-pairs word-3-gram Jaccard >= 1/2; equals the Ray
         # LSH-candidates + exact-verify result (see _q_minhash_lsh_pairs)

@@ -65,10 +65,15 @@ def _bowyer_watson(pts: np.ndarray):
     n = len(pts)
     if n < 3:
         return []
-    # super-triangle
+    # super-triangle: vertices must be FAR outside every real circumcircle,
+    # or hull slivers (near-collinear boundary points, circumradius up to
+    # ~span/eps) connect to a super vertex instead and leave notches in the
+    # traced hull.  1e20 x span dominates any circumradius representable
+    # with float64 triangle areas; the in-circle filter/Fraction fallback
+    # stays exact at these magnitudes.
     minx, miny = pts.min(axis=0)
     maxx, maxy = pts.max(axis=0)
-    d = max(maxx - minx, maxy - miny, 1.0) * 10
+    d = max(maxx - minx, maxy - miny, 1.0) * 1e20
     cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
     sp = np.array([[cx - 2 * d, cy - d], [cx + 2 * d, cy - d], [cx, cy + 2 * d]])
     P = np.vstack([pts, sp])
