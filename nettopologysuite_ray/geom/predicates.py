@@ -36,11 +36,26 @@ F = -1
 _DIM_CHAR = {-1: "F", 0: "0", 1: "1", 2: "2"}
 
 
-class _Features:
-    __slots__ = ("geom", "points", "segs", "seg_kind", "endpoint_valence", "polys", "dim", "empty")
+def _is_boundary_valence(valence: int, rule: str) -> bool:
+    """Boundary node rules (reference: Algorithm/BoundaryNodeRule.cs:56-81):
+    mod2 (OGC SFS), endpoint, multivalent, monovalent."""
+    if rule == "mod2":
+        return valence % 2 == 1
+    if rule == "endpoint":
+        return valence > 0
+    if rule == "multivalent":
+        return valence > 1
+    if rule == "monovalent":
+        return valence == 1
+    raise ValueError(f"unknown boundary node rule: {rule}")
 
-    def __init__(self, g: Geom):
+
+class _Features:
+    __slots__ = ("geom", "points", "segs", "seg_kind", "endpoint_valence", "polys", "dim", "empty", "rule")
+
+    def __init__(self, g: Geom, rule: str = "mod2"):
         self.geom = g
+        self.rule = rule
         self.points: list[tuple[float, float]] = []
         segs: list[tuple[float, float, float, float, int]] = []
         self.endpoint_valence: dict[tuple[float, float], int] = {}
@@ -58,10 +73,19 @@ class _Features:
                     segs.append(
                         (float(ls[i2, 0]), float(ls[i2, 1]), float(ls[i2 + 1, 0]), float(ls[i2 + 1, 1]), 0)
                     )
-                if not closed and len(ls) > 1:
+                if len(ls) > 1:
+                    # EVERY LineString registers both endpoints (a closed
+                    # ring registers its start twice), exactly as
+                    # GeometryGraph.AddLineString does.  NTS applies the
+                    # rule INCREMENTALLY: boundaryCount = 1 + (1 if the
+                    # stored location is already Boundary) — equivalent to
+                    # valence parity for mod2 but NOT for the other rules
+                    # (reference: GeometriesGraph/GeometryGraph.cs:411
+                    # InsertBoundaryPoint).  Value True = boundary.
                     for p in (ls[0], ls[-1]):
                         k = (float(p[0]), float(p[1]))
-                        self.endpoint_valence[k] = self.endpoint_valence.get(k, 0) + 1
+                        bc = 1 + (1 if self.endpoint_valence.get(k) else 0)
+                        self.endpoint_valence[k] = _is_boundary_valence(bc, rule)
             elif t == POLYGON:
                 self.polys.append(comp)
                 for ring in comp.data:
@@ -82,8 +106,8 @@ class _Features:
         self.empty = g.is_empty
 
     def boundary_endpoints(self) -> set:
-        """Mod-2 rule: odd-valence line endpoints are boundary points."""
-        return {p for p, v in self.endpoint_valence.items() if v % 2 == 1}
+        """Line endpoints that are boundary under this geometry's rule."""
+        return {p for p, v in self.endpoint_valence.items() if v}
 
     def locate_structural(self, pt: tuple, on_ring: bool, on_line: bool) -> int:
         """Location of a node in THIS geometry given structural knowledge of
@@ -95,19 +119,22 @@ class _Features:
         if on_line:
             if self.endpoint_valence:
                 if pt in self.endpoint_valence:
-                    return B if self.endpoint_valence[pt] % 2 == 1 else I
+                    return B if self.endpoint_valence[pt] else I
             return I
         if pt in self.endpoint_valence:
-            return B if self.endpoint_valence[pt] % 2 == 1 else I
+            return B if self.endpoint_valence[pt] else I
         for p in self.points:
             if p == pt:
                 return I
         return alg.locate_in_geom(pt[0], pt[1], self.geom)
 
 
-def relate(a: Geom, b: Geom) -> str:
-    fa = _Features(a)
-    fb = _Features(b)
+def relate(a: Geom, b: Geom, rule: str = "mod2") -> str:
+    """rule selects the BoundaryNodeRule variant: "mod2" (OGC SFS,
+    default), "endpoint", "multivalent", "monovalent" (reference:
+    Algorithm/BoundaryNodeRule.cs:56-81, RelateOp.Relate(g1,g2,bnRule))."""
+    fa = _Features(a, rule)
+    fb = _Features(b, rule)
     M = [[F, F, F], [F, F, F], [F, F, 2]]
 
     def bump(r, c, d):
