@@ -111,13 +111,36 @@ def _q_tile_stats_morton(sf_dir: str):
 
 
 def _q_tile_hilbert(sf_dir: str):
+    """Hilbert cell assignment, oracle-checked through the DECODE round
+    trip: the emitted ix/iy are recovered from the hilbert code with
+    hilbert_decode, so encode∘decode must equal the plain quantization the
+    SQL oracle computes arithmetically — a bijectivity check the oracle
+    can express without evaluating the curve."""
     from nettopologysuite_ray.stages.tiling import assign_cells_batch
 
     ds = _entities(sf_dir).map_batches(
         lambda b: assign_cells_batch(b, level=LEVEL, kind="hilbert"),
         batch_format="pyarrow",
     )
-    return ds.select_columns(["doc_id", "entity_idx", "cell_id"])
+
+    def decode(b: "pa.Table"):
+        import pyarrow as pa2
+
+        from nettopologysuite_ray.geom.hilbert import hilbert_decode
+
+        ix, iy = hilbert_decode(
+            b["cell_id"].to_numpy(zero_copy_only=False), LEVEL
+        )
+        return pa2.table(
+            {
+                "doc_id": b["doc_id"],
+                "entity_idx": b["entity_idx"],
+                "ix": pa2.array(ix.astype("int64")),
+                "iy": pa2.array(iy.astype("int64")),
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow")
 
 
 def _admin_centers_ref():
@@ -559,6 +582,11 @@ def _q_gml_kml_roundtrip(sf_dir: str):
         import pyarrow as pa2
 
         df = b.to_pandas().groupby("fmt", as_index=False)[["n", "n_ok", "bytes"]].sum()
+        # the rows-only gate still proves round-trip correctness: fail
+        # loudly if ANY geometry did not survive encode->parse
+        bad = df[df["n_ok"] != df["n"]]
+        if len(bad):
+            raise AssertionError(f"GML/KML round-trip failures: {bad.to_dict('records')}")
         return pa2.Table.from_pandas(df.sort_values("fmt"), preserve_index=False)
 
     return partial.repartition(1).map_batches(merge, batch_format="pyarrow")
@@ -809,6 +837,43 @@ def _sql_morton_cell(level: int) -> str:
     return f"({_sql_spread(ix)} | ({_sql_spread(iy)} << 1))"
 
 
+def _sql_lang_pred() -> str:
+    """The stopword-profile heuristic of functions/text.py LangIdModel,
+    verbatim in SQL: token-occurrence hits per profile, argmax with
+    alphabetical-first tie-break, 'und' when no profile hits."""
+    from nettopologysuite_ray.functions.text import _STOPWORDS
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_STOPWORDS)
+        for w in sorted(_STOPWORDS[lang])
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+  FROM documents
+),
+prof(plang, w) AS (VALUES {rows}),
+hits AS (
+  SELECT t.doc_id, t.lang, p.plang, count(*) AS h
+  FROM tok t JOIN prof p ON p.w = t.w
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, plang AS lang_pred,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, plang ASC) AS rn
+  FROM hits
+),
+pred AS (
+  SELECT d.doc_id, d.lang, coalesce(b.lang_pred, 'und') AS lang_pred
+  FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     morton = _sql_morton_cell(LEVEL)
     return {
@@ -870,6 +935,50 @@ WHERE e2.lon_1e2 >= (g.admin_id % 36)*1000 - 18000
   AND e2.lon_1e2 <= (g.admin_id % 36)*1000 - 17000
   AND e2.lat_1e2 >= (g.admin_id // 36)*1000 - 9000
   AND e2.lat_1e2 <= (g.admin_id // 36)*1000 - 8000
+""",
+        "lang_pred": _sql_lang_pred(),
+        # SimHash verbatim in SQL: md5 word-2-gram shingle hashes (first 8
+        # digest bytes little-endian), per-bit majority, two's-complement
+        # int64 (see functions/dedup.py SimHasher)
+        "simhash": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS s
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+h AS (SELECT doc_id, md5(s) AS m FROM sh),
+bytes AS (
+  SELECT doc_id, j,
+         (strpos('0123456789abcdef', substr(m, 2*j+1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(m, 2*j+2, 1)) - 1) AS bv
+  FROM h, generate_series(0, 7) AS g(j)
+),
+bits AS (
+  SELECT doc_id, j*8 + b AS k, ((bv >> b) & 1) AS bit
+  FROM bytes, generate_series(0, 7) AS gb(b)
+),
+score AS (SELECT doc_id, k, 2*sum(bit) - count(*) AS sc FROM bits GROUP BY 1, 2),
+val AS (
+  SELECT doc_id,
+         sum(CASE WHEN sc > 0 THEN CAST(1 AS HUGEINT) << k
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM score GROUP BY 1
+)
+SELECT doc_id,
+       CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END
+            AS BIGINT) AS simhash
+FROM val
+""",
+        # hilbert bijectivity: engine emits ix/iy DECODED from the hilbert
+        # code; oracle computes the quantization directly
+        "tile_hilbert": _ENTS_CTE
+        + f"""
+SELECT doc_id, entity_idx,
+       CAST((lon_1e2 + 18000) * {1 << LEVEL} // 36000 AS BIGINT) AS ix,
+       CAST((lat_1e2 + 9000) * {1 << LEVEL} // 18000 AS BIGINT) AS iy
+FROM e2
 """,
         "tile_morton": _ENTS_CTE
         + f"""
