@@ -347,6 +347,30 @@ def _q_ann_topk(sf_dir: str):
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate ANN end-to-end (bucket assign -> probe
+    score -> top-k tree).  Rows-only at the gate (bucketing uses seeded
+    random centroids SQL cannot reproduce); recall vs the exact path is
+    asserted in tests/test_extra_ops.py."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.embed import ivf_ann_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qmask = np.asarray(emb["vec_id"].to_pylist()) < ANN_NQ
+    qids = np.asarray(emb["vec_id"].to_pylist())[qmask]
+    qvecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)[qmask]
+    dim = qvecs.shape[1]
+    qref = ray.put({"query_ids": qids, "vectors": qvecs})
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ivf_ann_topk(ds, qref, dim=dim, k=ANN_K, nprobe=6)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
 def _q_lang_pred(sf_dir: str):
     import ray.data as rd
 
@@ -800,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_simplify": _q_coverage_simplify,
         "cluster_hulls": _q_cluster_hulls,
         "triangulate_events": _q_triangulate_events,
+        "ann_ivf": _q_ann_ivf,
     }
 
 

@@ -63,10 +63,40 @@ class CosineTopK:
         )
 
 
-def ann_topk(ds, queries_ref, k: int = 5):
-    """Exact distributed cosine top-k: local top-k per batch, global reduce."""
-    from ..stages.relational import top_k
+def _topk_merge_factory(k: int, with_rank: bool):
+    def merge(batch: pa.Table) -> pa.Table:
+        import pandas as pd
 
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["query_id", "sim", "vec_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby("query_id", as_index=False).head(k)
+        if with_rank:
+            df["rank"] = df.groupby("query_id").cumcount()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return merge
+
+
+def topk_tree_merge(local, k: int, fanout: int = 64):
+    """Per-query top-k reduction TREE: each level re-takes min-k per block,
+    so no task ever holds more than (blocks_at_level x Q x k) rows — the
+    mergeable-aggregate shape that avoids a global sort (top-k per query
+    is mergeable: min-k of min-k partials is exact)."""
+    lvl1 = local.repartition(fanout).map_batches(
+        _topk_merge_factory(k, with_rank=False), batch_format="pyarrow"
+    )
+    return lvl1.repartition(1).map_batches(
+        _topk_merge_factory(k, with_rank=True), batch_format="pyarrow"
+    )
+
+
+def ann_topk(ds, queries_ref, k: int = 5):
+    """Exact distributed cosine top-k: local top-k per batch, then a
+    per-query mergeable top-k tree (no global sort)."""
     local = ds.map_batches(
         CosineTopK,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
@@ -75,21 +105,97 @@ def ann_topk(ds, queries_ref, k: int = 5):
         concurrency=(1, 2),
         num_cpus=1,
     )
+    return topk_tree_merge(local, k)
 
-    def rank_per_query(batch: pa.Table) -> pa.Table:
-        # batch already sorted by (query_id asc, sim desc, vec_id asc)
-        import pandas as pd
 
-        df = batch.to_pandas()
-        df["rank"] = df.groupby("query_id").cumcount()
-        df = df[df["rank"] < k]
-        return pa.Table.from_pandas(df, preserve_index=False)
+class IvfTopK:
+    """IVF-probed cosine top-k: each query scores ONLY corpus vectors whose
+    ivf_bucket is among the query's `nprobe` nearest centroid buckets —
+    the per-batch matmul shrinks by the probe selectivity (the scale path
+    for large corpora; exactness traded for recall)."""
 
-    global_sorted = local.sort(["query_id", "sim", "vec_id"], descending=[False, True, False])
-    # ranks are per-query → need contiguous per-query rows; repartition to 1
-    # block is fine: result size is |Q|*k*tasks before cut, tiny.
-    merged = global_sorted.repartition(1).map_batches(rank_per_query, batch_format="pyarrow")
-    return merged
+    def __init__(
+        self,
+        queries_ref,
+        dim: int,
+        n_centroids: int = 16,
+        nprobe: int = 4,
+        k: int = 5,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = np.asarray(q["query_ids"], dtype=np.int64)
+        self.qm = _normalize(np.asarray(q["vectors"], dtype=np.float64))
+        rng = np.random.default_rng(seed)
+        self.centroids = _normalize(rng.standard_normal((n_centroids, dim)))
+        qsims = self.qm @ self.centroids.T
+        self.probe = np.argsort(-qsims, axis=1)[:, :nprobe]  # (Q, nprobe)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        emb = _normalize(np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64))
+        buckets = batch["ivf_bucket"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = np.isin(buckets, self.probe[qi])
+            if not mask.any():
+                continue
+            sims = self.qm[qi] @ emb[mask].T
+            sel_ids = ids[mask]
+            k = min(self.k, len(sel_ids))
+            part = np.argpartition(-sims, k - 1)[:k]
+            order = np.lexsort((sel_ids[part], -sims[part]))
+            out_q.append(np.full(k, qid, dtype=np.int64))
+            out_v.append(sel_ids[part][order])
+            out_s.append(sims[part][order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def ivf_ann_topk(ds, queries_ref, dim: int, k: int = 5, n_centroids: int = 16, nprobe: int = 4):
+    """End-to-end IVF-bucketed approximate top-k: bucket the corpus with
+    IvfIndexer, probe-score per batch, merge with the same top-k tree."""
+    bucketed = ds.map_batches(
+        IvfIndexer,
+        fn_constructor_kwargs={"dim": dim, "n_centroids": n_centroids},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    local = bucketed.map_batches(
+        IvfTopK,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "dim": dim,
+            "n_centroids": n_centroids,
+            "nprobe": nprobe,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    return topk_tree_merge(local, k)
 
 
 class IvfIndexer:

@@ -231,3 +231,40 @@ def test_simplify_vw_multi_collapse_keeps_type():
     mp = Geom(MULTIPOLYGON, [[deg], [deg + 5.0]])
     out = simplify_vw(mp, 100.0)
     assert out.gtype == "MultiPolygon" and out.is_empty
+
+
+def test_ivf_ann_recall(ray_session):
+    """IVF-bucketed ANN (functions/embed.py ivf_ann_topk) finds most of the
+    exact top-k, and its plumbing (bucket assign -> probe -> tree merge)
+    is deterministic across runs."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.embed import ann_topk, ivf_ann_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(emb["vec_id"].to_pylist())
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    qids, qvecs = ids[:3], vecs[:3]
+    qref = ray.put({"query_ids": qids, "vectors": qvecs})
+    dim = vecs.shape[1]
+
+    def run(fn, **kw):
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        df = fn(ds, qref, **kw).to_pandas()
+        return {q: set(df[df.query_id == q].vec_id) for q in qids}
+
+    exact = run(ann_topk, k=5)
+    approx1 = run(ivf_ann_topk, dim=dim, k=5, nprobe=6)
+    approx2 = run(ivf_ann_topk, dim=dim, k=5, nprobe=6)
+    assert approx1 == approx2  # deterministic
+    hits = sum(len(exact[q] & approx1[q]) for q in qids)
+    total = sum(len(exact[q]) for q in qids)
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+    # full probe == exact
+    full = run(ivf_ann_topk, dim=dim, k=5, nprobe=16)
+    assert full == exact
