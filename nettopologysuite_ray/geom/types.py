@@ -66,16 +66,24 @@ class Geom:
 
     ``tag`` carries subtype info that affects semantics but not structure
     (currently only "LinearRing": parsed LINEARRING text — validity then
-    requires simple-closed-ring rules, reference Geometries/LinearRing)."""
+    requires simple-closed-ring rules, reference Geometries/LinearRing).
 
-    __slots__ = ("gtype", "data", "tag")
+    ``extra`` carries Z/M ordinates OUT OF BAND for IO round-trip fidelity
+    (reference round-trips Z/M: IO/WKBReader.cs:660-699): a dict
+    {"dims": "Z"|"M"|"ZM", "ords": ...} whose ords mirror ``data``'s
+    nesting with (N, e) float arrays.  The computational kernel is 2-D:
+    operators build new Geoms without ``extra``, i.e. they drop Z/M —
+    only the WKT/WKB/GML codecs read and write it."""
 
-    def __init__(self, gtype: str, data, tag: str | None = None):
+    __slots__ = ("gtype", "data", "tag", "extra")
+
+    def __init__(self, gtype: str, data, tag: str | None = None, extra=None):
         if gtype not in _TYPES:
             raise ValueError(f"unknown geometry type {gtype!r}")
         self.gtype = gtype
         self.data = data
         self.tag = tag
+        self.extra = extra
 
     # ---- constructors -------------------------------------------------
 

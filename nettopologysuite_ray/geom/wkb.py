@@ -4,8 +4,11 @@ Geometry columns in Arrow blocks are WKB `binary` arrays; every stage
 boundary round-trips through this module.  Replicates the observable
 behaviour of the reference codec (reference: src/NetTopologySuite/IO/
 WKBReader.cs:133 `Read`, IO/WKBWriter.cs:177 `Write`): both byte orders
-on read, EWKB SRID flag, ISO and EWKB Z/M flags (Z/M ordinates parsed and
-dropped — XY engine, SURVEY.md §1.3).  Writes little-endian XY WKB.
+on read, EWKB SRID flag, ISO and EWKB Z/M flags.  Z/M ordinates are
+carried OUT OF BAND on Geom.extra for IO round-trip fidelity (the
+computational kernel is 2-D — operators drop them; reference round-trips
+Z/M, IO/WKBReader.cs:660-699).  Writes little-endian WKB, ISO Z/M codes
+when extra ordinates are present.
 """
 
 from __future__ import annotations
@@ -33,11 +36,12 @@ _EWKB_SRID = 0x20000000
 
 
 class _Reader:
-    __slots__ = ("buf", "pos")
+    __slots__ = ("buf", "pos", "_dims")
 
     def __init__(self, buf: bytes):
         self.buf = buf
         self.pos = 0
+        self._dims = ""
 
     def geometry(self) -> Geom:
         bo = "<" if self.buf[self.pos] == 1 else ">"
@@ -51,25 +55,44 @@ class _Reader:
             ndim += 1
         if code & _EWKB_M:
             ndim += 1
+        dims = ""
+        if code & _EWKB_Z:
+            dims += "Z"
+        if code & _EWKB_M:
+            dims += "M"
         base = code & 0x0FFFFFFF
         # ISO WKB: 1000+ = Z, 2000+ = M, 3000+ = ZM
         iso = base // 1000
-        if iso in (1, 2):
-            ndim += 1
+        if iso == 1:
+            dims = "Z"
+        elif iso == 2:
+            dims = "M"
         elif iso == 3:
-            ndim += 2
+            dims = "ZM"
+        ndim += len(dims)
         base = base % 1000
         name = WKB_NAME.get(base)
         if name is None:
             raise ValueError(f"unknown WKB geometry code {code}")
+        self._dims = dims
         return getattr(self, "_" + name)(bo, ndim)
 
-    def _coords(self, bo: str, n: int, ndim: int) -> np.ndarray:
+    def _coords(self, bo: str, n: int, ndim: int):
+        """Returns (xy (n,2), ext (n,e)|None)."""
         nbytes = n * ndim * 8
         arr = np.frombuffer(self.buf, dtype=bo + "f8", count=n * ndim, offset=self.pos)
         self.pos += nbytes
-        arr = arr.reshape(n, ndim)[:, :2]
-        return np.ascontiguousarray(arr, dtype=np.float64)
+        full = arr.reshape(n, ndim)
+        xy = np.ascontiguousarray(full[:, :2], dtype=np.float64)
+        ext = None
+        if ndim > 2:
+            ext = np.ascontiguousarray(full[:, 2:], dtype=np.float64)
+        return xy, ext
+
+    def _mk_extra(self, ords):
+        if ords is None:
+            return None
+        return {"dims": self._dims, "ords": ords}
 
     def _count(self, bo: str) -> int:
         (n,) = struct.unpack_from(bo + "I", self.buf, self.pos)
@@ -77,37 +100,54 @@ class _Reader:
         return n
 
     def _Point(self, bo: str, ndim: int) -> Geom:
-        pt = self._coords(bo, 1, ndim)[0]
+        xy, ext = self._coords(bo, 1, ndim)
+        pt = xy[0]
         if np.isnan(pt).all():
             return Geom.empty(POINT)
-        return Geom(POINT, pt.copy())
+        return Geom(POINT, pt.copy(), extra=self._mk_extra(ext[0].copy() if ext is not None else None))
 
     def _LineString(self, bo: str, ndim: int) -> Geom:
         n = self._count(bo)
-        return Geom(LINESTRING, self._coords(bo, n, ndim))
+        xy, ext = self._coords(bo, n, ndim)
+        return Geom(LINESTRING, xy, extra=self._mk_extra(ext))
 
     def _Polygon(self, bo: str, ndim: int) -> Geom:
         nr = self._count(bo)
         rings = []
+        exts = []
         for _ in range(nr):
             n = self._count(bo)
-            rings.append(self._coords(bo, n, ndim))
-        return Geom(POLYGON, rings)
+            xy, ext = self._coords(bo, n, ndim)
+            rings.append(xy)
+            exts.append(ext)
+        ex = self._mk_extra(exts) if any(e is not None for e in exts) else None
+        return Geom(POLYGON, rings, extra=ex)
 
     def _multi(self, n: int):
         return [self.geometry() for _ in range(n)]
 
+    def _wrap_multi(self, gtype, children, skip_empty=False):
+        if skip_empty:
+            children = [g for g in children if not g.is_empty]
+        data = [g.data for g in children]
+        if any(g.extra is not None for g in children):
+            dims = next(g.extra["dims"] for g in children if g.extra is not None)
+            ex = {"dims": dims, "ords": [g.extra["ords"] if g.extra else None for g in children]}
+        else:
+            ex = None
+        return Geom(gtype, data, extra=ex)
+
     def _MultiPoint(self, bo: str, ndim: int) -> Geom:
         n = self._count(bo)
-        return Geom(MULTIPOINT, [g.data for g in self._multi(n) if not g.is_empty])
+        return self._wrap_multi(MULTIPOINT, self._multi(n), skip_empty=True)
 
     def _MultiLineString(self, bo: str, ndim: int) -> Geom:
         n = self._count(bo)
-        return Geom(MULTILINESTRING, [g.data for g in self._multi(n)])
+        return self._wrap_multi(MULTILINESTRING, self._multi(n))
 
     def _MultiPolygon(self, bo: str, ndim: int) -> Geom:
         n = self._count(bo)
-        return Geom(MULTIPOLYGON, [g.data for g in self._multi(n)])
+        return self._wrap_multi(MULTIPOLYGON, self._multi(n))
 
     def _GeometryCollection(self, bo: str, ndim: int) -> Geom:
         n = self._count(bo)
@@ -126,13 +166,23 @@ def to_wkb(g: Geom) -> bytes:
     return bytes(out)
 
 
-def _hdr(out: bytearray, gtype: str):
+_ISO_DIMS = {"": 0, "Z": 1000, "M": 2000, "ZM": 3000}
+
+
+def _hdr(out: bytearray, gtype: str, dims: str = ""):
     out += b"\x01"
-    out += struct.pack("<I", WKB_CODE[gtype])
+    out += struct.pack("<I", WKB_CODE[gtype] + _ISO_DIMS[dims])
 
 
-def _write_coords(out: bytearray, arr: np.ndarray, with_count: bool = True):
-    arr = np.ascontiguousarray(arr, dtype="<f8")
+def _with_ext(arr: np.ndarray, ext) -> np.ndarray:
+    arr = np.asarray(arr, dtype=np.float64).reshape(-1, 2)
+    if ext is None:
+        return arr
+    return np.hstack([arr, np.asarray(ext, dtype=np.float64).reshape(len(arr), -1)])
+
+
+def _write_coords(out: bytearray, arr: np.ndarray, ext=None, with_count: bool = True):
+    arr = np.ascontiguousarray(_with_ext(arr, ext), dtype="<f8")
     if with_count:
         out += struct.pack("<I", len(arr))
     out += arr.tobytes()
@@ -140,35 +190,47 @@ def _write_coords(out: bytearray, arr: np.ndarray, with_count: bool = True):
 
 def _write(g: Geom, out: bytearray):
     t = g.gtype
-    _hdr(out, t)
+    ex = g.extra
+    dims = ex["dims"] if ex else ""
+    ords = ex["ords"] if ex else None
+    _hdr(out, t, dims)
     if t == POINT:
         if g.is_empty:
             out += struct.pack("<dd", float("nan"), float("nan"))
         else:
             out += struct.pack("<dd", g.data[0], g.data[1])
+            if ords is not None:
+                for v in np.atleast_1d(ords):
+                    out += struct.pack("<d", float(v))
     elif t == LINESTRING:
-        _write_coords(out, g.data.reshape(-1, 2))
+        _write_coords(out, g.data.reshape(-1, 2), ords)
     elif t == POLYGON:
         out += struct.pack("<I", len(g.data))
-        for r in g.data:
-            _write_coords(out, r)
+        for i, r in enumerate(g.data):
+            _write_coords(out, r, ords[i] if ords else None)
     elif t == MULTIPOINT:
         out += struct.pack("<I", len(g.data))
-        for p in g.data:
-            _hdr(out, POINT)
+        for i, p in enumerate(g.data):
+            e = ords[i] if ords else None
+            _hdr(out, POINT, dims if e is not None else "")
             out += struct.pack("<dd", p[0], p[1])
+            if e is not None:
+                for v in np.atleast_1d(e):
+                    out += struct.pack("<d", float(v))
     elif t == MULTILINESTRING:
         out += struct.pack("<I", len(g.data))
-        for ls in g.data:
-            _hdr(out, LINESTRING)
-            _write_coords(out, ls)
+        for i, ls in enumerate(g.data):
+            e = ords[i] if ords else None
+            _hdr(out, LINESTRING, dims if e is not None else "")
+            _write_coords(out, ls, e)
     elif t == MULTIPOLYGON:
         out += struct.pack("<I", len(g.data))
-        for rings in g.data:
-            _hdr(out, POLYGON)
+        for i, rings in enumerate(g.data):
+            pe = ords[i] if ords else None
+            _hdr(out, POLYGON, dims if pe is not None else "")
             out += struct.pack("<I", len(rings))
-            for r in rings:
-                _write_coords(out, r)
+            for j, r in enumerate(rings):
+                _write_coords(out, r, pe[j] if pe else None)
     elif t == GEOMETRYCOLLECTION:
         out += struct.pack("<I", len(g.data))
         for c in g.data:

@@ -77,89 +77,147 @@ def from_wkt(s: str) -> Geom:
     return g
 
 
-def _maybe_dim_tag(tk: _Tokens) -> int:
-    """Consume optional Z / M / ZM tag; return number of extra ordinates."""
+def _maybe_dim_tag(tk: _Tokens) -> str:
+    """Consume optional Z / M / ZM tag; return it ("" if none)."""
     t = tk.peek()
-    if t in ("Z", "M"):
+    if t in ("Z", "M", "ZM"):
         tk.next()
-        return 1
-    if t == "ZM":
-        tk.next()
-        return 2
-    return 0
+        return t
+    return ""
+
+
+def _extra_count(dims: str) -> int:
+    return len(dims)  # "Z"/"M" -> 1, "ZM" -> 2, "" -> 0
+
+
+def _dims_for(dims: str, widths) -> str:
+    """Resolve the dims tag: explicit tag wins; untagged extra ordinates
+    read as Z (3rd) / ZM (3rd+4th), matching the reference WKTReader."""
+    if dims:
+        return dims
+    w = max(widths, default=0)
+    if w >= 2:
+        return "ZM"
+    if w == 1:
+        return "Z"
+    return ""
+
+
+def _pack_ext(rows):
+    """rows: list of [x, y, *extras] -> (coords (N,2), ext (N,e)|None)."""
+    arr = np.array([r[:2] for r in rows], dtype=np.float64)
+    e = max((len(r) - 2 for r in rows), default=0)
+    if e <= 0:
+        return arr, None
+    ext = np.full((len(rows), e), np.nan)
+    for i, r in enumerate(rows):
+        for j, v in enumerate(r[2:]):
+            ext[i, j] = v
+    return arr, ext
 
 
 def _geometry(tk: _Tokens) -> Geom:
     tag = tk.next()
     if not isinstance(tag, str):
         raise ValueError(f"expected geometry tag, got {tag!r}")
-    extra = _maybe_dim_tag(tk)
+    dims = _maybe_dim_tag(tk)
+    extra = _extra_count(dims)
+
+    def mk_extra(ords, widths):
+        """Build the out-of-band Z/M record when extras were present."""
+        d = _dims_for(dims, widths)
+        if not d:
+            return None
+        return {"dims": d, "ords": ords}
+
     if tag == "POINT":
         pts = _coordseq_or_empty(tk, extra)
-        if pts is None or len(pts) == 0:
+        if pts is None or len(pts[0]) == 0:
             return Geom.empty(POINT)
-        return Geom(POINT, pts[0].copy())
+        arr, ext = pts
+        ex = mk_extra(ext[0].copy() if ext is not None else None,
+                      [ext.shape[1]] if ext is not None else [])
+        return Geom(POINT, arr[0].copy(), extra=ex)
     if tag == "LINESTRING" or tag == "LINEARRING":
         pts = _coordseq_or_empty(tk, extra)
         subtype = "LinearRing" if tag == "LINEARRING" else None
         if pts is None:
             return Geom.empty(LINESTRING)
-        return Geom(LINESTRING, pts, tag=subtype)
+        arr, ext = pts
+        ex = mk_extra(ext, [ext.shape[1]] if ext is not None else [])
+        return Geom(LINESTRING, arr, tag=subtype, extra=ex)
     if tag == "POLYGON":
-        rings = _ringseq_or_empty(tk, extra)
-        if rings is None:
+        rs = _ringseq_or_empty(tk, extra)
+        if rs is None:
             return Geom.empty(POLYGON)
-        return Geom(POLYGON, rings)
+        rings, exts = rs
+        widths = [e.shape[1] for e in exts if e is not None]
+        ex = mk_extra(exts, widths) if any(e is not None for e in exts) else None
+        return Geom(POLYGON, rings, extra=ex)
     if tag == "MULTIPOINT":
         if _is_empty(tk):
             return Geom.empty(MULTIPOINT)
         tk.expect("(")
-        pts = []
+        rows = []
         while True:
             if tk.peek() == "(":
                 tk.expect("(")
-                pts.append(_coords_row(tk, extra))
+                rows.append(_coords_row(tk, extra))
                 tk.expect(")")
             elif tk.peek() == "EMPTY":
                 tk.next()
             else:
-                pts.append(_coords_row(tk, extra))
+                rows.append(_coords_row(tk, extra))
             t = tk.next()
             if t == ")":
                 break
             if t != ",":
                 raise ValueError(f"bad MULTIPOINT at {t!r}")
-        return Geom(MULTIPOINT, pts)
+        arr, ext = _pack_ext(rows)
+        pts = [arr[i].copy() for i in range(len(arr))]
+        ex = None
+        if ext is not None:
+            ex = mk_extra([ext[i].copy() for i in range(len(ext))], [ext.shape[1]])
+        return Geom(MULTIPOINT, pts, extra=ex)
     if tag == "MULTILINESTRING":
         if _is_empty(tk):
             return Geom.empty(MULTILINESTRING)
         tk.expect("(")
         parts = []
+        exts = []
         while True:
             pts = _coordseq_or_empty(tk, extra)
             if pts is not None:
-                parts.append(pts)
+                parts.append(pts[0])
+                exts.append(pts[1])
             t = tk.next()
             if t == ")":
                 break
             if t != ",":
                 raise ValueError(f"bad MULTILINESTRING at {t!r}")
-        return Geom(MULTILINESTRING, parts)
+        widths = [e.shape[1] for e in exts if e is not None]
+        ex = mk_extra(exts, widths) if any(e is not None for e in exts) else None
+        return Geom(MULTILINESTRING, parts, extra=ex)
     if tag == "MULTIPOLYGON":
         if _is_empty(tk):
             return Geom.empty(MULTIPOLYGON)
         tk.expect("(")
         polys = []
+        pexts = []
         while True:
-            rings = _ringseq_or_empty(tk, extra)
-            if rings is not None:
-                polys.append(rings)
+            rs = _ringseq_or_empty(tk, extra)
+            if rs is not None:
+                polys.append(rs[0])
+                pexts.append(rs[1])
             t = tk.next()
             if t == ")":
                 break
             if t != ",":
                 raise ValueError(f"bad MULTIPOLYGON at {t!r}")
-        return Geom(MULTIPOLYGON, polys)
+        widths = [e.shape[1] for pe in pexts for e in pe if e is not None]
+        any_ext = any(e is not None for pe in pexts for e in pe)
+        ex = mk_extra(pexts, widths) if any_ext else None
+        return Geom(MULTIPOLYGON, polys, extra=ex)
     if tag == "GEOMETRYCOLLECTION":
         if _is_empty(tk):
             return Geom.empty(GEOMETRYCOLLECTION)
@@ -183,7 +241,7 @@ def _is_empty(tk: _Tokens) -> bool:
     return False
 
 
-def _coords_row(tk: _Tokens, extra: int) -> np.ndarray:
+def _coords_row(tk: _Tokens, extra: int) -> list:
     x = tk.next()
     if x == "NAN":
         x = float("nan")
@@ -192,17 +250,18 @@ def _coords_row(tk: _Tokens, extra: int) -> np.ndarray:
         y = float("nan")
     if not isinstance(x, float) or not isinstance(y, float):
         raise ValueError(f"expected coordinates, got {x!r} {y!r}")
-    # consume (and drop) optional Z/M ordinates
+    row = [x, y]
+    # optional Z/M ordinates (tagged count, plus any untagged trailing)
     for _ in range(extra):
         if isinstance(tk.peek(), float):
-            tk.next()
-    # untagged Z/M: numbers still pending before , or )
+            row.append(tk.next())
     while isinstance(tk.peek(), float):
-        tk.next()
-    return np.array([x, y], dtype=np.float64)
+        row.append(tk.next())
+    return row
 
 
 def _coordseq_or_empty(tk: _Tokens, extra: int):
+    """Returns (coords (N,2), ext (N,e)|None) or None when EMPTY."""
     if _is_empty(tk):
         return None
     tk.expect("(")
@@ -214,24 +273,27 @@ def _coordseq_or_empty(tk: _Tokens, extra: int):
             break
         if t != ",":
             raise ValueError(f"bad coordinate sequence at {t!r}")
-    return np.array(rows, dtype=np.float64)
+    return _pack_ext(rows)
 
 
 def _ringseq_or_empty(tk: _Tokens, extra: int):
+    """Returns (rings, exts) or None when EMPTY."""
     if _is_empty(tk):
         return None
     tk.expect("(")
     rings = []
+    exts = []
     while True:
         pts = _coordseq_or_empty(tk, extra)
         if pts is not None:
-            rings.append(pts)
+            rings.append(pts[0])
+            exts.append(pts[1])
         t = tk.next()
         if t == ")":
             break
         if t != ",":
             raise ValueError(f"bad ring sequence at {t!r}")
-    return rings
+    return rings, exts
 
 
 # ---------------------------------------------------------------------------
@@ -247,42 +309,67 @@ def _num(v: float) -> str:
     return repr(v)
 
 
-def _seq(arr) -> str:
-    return ", ".join(f"{_num(p[0])} {_num(p[1])}" for p in arr)
+def _row(p, e=None) -> str:
+    s = f"{_num(p[0])} {_num(p[1])}"
+    if e is not None:
+        for v in np.atleast_1d(e):
+            s += f" {_num(v)}"
+    return s
+
+
+def _seq(arr, ext=None) -> str:
+    if ext is None:
+        return ", ".join(_row(p) for p in arr)
+    return ", ".join(_row(p, ext[i]) for i, p in enumerate(arr))
 
 
 def to_wkt(g: Geom) -> str:
     t = g.gtype
+    ex = g.extra
+    dims = f" {ex['dims']}" if ex else ""
+    ords = ex["ords"] if ex else None
     if t == POINT:
         if g.is_empty:
             return "POINT EMPTY"
-        return f"POINT ({_num(g.data[0])} {_num(g.data[1])})"
+        return f"POINT{dims} ({_row(g.data, ords)})"
     if t == LINESTRING:
         if g.is_empty:
             return "LINESTRING EMPTY"
-        return f"LINESTRING ({_seq(g.data)})"
+        return f"LINESTRING{dims} ({_seq(g.data, ords)})"
     if t == POLYGON:
         if g.is_empty:
             return "POLYGON EMPTY"
-        rings = ", ".join(f"({_seq(r)})" for r in g.data)
-        return f"POLYGON ({rings})"
+        rings = ", ".join(
+            f"({_seq(r, ords[i] if ords else None)})" for i, r in enumerate(g.data)
+        )
+        return f"POLYGON{dims} ({rings})"
     if t == MULTIPOINT:
         if g.is_empty:
             return "MULTIPOINT EMPTY"
-        pts = ", ".join(f"({_num(p[0])} {_num(p[1])})" for p in g.data)
-        return f"MULTIPOINT ({pts})"
+        pts = ", ".join(
+            f"({_row(p, ords[i] if ords else None)})" for i, p in enumerate(g.data)
+        )
+        return f"MULTIPOINT{dims} ({pts})"
     if t == MULTILINESTRING:
         if g.is_empty:
             return "MULTILINESTRING EMPTY"
-        parts = ", ".join(f"({_seq(ls)})" for ls in g.data)
-        return f"MULTILINESTRING ({parts})"
+        parts = ", ".join(
+            f"({_seq(ls, ords[i] if ords else None)})" for i, ls in enumerate(g.data)
+        )
+        return f"MULTILINESTRING{dims} ({parts})"
     if t == MULTIPOLYGON:
         if g.is_empty:
             return "MULTIPOLYGON EMPTY"
         polys = ", ".join(
-            "(" + ", ".join(f"({_seq(r)})" for r in rings) + ")" for rings in g.data
+            "("
+            + ", ".join(
+                f"({_seq(r, ords[i][j] if ords else None)})"
+                for j, r in enumerate(rings)
+            )
+            + ")"
+            for i, rings in enumerate(g.data)
         )
-        return f"MULTIPOLYGON ({polys})"
+        return f"MULTIPOLYGON{dims} ({polys})"
     if t == GEOMETRYCOLLECTION:
         if g.is_empty:
             return "GEOMETRYCOLLECTION EMPTY"

@@ -39,9 +39,9 @@ def test_wkt_wkb_round_trip(wkt):
 def test_wkt_alt_spellings():
     assert to_wkt(from_wkt("MULTIPOINT (1 1, 2 2)")) == "MULTIPOINT ((1 1), (2 2))"
     assert to_wkt(from_wkt("point(3.5 -4.25)")) == "POINT (3.5 -4.25)"
-    # Z ordinates are parsed and dropped (XY engine)
-    assert to_wkt(from_wkt("POINT Z (1 2 3)")) == "POINT (1 2)"
-    assert to_wkt(from_wkt("LINESTRING(0 0 5, 1 1 6)")) == "LINESTRING (0 0, 1 1)"
+    # Z ordinates are carried through IO (round 2: out-of-band extra)
+    assert to_wkt(from_wkt("POINT Z (1 2 3)")) == "POINT Z (1 2 3)"
+    assert to_wkt(from_wkt("LINESTRING(0 0 5, 1 1 6)")) == "LINESTRING Z (0 0 5, 1 1 6)"
 
 
 def test_wkb_big_endian():
@@ -209,3 +209,34 @@ def test_gml_kml_roundtrip():
         "<Point><coordinates>1,2,30</coordinates></Point></Placemark></kml>"
     )
     assert to_wkt(from_kml(doc)) == "POINT (1 2)"
+
+
+def test_zm_roundtrip_wkt_wkb():
+    """Z/M ordinates round-trip through WKT and WKB via the out-of-band
+    Geom.extra record (reference: IO/WKBReader.cs:660-699 round-trips
+    Z/M); operators remain 2-D and drop them."""
+    from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
+    from nettopologysuite_ray.geom.wkt import from_wkt, to_wkt
+
+    cases = [
+        "POINT Z (1 2 3)",
+        "POINT M (1 2 3)",
+        "LINESTRING ZM (0 0 1 10, 1 1 2 20)",
+        "POLYGON Z ((0 0 1, 1 0 2, 1 1 3, 0 0 1))",
+        "MULTIPOINT Z ((10 10 1), (90 10 2))",
+        "MULTILINESTRING Z ((0 0 1, 1 1 2), (2 2 3, 3 3 4))",
+        "MULTIPOLYGON Z (((0 0 1, 1 0 2, 1 1 3, 0 0 1)))",
+        "GEOMETRYCOLLECTION (POINT Z (1 2 3), LINESTRING (0 0, 1 1))",
+    ]
+    for w in cases:
+        g = from_wkt(w)
+        assert to_wkt(g) == w
+        assert to_wkt(from_wkb(to_wkb(g))) == w
+        b = to_wkb(g)
+        assert to_wkb(from_wkb(b)) == b
+    # untagged 3rd ordinate reads as Z
+    assert to_wkt(from_wkt("POINT (1 2 3)")) == "POINT Z (1 2 3)"
+    # ops drop Z (2-D kernel, documented)
+    from nettopologysuite_ray.geom import algorithms as alg
+
+    assert alg.area(from_wkt("POLYGON Z ((0 0 5, 2 0 5, 2 2 5, 0 0 5))")) == 2.0
