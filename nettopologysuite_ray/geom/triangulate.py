@@ -10,12 +10,13 @@ mirroring the orientation kernel's strategy).
 
 from __future__ import annotations
 
+import math
 from fractions import Fraction
 
 import numpy as np
 
 from . import algorithms as alg
-from .types import GEOMETRYCOLLECTION, POLYGON, Geom
+from .types import GEOMETRYCOLLECTION, MULTILINESTRING, POLYGON, Geom
 
 
 def _in_circle(ax, ay, bx, by, cx, cy, dx, dy) -> int:
@@ -226,3 +227,132 @@ def _halfplane_clip(cell: Geom, p, q, big):
         return None
     out.append(out[0])
     return Geom(POLYGON, [np.array(out)])
+
+
+# ---------------------------------------------------------------------------
+# conforming Delaunay (reference: Triangulate/ConformingDelaunayTriangulator.cs:33,
+# ConformingDelaunayTriangulationBuilder.cs:14, NonEncroachingSplitPointFinder.cs,
+# SplitSegment.cs)
+
+
+def _split_point(p, q, enc, min_len_cap=None):
+    """NonEncroachingSplitPointFinder.FindSplitPoint: project the
+    encroaching point onto the segment, then keep the split at least
+    min(0.8 * 2 * dist(proj, enc), |pq|/2) from the nearer endpoint."""
+    px, py = p
+    qx, qy = q
+    ex, ey = enc
+    dx, dy = qx - px, qy - py
+    seg_len = math.hypot(dx, dy)
+    if seg_len == 0:
+        return p
+    t = ((ex - px) * dx + (ey - py) * dy) / (seg_len * seg_len)
+    proj = (px + t * dx, py + t * dy)
+    non_encroach_diam = math.hypot(proj[0] - ex, proj[1] - ey) * 2 * 0.8
+    min_len = min(non_encroach_diam, seg_len / 2)
+    # SplitSegment.SplitAt(proj) with MinimumLength=min_len
+    frac = min_len / seg_len
+    if math.hypot(proj[0] - px, proj[1] - py) < min_len:
+        return (px + frac * dx, py + frac * dy)
+    if math.hypot(proj[0] - qx, proj[1] - qy) < min_len:
+        return (qx - frac * (qx - px), qy - frac * (qy - py))
+    return proj
+
+
+def conforming_delaunay_points(sites: Geom, constraints: Geom, tolerance: float = 0.0):
+    """Run the Gabriel-enforcement loop: split constraint segments until no
+    site lies strictly inside any subsegment's diametral circle; returns
+    the final unique point array (sites + constraint vertices + Steiner
+    points).  The plain Delaunay of these points then contains every
+    constraint (sub)segment (Gabriel edges are Delaunay edges)."""
+    from .kdtree import KdTree
+
+    kdt = KdTree(tolerance)
+    site_pts = [
+        (float(x), float(y)) for x, y in np.asarray(sites.all_coords())
+    ]
+    segs: list[tuple] = []
+    seg_pts: list[tuple] = []
+    if constraints is not None and not constraints.is_empty:
+        for comp in constraints.flatten():
+            arr = comp.all_coords()
+            for i in range(len(arr)):
+                seg_pts.append((float(arr[i, 0]), float(arr[i, 1])))
+            if comp.gtype == "LineString":
+                for i in range(len(arr) - 1):
+                    segs.append(
+                        (
+                            (float(arr[i, 0]), float(arr[i, 1])),
+                            (float(arr[i + 1, 0]), float(arr[i + 1, 1])),
+                        )
+                    )
+    seg_pt_set = set(seg_pts)
+    # sites first (excluding constraint vertices), then constraint vertices
+    for p in site_pts:
+        if p not in seg_pt_set:
+            kdt.insert(p)
+    for p in seg_pts:
+        kdt.insert(p)
+
+    def find_non_gabriel(p, q):
+        mid = ((p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0)
+        r = math.hypot(p[0] - mid[0], p[1] - mid[1])
+        env = (mid[0] - r, mid[1] - r, mid[0] + r, mid[1] + r)
+        closest = None
+        min_d = float("inf")
+        for node in kdt.query(env):
+            t = node.coordinate
+            if t == p or t == q:
+                continue
+            d = math.hypot(mid[0] - t[0], mid[1] - t[1])
+            if d < r and (closest is None or d < min_d):
+                closest = t
+                min_d = d
+        return closest
+
+    for _ in range(99):
+        splits = 0
+        new_segs = []
+        keep = []
+        for p, q in segs:
+            enc = find_non_gabriel(p, q)
+            if enc is None:
+                keep.append((p, q))
+                continue
+            sp = _split_point(p, q, enc)
+            node = kdt.insert(sp)
+            sp = node.coordinate
+            new_segs.append((p, sp))
+            new_segs.append((sp, q))
+            splits += 1
+        segs = keep + new_segs
+        if splits == 0:
+            break
+    else:
+        raise ValueError("too many splitting iterations enforcing constraints")
+
+    pts = [n.coordinate for n in kdt.query((-np.inf, -np.inf, np.inf, np.inf))]
+    return np.array(sorted(set(pts)), dtype=np.float64)
+
+
+def conforming_delaunay_edges(sites: Geom, constraints: Geom) -> Geom:
+    """reference: ConformingDelaunayTriangulationBuilder.GetEdges."""
+    pts = conforming_delaunay_points(sites, constraints)
+    tris = _bowyer_watson(pts)
+    edges = set()
+    for a, b, c in tris:
+        for e in ((a, b), (b, c), (c, a)):
+            edges.add((min(e), max(e)))
+    parts = [np.array([pts[i], pts[j]]) for i, j in sorted(edges)]
+    return Geom(MULTILINESTRING, parts)
+
+
+def conforming_delaunay_triangles(sites: Geom, constraints: Geom) -> Geom:
+    """reference: ConformingDelaunayTriangulationBuilder.GetTriangles."""
+    pts = conforming_delaunay_points(sites, constraints)
+    tris = _bowyer_watson(pts)
+    polys = []
+    for a, b, c in sorted(tris):
+        ring = np.array([pts[a], pts[b], pts[c], pts[a]])
+        polys.append(Geom(POLYGON, [ring]))
+    return Geom(GEOMETRYCOLLECTION, polys)
