@@ -134,7 +134,7 @@ class MinHasher:
         return out
 
 
-def lsh_candidate_pairs(ds, id_col: str = "doc_id", max_bucket: int = 10000):
+def lsh_candidate_pairs(ds, id_col: str = "doc_id", max_bucket: int = 10000, shuffle_partitions: int = 32):
     """Explode band keys → groupby(band, bucket) shuffle → per-bucket
     candidate pairs → distinct.
 
@@ -166,20 +166,45 @@ def lsh_candidate_pairs(ds, id_col: str = "doc_id", max_bucket: int = 10000):
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > max_bucket:
+    # co-locate (band, bucket) groups by HASH BUCKET, not per-group tasks:
+    # nearly every LSH bucket is a singleton, and a groupby over them pays
+    # per-tiny-group Python overhead (~1ms x docs*bands groups); instead
+    # each of `shuffle_partitions` hash partitions processes its share
+    # with ONE vectorized pandas pass (size shuffle_partitions to the
+    # cluster so a partition's share of the docs x bands int rows fits a
+    # task's heap)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        b = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15) + b) >> np.uint64(32)
+        return batch.append_column(
+            "_h", pa.array((h % np.uint64(shuffle_partitions)).astype(np.int64))
+        )
+
+    def pair_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[[id_col, "band", "bucket"]].drop_duplicates()
+        # keep only multi-member buckets, vectorized
+        sizes = df.groupby(["band", "bucket"])[id_col].transform("size")
+        df = df[(sizes >= 2) & (sizes <= max_bucket)]
+        if df.empty:
             return pd.DataFrame(
                 {
                     "id_a": pd.Series([], dtype="int64"),
                     "id_b": pd.Series([], dtype="int64"),
                 }
             )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+        # pair within each bucket by self-merge on the bucket key
+        m = df.merge(df, on=["band", "bucket"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        out.columns = ["id_a", "id_b"]
+        return out
 
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
-        pair_bucket, batch_format="pandas"
+    pairs = (
+        exploded.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(pair_partition, batch_format="pandas")
     )
 
     # distinct (id_a, id_b): local dedup per block, then a pair-keyed

@@ -174,6 +174,11 @@ def concave_hull(
     criteria = PARAM_ALPHA if alpha is not None else PARAM_EDGE_LENGTH
     if length_ratio is not None and not (0 <= length_ratio <= 1):
         raise ValueError("length ratio must be in [0,1]")
+    if length_ratio == 1 and not holes_allowed:
+        # "a value of 1 produces the convex hull" (ConcaveHull.cs docs):
+        # no triangle can erode, so skip the Delaunay build entirely —
+        # the O(n log n) convex hull is the 100 TB-scale fast path
+        return alg.convex_hull(g)
 
     tri_idx, pts = delaunay_triangles(g)
     if not tri_idx:

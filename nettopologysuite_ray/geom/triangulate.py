@@ -32,13 +32,15 @@ def _in_circle(ax, ay, bx, by, cx, cy, dx, dy) -> int:
         - ady * (bdx * cd - bd * cdx)
         + ad * (bdx * cdy - bdy * cdx)
     )
-    # conservative filter; exact fallback when near zero
-    mag = (
-        (abs(adx) + abs(ady) + ad)
-        * (abs(bdx) + abs(bdy) + bd)
-        * (abs(cdx) + abs(cdy) + cd)
+    # conservative filter (Shewchuk-style permanent bound — the error of
+    # the float det is proportional to the sum of |term| magnitudes, NOT
+    # the product of point magnitudes); exact fallback when inconclusive
+    permanent = (
+        (abs(bdx * cdy) + abs(bdy * cdx)) * ad
+        + (abs(cdx * ady) + abs(cdy * adx)) * bd
+        + (abs(adx * bdy) + abs(ady * bdx)) * cd
     )
-    if abs(det) > 1e-12 * max(mag, 1.0):
+    if abs(det) > 1e-14 * permanent:
         return 1 if det > 0 else -1
     F = Fraction
     adx, ady = F(ax) - F(dx), F(ay) - F(dy)
@@ -78,42 +80,91 @@ def _bowyer_watson(pts: np.ndarray):
     cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
     sp = np.array([[cx - 2 * d, cy - d], [cx + 2 * d, cy - d], [cx, cy + 2 * d]])
     P = np.vstack([pts, sp])
-    tris = [(n, n + 1, n + 2)]
+    # triangle store: persistent arrays with a liveness mask (list-of-tuple
+    # storage made each insertion O(M) in Python conversions)
+    cap = 64
+    T = np.zeros((cap, 3), dtype=np.int64)
+    alive = np.zeros(cap, dtype=bool)
+    T[0] = (n, n + 1, n + 2)
+    alive[0] = True
+    hi = 1  # high-water mark
     # deterministic insertion order (sorted by np.unique upstream)
     for i in range(n):
         px, py = P[i]
-        bad = []
-        for t in tris:
-            a, b, c = t
+        idx = np.nonzero(alive[:hi])[0]
+        A = P[T[idx, 0]]
+        B = P[T[idx, 1]]
+        C = P[T[idx, 2]]
+        adx = A[:, 0] - px
+        ady = A[:, 1] - py
+        bdx = B[:, 0] - px
+        bdy = B[:, 1] - py
+        cdx = C[:, 0] - px
+        cdy = C[:, 1] - py
+        ad = adx * adx + ady * ady
+        bd = bdx * bdx + bdy * bdy
+        cd = cdx * cdx + cdy * cdy
+        det = (
+            adx * (bdy * cd - bd * cdy)
+            - ady * (bdx * cd - bd * cdx)
+            + ad * (bdx * cdy - bdy * cdx)
+        )
+        permanent = (
+            (np.abs(bdx * cdy) + np.abs(bdy * cdx)) * ad
+            + (np.abs(cdx * ady) + np.abs(cdy * adx)) * bd
+            + (np.abs(adx * bdy) + np.abs(ady * bdx)) * cd
+        )
+        # vectorized conservative filter (same permanent bound as
+        # _in_circle); only near-zero determinants pay the exact predicate
+        sure = np.abs(det) > 1e-14 * permanent
+        bad_mask = sure & (det > 0)
+        for k in np.nonzero(~sure)[0]:
+            a, b, c = T[idx[k]]
             if (
                 _in_circle(
                     P[a][0], P[a][1], P[b][0], P[b][1], P[c][0], P[c][1], px, py
                 )
                 > 0
             ):
-                bad.append(t)
+                bad_mask[k] = True
+        bad_pos = idx[bad_mask]
         # boundary of the cavity = edges appearing once among bad triangles
         edge_count: dict = {}
-        for t in bad:
-            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-                k = (min(e), max(e))
-                edge_count[k] = edge_count.get(k, 0) + 1
-                if edge_count[k] == 1:
-                    edge_count[(k, "dir")] = e
-        tris = [t for t in tris if t not in bad]
-        for k, cnt in list(edge_count.items()):
-            if isinstance(k, tuple) and len(k) == 2 and not isinstance(k[1], str) and cnt == 1:
-                e = edge_count[(k, "dir")]
-                tris.append((e[0], e[1], i))
+        edge_dir: dict = {}
+        for pos in bad_pos:
+            a, b, c = (int(T[pos, 0]), int(T[pos, 1]), int(T[pos, 2]))
+            for e in ((a, b), (b, c), (c, a)):
+                k2 = (min(e), max(e))
+                cnt = edge_count.get(k2, 0) + 1
+                edge_count[k2] = cnt
+                if cnt == 1:
+                    edge_dir[k2] = e
+        alive[bad_pos] = False
+        new_tris = [
+            (edge_dir[k2][0], edge_dir[k2][1], i)
+            for k2, cnt in edge_count.items()
+            if cnt == 1
+        ]
+        need = hi + len(new_tris)
+        if need > cap:
+            while cap < need:
+                cap *= 2
+            T2 = np.zeros((cap, 3), dtype=np.int64)
+            T2[:hi] = T[:hi]
+            a2 = np.zeros(cap, dtype=bool)
+            a2[:hi] = alive[:hi]
+            T, alive = T2, a2
+        for t in new_tris:
+            T[hi] = t
+            alive[hi] = True
+            hi += 1
     # drop super-triangle incident faces; orient CCW
     out = []
-    for t in tris:
-        if any(v >= n for v in t):
+    for pos in np.nonzero(alive[:hi])[0]:
+        a, b, c = (int(T[pos, 0]), int(T[pos, 1]), int(T[pos, 2]))
+        if a >= n or b >= n or c >= n:
             continue
-        a, b, c = t
-        if (
-            alg.orient2d(P[a][0], P[a][1], P[b][0], P[b][1], P[c][0], P[c][1]) < 0
-        ):
+        if alg.orient2d(P[a][0], P[a][1], P[b][0], P[b][1], P[c][0], P[c][1]) < 0:
             a, b, c = a, c, b
         out.append((a, b, c))
     return out
