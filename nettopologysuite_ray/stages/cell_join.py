@@ -28,11 +28,20 @@ def within_distance_join(
     level: int = 6,
     left_keys=("doc_id", "entity_idx"),
     right_keys=("event_id",),
+    salt_threshold: int | None = None,
+    n_salt: int = 16,
 ):
     """All (left, right) pairs with euclidean distance <= radius (integer
     cent coordinates, exact integer arithmetic — dist2 <= radius^2).
 
     Output: left_keys + right_keys + dist2 (int64).
+
+    salt_threshold: when set, a cheap combiner pre-pass counts LEFT rows
+    per cell; cells above the threshold are salted — left rows spread
+    over n_salt deterministic subkeys, right rows replicated to every
+    subkey — so a dense urban cell costs n_salt tasks instead of one
+    giant dense distance matrix (SURVEY.md §4.2 skew split).  Output is
+    identical with or without salting.
     """
     n = 1 << level
     world_w = 36000  # cents
@@ -91,6 +100,47 @@ def within_distance_join(
     right_t = right_ds.map_batches(
         lambda b: tag(b, rk, expand=True, side=1), batch_format="pyarrow"
     )
+
+    hot_cells = set()
+    if salt_threshold is not None:
+        # combiner pre-pass: one row per (task, cell) — the hot-cell list
+        # is bounded by total_rows / threshold, safe to collect
+        from .tiling import tile_stats
+
+        stats = tile_stats(left_t, "cell", small_result=False).to_pandas()
+        hot_cells = set(stats[stats["n"] > salt_threshold]["cell"].astype(np.int64))
+
+    if hot_cells:
+        hot_arr = np.fromiter(hot_cells, dtype=np.int64, count=len(hot_cells))
+        S = np.int64(n_salt)
+
+        def salt_left(batch: pa.Table) -> pa.Table:
+            cells = batch["cell"].to_numpy(zero_copy_only=False)
+            base = cells * S
+            hot = np.isin(cells, hot_arr)
+            if hot.any():
+                # deterministic per-row salt from the first left key
+                ids = batch[lk[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+                base = np.where(hot, base + (ids * np.int64(2654435761)) % S, base)
+            return batch.set_column(
+                batch.column_names.index("cell"), "cell", pa.array(base)
+            )
+
+        def salt_right(batch: pa.Table) -> pa.Table:
+            cells = batch["cell"].to_numpy(zero_copy_only=False)
+            hot = np.isin(cells, hot_arr)
+            reps = np.where(hot, int(n_salt), 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+            off = np.arange(len(idx), dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps
+            )
+            salted = cells[idx] * S + off
+            out = {c: batch[c].take(pa.array(idx)) for c in batch.column_names}
+            out["cell"] = pa.array(salted)
+            return pa.table(out)
+
+        left_t = left_t.map_batches(salt_left, batch_format="pyarrow")
+        right_t = right_t.map_batches(salt_right, batch_format="pyarrow")
 
     # pad schemas to align for union
     def pad(batch: pa.Table, missing_keys) -> pa.Table:

@@ -155,3 +155,41 @@ def test_salting_splits_hot_cells(ray_session, sf_dir):
     # non-hot cells keep exactly one subkey
     cold = sdf[~sdf["cell_id"].isin(hot)]
     assert (cold.groupby("cell_id")["salted_cell"].nunique() == 1).all()
+
+
+def test_within_distance_join_salted_identical(ray_session):
+    """Hot-cell salting produces exactly the same pair set (skew split,
+    SURVEY.md §4.2): left rows spread over subkeys, right rows
+    replicated; the report-at-left-cell rule survives because each left
+    row lives in exactly one salted cell."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from nettopologysuite_ray.stages.cell_join import within_distance_join
+
+    rng = np.random.default_rng(3)
+    # clustered left points (one hot cell) + scattered right points
+    lx = np.concatenate([rng.integers(1300, 1360, 3000), rng.integers(-17000, 17000, 500)])
+    ly = np.concatenate([rng.integers(5200, 5260, 3000), rng.integers(-8500, 8500, 500)])
+    left = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(lx), dtype=np.int64)),
+        "entity_idx": pa.array(np.zeros(len(lx), dtype=np.int64)),
+        "lon_1e2": pa.array(lx.astype(np.int64)),
+        "lat_1e2": pa.array(ly.astype(np.int64)),
+    }))
+    rxx = rng.integers(1200, 1500, 400)
+    ryy = rng.integers(5100, 5400, 400)
+    right = rd.from_arrow(pa.table({
+        "event_id": pa.array(np.arange(400, dtype=np.int64)),
+        "lon_1e2": pa.array(rxx.astype(np.int64)),
+        "lat_1e2": pa.array(ryy.astype(np.int64)),
+    }))
+
+    def pairs(**kw):
+        df = within_distance_join(left, right, radius_1e2=100, **kw).to_pandas()
+        return set(zip(df.doc_id, df.entity_idx, df.event_id, df.dist2))
+
+    base = pairs()
+    salted = pairs(salt_threshold=500, n_salt=8)
+    assert base == salted and len(base) > 0
