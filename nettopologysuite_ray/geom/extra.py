@@ -571,13 +571,17 @@ def offset_curve(line: Geom, dist: float) -> Geom:
     arr = line.all_coords()
     segs = alg._geom_segments(line)
     out_lines = []
+    closed = len(arr) > 1 and (arr[0] == arr[-1]).all()
+    nseg = len(arr) - 1
     for comp in bnd.flatten():
         coords = comp.all_coords()
         keep = []
         for p in coords:
-            # nearest line segment + side sign
-            best = (math.inf, 0.0)
-            for i in range(len(arr) - 1):
+            # nearest line segment + side sign; cap-arc points (nearest
+            # point is an END vertex of an open line) are excluded — the
+            # reference OffsetCurve has no end caps
+            best = (math.inf, 0.0, False)
+            for i in range(nseg):
                 a, b = arr[i], arr[i + 1]
                 dx, dy = b[0] - a[0], b[1] - a[1]
                 llen = dx * dx + dy * dy
@@ -586,10 +590,28 @@ def offset_curve(line: Geom, dist: float) -> Geom:
                 t = max(0.0, min(1.0, ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / llen))
                 cx, cy = a[0] + t * dx, a[1] + t * dy
                 dd = math.hypot(p[0] - cx, p[1] - cy)
-                if dd < best[0]:
+                # cap-arc test: projection clamps to an END vertex of an
+                # open line AND p lies strictly BEYOND it (positive
+                # component along the outward tangent); the offset-curve
+                # terminus directly beside the endpoint is kept
+                is_cap = False
+                if not closed:
+                    sl = math.sqrt(llen)
+                    if i == 0 and t == 0.0:
+                        out_dot = -((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / sl
+                        is_cap = out_dot > 1e-9 * (dd + 1.0)
+                    elif i == nseg - 1 and t == 1.0:
+                        out_dot = ((p[0] - b[0]) * dx + (p[1] - b[1]) * dy) / sl
+                        is_cap = out_dot > 1e-9 * (dd + 1.0)
+                if dd < best[0] - 1e-12:
                     side = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
-                    best = (dd, side)
-            keep.append(best[1] > 0 if dist > 0 else best[1] < 0)
+                    best = (dd, side, is_cap)
+                elif dd < best[0] + 1e-12 and best[2] and not is_cap:
+                    # equally near an interior location: not a cap point
+                    side = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+                    best = (dd, side, False)
+            ok = best[1] > 0 if dist > 0 else best[1] < 0
+            keep.append(ok and not best[2])
         # extract kept runs
         run = []
         for ok, p in zip(keep, coords):
@@ -602,6 +624,31 @@ def offset_curve(line: Geom, dist: float) -> Geom:
                 run = []
         if len(run) >= 2:
             out_lines.append(np.array(run))
+
+    def _along(p) -> float:
+        """Arc-length position of p's nearest point on the input line."""
+        best = (math.inf, 0.0)
+        pos = 0.0
+        for i in range(nseg):
+            a, b = arr[i], arr[i + 1]
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            sl = math.hypot(dx, dy)
+            if sl == 0:
+                continue
+            t = max(0.0, min(1.0, ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / (sl * sl)))
+            cx, cy = a[0] + t * dx, a[1] + t * dy
+            dd = math.hypot(p[0] - cx, p[1] - cy)
+            if dd < best[0]:
+                best = (dd, pos + t * sl)
+            pos += sl
+        return best[1]
+
+    # orient each section to follow the input line's direction
+    # (reference: OffsetCurve output runs parallel to the input)
+    out_lines = [
+        ls if _along(ls[0]) <= _along(ls[-1]) else ls[::-1].copy()
+        for ls in out_lines
+    ]
     if not out_lines:
         return Geom.empty(LINESTRING)
     if len(out_lines) == 1:
