@@ -654,3 +654,25 @@ def offset_curve(line: Geom, dist: float) -> Geom:
     if len(out_lines) == 1:
         return Geom(LINESTRING, out_lines[0])
     return Geom("MultiLineString", out_lines)
+
+
+def dissolve_lines(g: Geom) -> Geom:
+    """LineDissolver (reference: Dissolve/LineDissolver.cs:29): remove
+    duplicate segments from the linework, then stitch the survivors into
+    maximal chains broken at junction (degree != 2) nodes."""
+    from .overlay import _merge_lines
+
+    pieces = []
+    for comp in g.flatten():
+        for arr in comp.coords_list():
+            for i in range(len(arr) - 1):
+                p0 = (float(arr[i, 0]), float(arr[i, 1]))
+                p1 = (float(arr[i + 1, 0]), float(arr[i + 1, 1]))
+                if p0 != p1:
+                    pieces.append((p0, p1))
+    merged = _merge_lines(pieces)
+    if not merged:
+        return Geom.empty(LINESTRING)
+    if len(merged) == 1:
+        return Geom(LINESTRING, merged[0])
+    return Geom("MultiLineString", merged)

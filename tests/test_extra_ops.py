@@ -268,3 +268,64 @@ def test_ivf_ann_recall(ray_session):
     # full probe == exact
     full = run(ivf_ann_topk, dim=dim, k=5, nprobe=16)
     assert full == exact
+
+
+def test_dissolve_lines():
+    """LineDissolver ports (reference: test/.../Dissolve/LineDissolverTest.cs)."""
+    from nettopologysuite_ray.geom.extra import dissolve_lines
+    from nettopologysuite_ray.geom.types import GEOMETRYCOLLECTION, Geom
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    def chains(x):
+        out = set()
+        for c in x.flatten():
+            a = [(float(p[0]), float(p[1])) for p in c.all_coords()]
+            out.add(tuple(min(a, a[::-1])))
+        return out
+
+    def check(inputs, expected):
+        gs = [from_wkt(w) for w in ([inputs] if isinstance(inputs, str) else inputs)]
+        g = gs[0] if len(gs) == 1 else Geom(GEOMETRYCOLLECTION, gs)
+        assert chains(dissolve_lines(g)) == chains(from_wkt(expected))
+
+    check("LINESTRING (0 0, 1 1)", "LINESTRING (0 0, 1 1)")
+    check("LINESTRING (0 0, 1 1, 2 2)", "LINESTRING (0 0, 1 1, 2 2)")
+    check(
+        ["LINESTRING (0 0, 1 1, 2 2)", "LINESTRING (1 1, 2 2, 3 3)"],
+        "LINESTRING (0 0, 1 1, 2 2, 3 3)",
+    )
+    check(
+        ["LINESTRING (0 0, 1 1, 2 2)", "LINESTRING (1 1, 2 2, 3 3)", "LINESTRING (1 1, 2 2, 2 0)"],
+        "MULTILINESTRING ((0 0, 1 1, 2 2), (2 0, 2 2), (2 2, 3 3))",
+    )
+    check(
+        "MULTILINESTRING ((0 0, 1 0, 2 1), (0 0, 1 0, 2 0), (1 0, 2 1, 2 0, 3 0))",
+        "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 2 1, 2 0), (2 0, 3 0))",
+    )
+
+
+def test_shape_factory():
+    """GeometricShapeFactory / SineStarFactory shapes are valid and sized
+    correctly (reference: Utilities/GeometricShapeFactory.cs:30)."""
+    import math
+
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.shape import GeometricShapeFactory, sine_star
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    f = GeometricShapeFactory()
+    f.set_base(0, 0)
+    f.set_size(10)
+    f.num_points = 64
+    rect = f.create_rectangle()
+    assert is_valid(rect) and alg.area(rect) == 100.0
+    circ = f.create_circle()
+    assert is_valid(circ)
+    assert abs(alg.area(circ) - math.pi * 25) < 0.5
+    arc = f.create_arc(0, math.pi)
+    assert arc.gtype == "LineString" and len(arc.data) == 64
+    pie = f.create_arc_polygon(0, math.pi / 2)
+    assert is_valid(pie) and 0 < alg.area(pie) < math.pi * 25 / 3
+    star = sine_star(centre=(5, 5), size=10, num_points=200, num_arms=8)
+    assert is_valid(star)
+    assert 0 < alg.area(star) < math.pi * 25
