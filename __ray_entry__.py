@@ -530,8 +530,11 @@ def _q_within_distance_join(sf_dir: str):
         )
 
     ev = events.map_batches(ev_points, batch_format="pyarrow")
+    # salting active: cells above the threshold split into deterministic
+    # subkeys (pair set proven identical in tests/test_pipeline.py)
     out = within_distance_join(ev, ents, radius_1e2=300, left_keys=("event_id",),
-                               right_keys=("doc_id", "entity_idx"))
+                               right_keys=("doc_id", "entity_idx"),
+                               salt_threshold=100_000, n_salt=16)
     return out.select_columns(["event_id", "doc_id", "entity_idx", "dist2"])
 
 
@@ -731,6 +734,94 @@ def _q_triangulate_events(sf_dir: str):
     return events.map_batches(tri_batch, batch_format="pyarrow")
 
 
+def _q_buffer_mitre(sf_dir: str):
+    """Mitre-join buffer of per-cell squares (reference:
+    Operation/Buffer/BufferOp.cs + BufferParameters JoinStyle.Mitre): a
+    square buffered with mitre joins is exactly the expanded square, so
+    the doubled area is integer-exact and arithmetically oracle-checkable."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.range(648).map_batches(
+        lambda b: {"admin_id": b["id"].astype(np.int64)}, batch_format="numpy"
+    )
+
+    def buf(b: "pa.Table"):
+        import pyarrow as pa2
+
+        from nettopologysuite_ray.geom import algorithms as alg
+        from nettopologysuite_ray.geom.buffer import buffer
+        from nettopologysuite_ray.geom.types import POLYGON, Geom
+
+        aid = b["admin_id"].to_numpy(zero_copy_only=False)
+        w = 500 + (aid * 7) % 500
+        d = 50 + (aid * 13) % 100
+        area2 = np.empty(len(aid), dtype=np.int64)
+        nverts = np.empty(len(aid), dtype=np.int64)
+        for i in range(len(aid)):
+            wi = float(w[i])
+            sq = Geom(
+                POLYGON,
+                [np.array([[0, 0], [wi, 0], [wi, wi], [0, wi], [0, 0]])],
+            )
+            out = buffer(sq, float(d[i]), join="mitre")
+            area2[i] = np.int64(round(2 * alg.area(out)))
+            nverts[i] = len(out.data[0]) - 1
+        return pa2.table(
+            {
+                "admin_id": pa2.array(aid),
+                "area2": pa2.array(area2),
+                "nverts": pa2.array(nverts),
+            }
+        )
+
+    return ds.map_batches(buf, batch_format="pyarrow")
+
+
+def _q_densify_simplify(sf_dir: str):
+    """Densify + Douglas-Peucker round trip (reference: Densify/
+    Densifier.cs:27, Simplify/DouglasPeuckerSimplifier.cs): per-cell
+    rectangles densified below max_len then simplified back to their 4
+    corners — vertex count and exact doubled area are arithmetic."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.range(648).map_batches(
+        lambda b: {"admin_id": b["id"].astype(np.int64)}, batch_format="numpy"
+    )
+
+    def ds_fn(b: "pa.Table"):
+        import pyarrow as pa2
+
+        from nettopologysuite_ray.geom import algorithms as alg
+        from nettopologysuite_ray.geom.types import POLYGON, Geom
+
+        aid = b["admin_id"].to_numpy(zero_copy_only=False)
+        w = 500 + (aid * 7) % 500
+        h = 300 + (aid * 13) % 300
+        area2 = np.empty(len(aid), dtype=np.int64)
+        nverts = np.empty(len(aid), dtype=np.int64)
+        for i in range(len(aid)):
+            wi, hi = float(w[i]), float(h[i])
+            rect = Geom(
+                POLYGON,
+                [np.array([[0, 0], [wi, 0], [wi, hi], [0, hi], [0, 0]])],
+            )
+            dense = alg.densify(rect, 70.0)
+            simp = alg.simplify_dp(dense, 1.0)
+            area2[i] = np.int64(round(2 * alg.area(simp)))
+            nverts[i] = len(simp.data[0]) - 1
+        return pa2.table(
+            {
+                "admin_id": pa2.array(aid),
+                "area2": pa2.array(area2),
+                "nverts": pa2.array(nverts),
+            }
+        )
+
+    return ds.map_batches(ds_fn, batch_format="pyarrow")
+
+
 def _q_coverage_simplify(sf_dir: str):
     """Per-band coverage simplification of the admin-boundary coverage
     (reference: Coverage/CoverageSimplifier.cs:48): polygons grouped into
@@ -825,6 +916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_hulls": _q_cluster_hulls,
         "triangulate_events": _q_triangulate_events,
         "ann_ivf": _q_ann_ivf,
+        "buffer_mitre": _q_buffer_mitre,
+        "densify_simplify": _q_densify_simplify,
     }
 
 
@@ -960,6 +1053,34 @@ WHERE e2.lon_1e2 >= (g.admin_id % 36)*1000 - 18000
   AND e2.lon_1e2 <= (g.admin_id % 36)*1000 - 17000
   AND e2.lat_1e2 >= (g.admin_id // 36)*1000 - 9000
   AND e2.lat_1e2 <= (g.admin_id // 36)*1000 - 8000
+""",
+        # mitre buffer of a w-square by d = exact (w+2d)-square; the 12
+        # boundary vertices (3 per corner: two offset endpoints + mitre
+        # apex) are a deterministic regression pin
+        "buffer_mitre": """
+WITH g AS (SELECT unnest(range(648)) AS admin_id),
+p AS (
+  SELECT admin_id,
+         500 + (admin_id * 7) % 500 AS w,
+         50 + (admin_id * 13) % 100 AS d
+  FROM g
+)
+SELECT admin_id, CAST(2 * (w + 2 * d) * (w + 2 * d) AS BIGINT) AS area2,
+       CAST(12 AS BIGINT) AS nverts
+FROM p
+""",
+        # densify(<=70) then DP-simplify(1) restores the 4-corner rectangle
+        "densify_simplify": """
+WITH g AS (SELECT unnest(range(648)) AS admin_id),
+p AS (
+  SELECT admin_id,
+         500 + (admin_id * 7) % 500 AS w,
+         300 + (admin_id * 13) % 300 AS h
+  FROM g
+)
+SELECT admin_id, CAST(2 * w * h AS BIGINT) AS area2,
+       CAST(4 AS BIGINT) AS nverts
+FROM p
 """,
         "lang_pred": _sql_lang_pred(),
         # SimHash verbatim in SQL: md5 word-2-gram shingle hashes (first 8
