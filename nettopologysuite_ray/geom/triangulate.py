@@ -65,6 +65,11 @@ def delaunay_triangles(g: Geom) -> list[tuple[int, int, int]]:
 
 
 def _bowyer_watson(pts: np.ndarray):
+    """Incremental Bowyer-Watson with adjacency: locate the containing
+    triangle by walking from the last insertion (orientation tests), grow
+    the cavity by BFS over neighbors (in-circle tests only on the cavity
+    frontier), and re-link the star of new triangles.  Amortized ~O(1)
+    tests per insertion instead of scanning every triangle."""
     n = len(pts)
     if n < 3:
         return []
@@ -72,100 +77,181 @@ def _bowyer_watson(pts: np.ndarray):
     # or hull slivers (near-collinear boundary points, circumradius up to
     # ~span/eps) connect to a super vertex instead and leave notches in the
     # traced hull.  1e20 x span dominates any circumradius representable
-    # with float64 triangle areas; the in-circle filter/Fraction fallback
-    # stays exact at these magnitudes.
+    # with float64 triangle areas; the in-circle/orientation filters stay
+    # exact at these magnitudes.
     minx, miny = pts.min(axis=0)
     maxx, maxy = pts.max(axis=0)
     d = max(maxx - minx, maxy - miny, 1.0) * 1e20
     cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
     sp = np.array([[cx - 2 * d, cy - d], [cx + 2 * d, cy - d], [cx, cy + 2 * d]])
     P = np.vstack([pts, sp])
-    # triangle store: persistent arrays with a liveness mask (list-of-tuple
-    # storage made each insertion O(M) in Python conversions)
-    cap = 64
-    T = np.zeros((cap, 3), dtype=np.int64)
-    alive = np.zeros(cap, dtype=bool)
-    T[0] = (n, n + 1, n + 2)
-    alive[0] = True
-    hi = 1  # high-water mark
-    # deterministic insertion order (sorted by np.unique upstream)
+
+    # triangle store (all triangles CCW): vertices, neighbor across edge k
+    # = (v[k], v[k+1]), liveness — plain Python lists (all per-insert ops
+    # are scalar; numpy row indexing costs ~5x more here)
+    T: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]  # CCW
+    NB: list[list[int]] = [[-1, -1, -1]]
+    alive = [True]
+    free: list[int] = []
+
+    Px = P[:, 0].tolist()
+    Py = P[:, 1].tolist()
+
+    def orient(a, b, px, py) -> int:
+        # inline float filter (python floats, no numpy scalar overhead);
+        # robust predicate only when inconclusive — identical decisions
+        ax = Px[a]
+        ay = Py[a]
+        bx = Px[b]
+        by = Py[b]
+        det = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        bound = 1e-12 * (
+            (abs(bx - ax) + abs(by - ay)) * (abs(py - ay) + abs(px - ax)) + 1e-300
+        )
+        if det > bound:
+            return 1
+        if det < -bound:
+            return -1
+        v = alg.orient2d(ax, ay, bx, by, px, py)
+        return (v > 0) - (v < 0)
+
+    def in_circle(t, px, py) -> int:
+        a, b, c = T[t]
+        return _in_circle(Px[a], Py[a], Px[b], Py[b], Px[c], Py[c], px, py)
+
+    def first_alive() -> int:
+        for k in range(len(T)):
+            if alive[k]:
+                return k
+        return 0
+
+    # walk-start cache: coarse grid cell -> a VERTEX seen there; vertices
+    # never die, and v2t[vertex] is refreshed on every triangle creation,
+    # so the walk starts one cell away at most.  (A triangle-valued cache
+    # goes stale as soon as nearby insertions destroy the triangle.)
+    # Insertion order stays lexicographic (np.unique) — deterministic.
+    gridn = max(int(math.sqrt(n) / 2), 1)
+    span_x = (maxx - minx) or 1.0
+    span_y = (maxy - miny) or 1.0
+    start_cache: dict[tuple[int, int], int] = {}
+    v2t: dict[int, int] = {}
+
+    def cell_of(px, py):
+        gx = int((px - minx) / span_x * gridn)
+        gy = int((py - miny) / span_y * gridn)
+        return (min(max(gx, 0), gridn - 1), min(max(gy, 0), gridn - 1))
+
+    last = 0
     for i in range(n):
-        px, py = P[i]
-        idx = np.nonzero(alive[:hi])[0]
-        A = P[T[idx, 0]]
-        B = P[T[idx, 1]]
-        C = P[T[idx, 2]]
-        adx = A[:, 0] - px
-        ady = A[:, 1] - py
-        bdx = B[:, 0] - px
-        bdy = B[:, 1] - py
-        cdx = C[:, 0] - px
-        cdy = C[:, 1] - py
-        ad = adx * adx + ady * ady
-        bd = bdx * bdx + bdy * bdy
-        cd = cdx * cdx + cdy * cdy
-        det = (
-            adx * (bdy * cd - bd * cdy)
-            - ady * (bdx * cd - bd * cdx)
-            + ad * (bdx * cdy - bdy * cdx)
-        )
-        permanent = (
-            (np.abs(bdx * cdy) + np.abs(bdy * cdx)) * ad
-            + (np.abs(cdx * ady) + np.abs(cdy * adx)) * bd
-            + (np.abs(adx * bdy) + np.abs(ady * bdx)) * cd
-        )
-        # vectorized conservative filter (same permanent bound as
-        # _in_circle); only near-zero determinants pay the exact predicate
-        sure = np.abs(det) > 1e-14 * permanent
-        bad_mask = sure & (det > 0)
-        for k in np.nonzero(~sure)[0]:
-            a, b, c = T[idx[k]]
-            if (
-                _in_circle(
-                    P[a][0], P[a][1], P[b][0], P[b][1], P[c][0], P[c][1], px, py
-                )
-                > 0
-            ):
-                bad_mask[k] = True
-        bad_pos = idx[bad_mask]
-        # boundary of the cavity = edges appearing once among bad triangles
-        edge_count: dict = {}
-        edge_dir: dict = {}
-        for pos in bad_pos:
-            a, b, c = (int(T[pos, 0]), int(T[pos, 1]), int(T[pos, 2]))
-            for e in ((a, b), (b, c), (c, a)):
-                k2 = (min(e), max(e))
-                cnt = edge_count.get(k2, 0) + 1
-                edge_count[k2] = cnt
-                if cnt == 1:
-                    edge_dir[k2] = e
-        alive[bad_pos] = False
-        new_tris = [
-            (edge_dir[k2][0], edge_dir[k2][1], i)
-            for k2, cnt in edge_count.items()
-            if cnt == 1
-        ]
-        need = hi + len(new_tris)
-        if need > cap:
-            while cap < need:
-                cap *= 2
-            T2 = np.zeros((cap, 3), dtype=np.int64)
-            T2[:hi] = T[:hi]
-            a2 = np.zeros(cap, dtype=bool)
-            a2[:hi] = alive[:hi]
-            T, alive = T2, a2
-        for t in new_tris:
-            T[hi] = t
-            alive[hi] = True
-            hi += 1
-    # drop super-triangle incident faces; orient CCW
+        px = Px[i]
+        py = Py[i]
+        # -- locate: walk toward p ---------------------------------------
+        cell = cell_of(px, py)
+        t = -1
+        sv = start_cache.get(cell)
+        if sv is not None:
+            t = v2t.get(sv, -1)
+        if t < 0 or not alive[t]:
+            t = last if alive[last] else first_alive()
+        steps = 0
+        limit = 4 * len(T) + 16
+        while True:
+            steps += 1
+            if steps > limit:
+                # degenerate walk cycle: fall back to a scan
+                t = -1
+                for cand in range(len(T)):
+                    if not alive[cand]:
+                        continue
+                    a, b, c = T[cand]
+                    if (
+                        orient(a, b, px, py) >= 0
+                        and orient(b, c, px, py) >= 0
+                        and orient(c, a, px, py) >= 0
+                    ):
+                        t = cand
+                        break
+                break
+            a, b, c = T[t]
+            if orient(a, b, px, py) < 0:
+                t = NB[t][0]
+            elif orient(b, c, px, py) < 0:
+                t = NB[t][1]
+            elif orient(c, a, px, py) < 0:
+                t = NB[t][2]
+            else:
+                break
+            if t < 0:
+                break
+        if t < 0:
+            continue  # outside the super-triangle: impossible, skip
+        # -- cavity: BFS over neighbors of bad triangles ------------------
+        if in_circle(t, px, py) <= 0:
+            continue  # duplicate / degenerate point: no cavity
+        bad = {t}
+        stack = [t]
+        while stack:
+            cur = stack.pop()
+            for nbt in NB[cur]:
+                if nbt >= 0 and nbt not in bad and in_circle(nbt, px, py) > 0:
+                    bad.add(nbt)
+                    stack.append(nbt)
+        # -- boundary edges (directed, cavity on the left) ----------------
+        boundary = []  # (a, b, outside_tri)
+        for cur in bad:
+            tv = T[cur]
+            nbs = NB[cur]
+            for k in range(3):
+                nbt = nbs[k]
+                if nbt < 0 or nbt not in bad:
+                    boundary.append((tv[k], tv[(k + 1) % 3], nbt))
+        # -- retriangulate the star -------------------------------------
+        for cur in bad:
+            alive[cur] = False
+            free.append(cur)
+        edge_to_tri: dict = {}
+        new_ids = []
+        for a, b, outside in boundary:
+            if free:
+                tid = free.pop()
+                T[tid] = (a, b, i)
+                NB[tid] = [outside, -1, -1]
+                alive[tid] = True
+            else:
+                tid = len(T)
+                T.append((a, b, i))
+                NB.append([outside, -1, -1])
+                alive.append(True)
+            v2t[a] = tid
+            v2t[b] = tid
+            v2t[i] = tid
+            if outside >= 0:
+                # fix the outside triangle's back-pointer
+                ot = T[outside]
+                for k in range(3):
+                    if ot[k] == b and ot[(k + 1) % 3] == a:
+                        NB[outside][k] = tid
+                        break
+            edge_to_tri[(a, b)] = tid
+            new_ids.append(tid)
+        # link new triangles to each other: edge (b, i) pairs with the new
+        # triangle whose boundary edge starts at b (its edge (i, b))
+        starts = {T[tid][0]: tid for tid in new_ids}
+        for tid in new_ids:
+            a, b, _ = T[tid]
+            nxt = starts[b]  # new tri (b, c, i): shares edge (b, i)
+            NB[tid][1] = nxt
+            NB[nxt][2] = tid
+        last = new_ids[0] if new_ids else t
+        start_cache[cell] = i
+    # drop super-triangle incident faces; orient CCW (already CCW)
     out = []
-    for pos in np.nonzero(alive[:hi])[0]:
-        a, b, c = (int(T[pos, 0]), int(T[pos, 1]), int(T[pos, 2]))
+    for pos in range(len(T)):
+        if not alive[pos]:
+            continue
+        a, b, c = T[pos]
         if a >= n or b >= n or c >= n:
             continue
-        if alg.orient2d(P[a][0], P[a][1], P[b][0], P[b][1], P[c][0], P[c][1]) < 0:
-            a, b, c = a, c, b
         out.append((a, b, c))
     return out
 
