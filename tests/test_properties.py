@@ -146,3 +146,104 @@ def test_random_simple_polygon_overlay_fuzz():
         if ai > 1e-9:
             assert pred.intersects(a, b)
     assert trials > 60
+
+
+# ---------------------------------------------------------------------------
+# round-2 operators
+
+
+@settings(max_examples=80, deadline=None)
+@given(multipoints(), st.integers(min_value=0, max_value=10))
+def test_concave_hull_contains_points(mp, ratio10):
+    """The concave hull contains every input point and is valid."""
+    from nettopologysuite_ray.geom.hull import concave_hull
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    h = concave_hull(mp, length_ratio=ratio10 / 10.0)
+    assert is_valid(h)
+    if h.gtype == "Polygon" and not h.is_empty:
+        for p in mp.data:
+            assert alg.locate_in_geom(float(p[0]), float(p[1]), h) != alg.EXTERIOR
+
+
+@settings(max_examples=80, deadline=None)
+@given(boxes(), boxes())
+def test_polygon_triangulate_area_preserved(a, b):
+    """Triangulating a (possibly holed/multi) union preserves total area
+    exactly on integer coordinates."""
+    from nettopologysuite_ray.geom.polytri import constrained_delaunay, polygon_triangulate
+
+    u = overlay(a, b, "union")
+    polys = [c for c in u.flatten() if c.gtype == "Polygon"]
+    total = sum(alg.area(p) for p in polys)
+    for fn in (polygon_triangulate, constrained_delaunay):
+        tris = list(fn(u).flatten())
+        tri_area = sum(alg.area(t) for t in tris)
+        assert abs(tri_area - total) < 1e-9 * max(total, 1.0)
+
+
+@settings(max_examples=80, deadline=None)
+@given(multipoints())
+def test_kdtree_nn_matches_brute_force(mp):
+    from nettopologysuite_ray.geom.kdtree import KdTree
+
+    pts = [(float(p[0]), float(p[1])) for p in mp.data]
+    kd = KdTree()
+    for p in pts:
+        kd.insert(p)
+    q = (3.7, -2.2)
+    nn = kd.nearest_neighbor(q)
+    best = min(np.hypot(p[0] - q[0], p[1] - q[1]) for p in pts)
+    assert abs(nn.distance(*q) - best) < 1e-12
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(coord, coord), min_size=3, max_size=10, unique=True))
+def test_delaunay_property_random(pts):
+    """Every triangle's circumcircle is empty (the defining invariant) —
+    guards the incremental walk/cavity rewrite."""
+    from nettopologysuite_ray.geom.triangulate import _bowyer_watson, _in_circle
+
+    arr = np.unique(np.array(pts, dtype=float), axis=0)
+    tris = _bowyer_watson(arr)
+    for a, b, c in tris:
+        for k in range(len(arr)):
+            if k in (a, b, c):
+                continue
+            assert (
+                _in_circle(
+                    arr[a][0], arr[a][1], arr[b][0], arr[b][1],
+                    arr[c][0], arr[c][1], arr[k][0], arr[k][1],
+                )
+                <= 0
+            )
+
+
+@settings(max_examples=60, deadline=None)
+@given(boxes(), st.integers(min_value=1, max_value=20))
+def test_precision_reducer_valid_on_grid(g, scale):
+    from nettopologysuite_ray.geom.precision import reduce_precision
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    out = reduce_precision(g, scale)
+    assert is_valid(out)
+    # every output ordinate lies on the grid
+    for comp in out.flatten():
+        for arr in comp.coords_list():
+            assert np.allclose(arr * scale, np.round(arr * scale), atol=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(boxes(), boxes())
+def test_hull_of_polygons_covers_inputs(a, b):
+    from nettopologysuite_ray.geom.hull import concave_hull_of_polygons
+    from nettopologysuite_ray.geom.types import MULTIPOLYGON, Geom
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    inter = overlay(a, b, "intersection")
+    if not inter.is_empty:
+        return  # coverage input must be non-overlapping
+    mp = Geom(MULTIPOLYGON, [a.data, b.data])
+    h = concave_hull_of_polygons(mp, max_edge_length=1000.0, tight=True)
+    assert is_valid(h)
+    assert alg.area(h) >= alg.area(a) + alg.area(b) - 1e-9
