@@ -76,9 +76,208 @@ def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_lin
         # legacy dimensional-collapse lines survive even inside the result
         # area (TestOverlayAAPrec); other covered lines are filtered
         res = _snap_result(res, grid_size, op, protected_lines=protected)
-    if res is not None and not res.is_empty:
+    if res is None or res.is_empty:
+        res = _empty_result(op, dim_a, dim_b)
+    # robustness retry (reference: OverlayNGRobust.cs:178 OverlaySnapTries):
+    # float noise between nearly-coincident boundaries (e.g. collinear
+    # shared edges of rotated inputs) can break the arrangement silently.
+    # Cheap area invariants detect it; on violation retry with
+    # SnappingNoder-style vertex clustering at escalating tolerances, then
+    # the weld grid.
+    if (
+        grid_size is None
+        and not weld
+        and dim_a == 2
+        and dim_b == 2
+        and not orig_a.is_empty
+        and not orig_b.is_empty
+    ):
+        res = _check_and_retry_overlay(orig_a, orig_b, op, res, merge_line_output, ng)
+    return res
+
+
+def _area_invariant_ok(op: str, aa: float, ab: float, ar: float, overlap: bool) -> bool:
+    """Necessary conditions on the result area.  `overlap` = some interior
+    representative point of one operand lies strictly inside the other —
+    when true, intersection cannot be empty, difference cannot equal A,
+    symdifference cannot equal A+B."""
+    tol = 1e-6 * max(aa, ab, 1.0)
+    if op == "union":
+        return max(aa, ab) - tol <= ar <= aa + ab + tol
+    if op == "intersection":
+        if ar > min(aa, ab) + tol:
+            return False
+        return not (overlap and ar <= tol)
+    if op == "difference":
+        if not (max(0.0, aa - ab) - tol <= ar <= aa + tol):
+            return False
+        return not (overlap and ar >= aa - tol)
+    if op == "symdifference":
+        if not (abs(aa - ab) - tol <= ar <= aa + ab + tol):
+            return False
+        return not (overlap and ar >= aa + ab - tol)
+    return True
+
+
+def _interiors_overlap(a: Geom, b: Geom) -> bool:
+    for g1, g2 in ((a, b), (b, a)):
+        for comp in g1.flatten():
+            if comp.gtype != POLYGON:
+                continue
+            rep = alg.interior_point(comp)
+            if rep.is_empty:
+                continue
+            if alg.locate_in_geom(float(rep.data[0]), float(rep.data[1]), g2) == I:
+                return True
+    return False
+
+
+def _snap_near_vertices_onto_segments(polys, tol: float):
+    """SnapIntersectionAdder.ProcessNearVertex semantics at the input
+    level (reference: Noding/Snap/SnapIntersectionAdder.cs): any vertex
+    lying within tol of ANOTHER segment's interior is inserted INTO that
+    segment (at the vertex's own coordinates), so nearly-incident chains
+    share exact points and node cleanly.  Used only by the overlay retry
+    ladder."""
+    verts = []
+    for g in polys:
+        for ring in g.coords_list():
+            for q in ring[:-1]:
+                verts.append((float(q[0]), float(q[1])))
+    V = np.asarray(verts, dtype=np.float64).reshape(-1, 2)
+    out = []
+    for g in polys:
+        rings = []
+        for ring in g.coords_list():
+            pts = [(float(q[0]), float(q[1])) for q in ring]
+            new_pts = []
+            for i2 in range(len(pts) - 1):
+                a0 = pts[i2]
+                b0 = pts[i2 + 1]
+                new_pts.append(a0)
+                dx = b0[0] - a0[0]
+                dy = b0[1] - a0[1]
+                ll = dx * dx + dy * dy
+                if ll == 0:
+                    continue
+                minx = min(a0[0], b0[0]) - tol
+                maxx = max(a0[0], b0[0]) + tol
+                miny = min(a0[1], b0[1]) - tol
+                maxy = max(a0[1], b0[1]) + tol
+                m = (
+                    (V[:, 0] >= minx)
+                    & (V[:, 0] <= maxx)
+                    & (V[:, 1] >= miny)
+                    & (V[:, 1] <= maxy)
+                )
+                inserts = []
+                for vx, vy in V[m]:
+                    t = ((vx - a0[0]) * dx + (vy - a0[1]) * dy) / ll
+                    if t <= 0.0 or t >= 1.0:
+                        continue
+                    px_ = a0[0] + t * dx
+                    py_ = a0[1] + t * dy
+                    d2 = (vx - px_) ** 2 + (vy - py_) ** 2
+                    if d2 >= tol * tol:
+                        continue
+                    v = (float(vx), float(vy))
+                    if v == a0 or v == b0:
+                        continue
+                    if math.hypot(vx - a0[0], vy - a0[1]) < tol:
+                        continue
+                    if math.hypot(vx - b0[0], vy - b0[1]) < tol:
+                        continue
+                    inserts.append((t, v))
+                for _t, v in sorted(set(inserts)):
+                    if new_pts[-1] != v:
+                        new_pts.append(v)
+            new_pts.append(pts[-1])
+            if new_pts[0] != new_pts[-1]:
+                new_pts.append(new_pts[0])
+            rings.append(np.asarray(new_pts, dtype=np.float64))
+        out.append(Geom(POLYGON, rings))
+    return out
+
+
+def _result_valid(res: Geom) -> bool:
+    """Polygonal overlay output must be valid (reference: OverlayNG results
+    are guaranteed valid; a ValidatingNoder-style insurance check)."""
+    from .validity import is_valid
+
+    for c in res.flatten():
+        if c.gtype == POLYGON and not is_valid(c):
+            return False
+    return True
+
+
+def _check_and_retry_overlay(a: Geom, b: Geom, op: str, res: Geom, merge_line_output: bool, ng: bool) -> Geom:
+    aa = alg.area(a)
+    ab = alg.area(b)
+    overlap = _interiors_overlap(a, b)
+    tol = 1e-6 * max(aa, ab, 1.0)
+    if op == "symdifference" and overlap:
+        # the loose bounds cannot catch a symdifference that silently kept
+        # the intersection region; pin it with inclusion-exclusion against
+        # the (independently self-healing) intersection result
+        i_area = alg.area(overlay(a, b, "intersection"))
+        expected = aa + ab - 2.0 * i_area
+
+        def _sym_ok(ar):
+            return abs(ar - expected) <= max(tol, 1e-6 * max(expected, 1.0))
+
+        if _sym_ok(alg.area(res)) and _result_valid(res):
+            return res
+        mx = max(
+            (abs(float(v)) for g in (a, b) for arr in g.coords_list() for q in arr for v in q),
+            default=0.0,
+        )
+        if mx == 0:
+            return res
+        comps_a = [c for c in a.flatten() if c.gtype == POLYGON]
+        comps_b = [c for c in b.flatten() if c.gtype == POLYGON]
+        stol = mx / 1e12
+        for _try in range(5):
+            snapped = _snap_cluster(comps_a + comps_b, stol)
+            if len(snapped) == len(comps_a) + len(comps_b):
+                snapped = _snap_near_vertices_onto_segments(snapped, stol)
+                sa = snapped[: len(comps_a)]
+                sb = snapped[len(comps_a) :]
+                a2 = sa[0] if len(sa) == 1 else Geom(MULTIPOLYGON, [p.data for p in sa])
+                b2 = sb[0] if len(sb) == 1 else Geom(MULTIPOLYGON, [p.data for p in sb])
+                res2 = overlay(a2, b2, op, merge_line_output=merge_line_output, ng=ng, weld=True)
+                if _sym_ok(alg.area(res2)) and _result_valid(res2):
+                    return res2
+            stol *= 10.0
         return res
-    return _empty_result(op, dim_a, dim_b)
+    if _area_invariant_ok(op, aa, ab, alg.area(res), overlap) and _result_valid(res):
+        return res
+    mx = max(
+        (abs(float(v)) for g in (a, b) for arr in g.coords_list() for q in arr for v in q),
+        default=0.0,
+    )
+    if mx == 0:
+        return res
+    comps_a = [c for c in a.flatten() if c.gtype == POLYGON]
+    comps_b = [c for c in b.flatten() if c.gtype == POLYGON]
+    tol = mx / 1e12
+    for _try in range(5):
+        snapped = _snap_cluster(comps_a + comps_b, tol)
+        if len(snapped) == len(comps_a) + len(comps_b):
+            snapped = _snap_near_vertices_onto_segments(snapped, tol)
+        sa = snapped[: len(comps_a)] if len(snapped) == len(comps_a) + len(comps_b) else None
+        if sa is not None:
+            sb = snapped[len(comps_a) :]
+            a2 = sa[0] if len(sa) == 1 else Geom(MULTIPOLYGON, [p.data for p in sa])
+            b2 = sb[0] if len(sb) == 1 else Geom(MULTIPOLYGON, [p.data for p in sb])
+            res2 = overlay(a2, b2, op, merge_line_output=merge_line_output, ng=ng, weld=True)
+            if _area_invariant_ok(op, aa, ab, alg.area(res2), overlap) and _result_valid(res2):
+                return res2
+        tol *= 10.0
+    wtol = 2.0 ** (math.floor(math.log2(mx)) - 40)
+    res3 = overlay(a, b, op, wtol, merge_line_output=merge_line_output, ng=ng, weld=True)
+    if _area_invariant_ok(op, aa, ab, alg.area(res3), overlap) and _result_valid(res3):
+        return res3
+    return res
 
 
 def _snap_result(g: Geom, grid: float, op: str, protected_lines: set | None = None) -> Geom:

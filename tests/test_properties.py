@@ -247,3 +247,40 @@ def test_hull_of_polygons_covers_inputs(a, b):
     h = concave_hull_of_polygons(mp, max_edge_length=1000.0, tight=True)
     assert is_valid(h)
     assert alg.area(h) >= alg.area(a) + alg.area(b) - 1e-9
+
+
+@st.composite
+def rotated_quads(draw):
+    """Non-axis-aligned convex quadrilaterals (float vertices)."""
+    cx = draw(st.integers(min_value=-20, max_value=20))
+    cy = draw(st.integers(min_value=-20, max_value=20))
+    w = draw(st.integers(min_value=2, max_value=25))
+    h = draw(st.integers(min_value=2, max_value=25))
+    ang_deg = draw(st.integers(min_value=0, max_value=359))
+    t = np.deg2rad(ang_deg)
+    R = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+    base = np.array([[-w, -h], [w, -h], [w, h], [-w, h]], dtype=float) / 2.0
+    ring = base @ R.T + [cx, cy]
+    return Geom.polygon([tuple(p) for p in ring])
+
+
+@settings(max_examples=100, deadline=None)
+@given(rotated_quads(), rotated_quads())
+def test_overlay_inclusion_exclusion_rotated(a, b):
+    """area(A) + area(B) == area(A∪B) + area(A∩B), and the parts nest —
+    float-vertex, non-axis-aligned inputs stress the noding arithmetic."""
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    u = overlay(a, b, "union")
+    i = overlay(a, b, "intersection")
+    d = overlay(a, b, "difference")
+    assert is_valid(u) and is_valid(i) and is_valid(d)
+    aa, ab = alg.area(a), alg.area(b)
+    scale = max(aa, ab, 1.0)
+    assert abs((aa + ab) - (alg.area(u) + alg.area(i))) < 1e-6 * scale
+    # difference + intersection partitions A
+    assert abs((alg.area(d) + alg.area(i)) - aa) < 1e-6 * scale
+    # containment: I ⊆ A, I ⊆ B (area of I \ A must vanish)
+    if not i.is_empty:
+        assert alg.area(overlay(i, a, "difference")) < 1e-6 * scale
+        assert alg.area(overlay(i, b, "difference")) < 1e-6 * scale
