@@ -284,3 +284,67 @@ def test_overlay_inclusion_exclusion_rotated(a, b):
     if not i.is_empty:
         assert alg.area(overlay(i, a, "difference")) < 1e-6 * scale
         assert alg.area(overlay(i, b, "difference")) < 1e-6 * scale
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_overlay_triangle_transform_algebra(seed):
+    """Random triangles vs their rotated/scaled/translated siblings:
+    inclusion-exclusion + partition identities + validity."""
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-10, 10, (3, 2))
+    if abs(alg.ring_signed_area(np.vstack([pts, pts[:1]]))) < 0.5:
+        return
+    a = Geom.polygon([tuple(p) for p in pts])
+    t = rng.uniform(0, 2 * np.pi)
+    R = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+    q = (pts - pts.mean(0)) @ R.T * rng.uniform(0.5, 2.0) + pts.mean(0)
+    if abs(alg.ring_signed_area(np.vstack([q, q[:1]]))) < 0.5:
+        return
+    b = Geom.polygon([tuple(p) for p in q])
+    aa, ab = alg.area(a), alg.area(b)
+    u, i, d = (overlay(a, b, op) for op in ("union", "intersection", "difference"))
+    scale = max(aa, ab, 1.0)
+    assert is_valid(u) and is_valid(i) and is_valid(d)
+    assert abs((aa + ab) - (alg.area(u) + alg.area(i))) < 1e-6 * scale
+    assert abs((alg.area(d) + alg.area(i)) - aa) < 1e-6 * scale
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=100))
+def test_union_all_pinwheel_slivers(seed):
+    """union_all of rotated thin slivers through one center stays valid
+    and area-bounded (near-degenerate center crossings)."""
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    rng = np.random.default_rng(seed)
+    parts = []
+    for _ in range(8):
+        t = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+        base = np.array([[-5, -0.3], [5, -0.3], [5, 0.3], [-5, 0.3]], dtype=float)
+        parts.append(Geom.polygon([tuple(p) for p in base @ R.T]))
+    u = union_all(parts)
+    assert is_valid(u)
+    au = alg.area(u)
+    assert max(alg.area(p) for p in parts) - 1e-6 <= au <= sum(alg.area(p) for p in parts) + 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_buffer_contains_line_and_monotonic(seed):
+    from nettopologysuite_ray.geom.buffer import buffer
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    rng = np.random.default_rng(seed)
+    pts = np.cumsum(rng.uniform(-4, 4, (rng.integers(2, 7), 2)), axis=0)
+    line = Geom.linestring(pts)
+    d = float(rng.uniform(0.1, 3.0))
+    b = buffer(line, d)
+    assert is_valid(b)
+    for p in pts:
+        assert alg.locate_in_geom(float(p[0]), float(p[1]), b) != alg.EXTERIOR
+    b2 = buffer(line, d * 1.5)
+    assert alg.area(overlay(b, b2, "difference")) < 1e-6 * max(alg.area(b), 1.0)
