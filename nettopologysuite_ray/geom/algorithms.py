@@ -1350,3 +1350,69 @@ def simplify_tp(g: Geom, tol: float) -> Geom:
     if t in (POINT, MULTIPOINT):
         return g
     return Geom(GEOMETRYCOLLECTION, parts)
+
+
+def nearest_points(a: Geom, b: Geom):
+    """The closest pair of points, one on each geometry (reference:
+    Operation/Distance/DistanceOp.cs NearestPoints).  Returns
+    ((xa, ya), (xb, yb)); None for empty input."""
+    if a.is_empty or b.is_empty:
+        return None
+    # overlapping areas: a boundary vertex of the contained side works
+    if a.dimension == 2:
+        for p in b.all_coords():
+            if locate_in_geom(float(p[0]), float(p[1]), a) != EXTERIOR:
+                q = (float(p[0]), float(p[1]))
+                return q, q
+    if b.dimension == 2:
+        for p in a.all_coords():
+            if locate_in_geom(float(p[0]), float(p[1]), b) != EXTERIOR:
+                q = (float(p[0]), float(p[1]))
+                return q, q
+    pa = a.all_coords()
+    pb = b.all_coords()
+    sa = _geom_segments(a)
+    sb = _geom_segments(b)
+
+    def _nearest_pt_to_segs(pts, segs):
+        """(best_dist, point, foot) over all (point, segment) pairs —
+        vectorized on the columnar segment arrays."""
+        x1, y1, x2, y2 = segs
+        px = pts[:, 0][:, None]
+        py = pts[:, 1][:, None]
+        dx = (x2 - x1)[None, :]
+        dy = (y2 - y1)[None, :]
+        ll = dx * dx + dy * dy
+        ll_safe = np.where(ll > 0, ll, 1.0)
+        t = ((px - x1[None, :]) * dx + (py - y1[None, :]) * dy) / ll_safe
+        t = np.clip(np.where(ll > 0, t, 0.0), 0.0, 1.0)
+        cx = x1[None, :] + t * dx
+        cy = y1[None, :] + t * dy
+        d = np.hypot(px - cx, py - cy)
+        i, j = np.unravel_index(np.argmin(d), d.shape)
+        return (
+            float(d[i, j]),
+            (float(pts[i, 0]), float(pts[i, 1])),
+            (float(cx[i, j]), float(cy[i, j])),
+        )
+
+    best = (np.inf, None, None)
+    if sb is not None and len(pa):
+        d, p, q = _nearest_pt_to_segs(pa, sb)
+        if d < best[0]:
+            best = (d, p, q)
+    if sa is not None and len(pb):
+        d, p, q = _nearest_pt_to_segs(pb, sa)
+        if d < best[0]:
+            best = (d, q, p)
+    if sa is None and sb is None:
+        dd = np.hypot(
+            pa[:, 0][:, None] - pb[None, :, 0], pa[:, 1][:, None] - pb[None, :, 1]
+        )
+        i, j = np.unravel_index(np.argmin(dd), dd.shape)
+        best = (
+            float(dd[i, j]),
+            (float(pa[i, 0]), float(pa[i, 1])),
+            (float(pb[j, 0]), float(pb[j, 1])),
+        )
+    return best[1], best[2]

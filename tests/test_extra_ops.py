@@ -329,3 +329,26 @@ def test_shape_factory():
     star = sine_star(centre=(5, 5), size=10, num_points=200, num_arms=8)
     assert is_valid(star)
     assert 0 < alg.area(star) < math.pi * 25
+
+
+def test_nearest_points():
+    """DistanceOp.NearestPoints parity: the pair realizes distance()
+    (reference: Operation/Distance/DistanceOp.cs NearestPoints)."""
+    import math
+
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    a = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    cases = [
+        "POINT (15 5)",
+        "LINESTRING (20 0, 20 10)",
+        "POINT (5 5)",
+        "POLYGON ((20 2, 25 2, 25 8, 20 8, 20 2))",
+        "MULTIPOINT ((13 4), (30 30))",
+    ]
+    for wb in cases:
+        b = from_wkt(wb)
+        p, q = alg.nearest_points(a, b)
+        assert math.isclose(math.dist(p, q), alg.distance(a, b), abs_tol=1e-12)
+    assert alg.nearest_points(a, from_wkt("POINT (15 5)")) == ((10.0, 5.0), (15.0, 5.0))
