@@ -103,9 +103,13 @@ def _reduce(g: Geom, grid: float, remove_collapsed: bool, pointwise: bool) -> Ge
             if t == POLYGON:
                 return Geom(POLYGON, snap_rings(g.data))
             return Geom(MULTIPOLYGON, [snap_rings(rings) for rings in g.data])
-        # fixed-precision self-union: snap-round noding repairs rounding
-        # damage, merges newly-adjacent parts, drops collapses
-        u = union_all(list(g.flatten()), grid_size=grid)
+        # fixed-precision self-union through the SNAP-ROUNDED NG overlay
+        # (hot-pixel noding — reference PrecisionReducer uses OverlayNG):
+        # repairs rounding damage, merges newly-adjacent parts, collapses
+        # slivers whose edges re-route through each other's hot pixels
+        from .overlay import overlay
+
+        u = overlay(g, Geom.empty(POLYGON), "union", grid_size=grid, ng=True)
         polys = [c for c in u.flatten() if c.gtype == POLYGON]
         if not polys:
             return Geom.empty(POLYGON)

@@ -53,12 +53,6 @@ def test_reduce_precision(scale, wkt, expected):
     assert _compare(to_wkt(got), expected), to_wkt(got)
 
 
-@pytest.mark.xfail(
-    reason="documented deviation: sliver-collapse / self-crossing-ring "
-    "fixed-precision edge cases resolve differently from the reference's "
-    "hot-pixel noder (valid output, different shape)",
-    strict=True,
-)
 @pytest.mark.parametrize(
     "scale,wkt,expected",
     [
@@ -74,7 +68,9 @@ def test_reduce_precision(scale, wkt, expected):
         ),
     ],
 )
-def test_reduce_precision_known_deviations(scale, wkt, expected):
+def test_reduce_precision_hot_pixel_cases(scale, wkt, expected):
+    """Sliver total-collapse and self-crossing ring — resolved by the
+    snap-rounded NG overlay path (hot-pixel noding)."""
     got = reduce_precision(from_wkt(wkt), scale)
     assert _compare(to_wkt(got), expected), to_wkt(got)
 
