@@ -167,7 +167,7 @@ def _q_knn_admin(sf_dir: str):
         },
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 2),
+        concurrency=(1, 8),
         num_cpus=1,
     )
     return ds.select_columns(["doc_id", "entity_idx", "rank", "admin_id", "dist2"])
