@@ -348,3 +348,24 @@ def test_buffer_contains_line_and_monotonic(seed):
         assert alg.locate_in_geom(float(p[0]), float(p[1]), b) != alg.EXTERIOR
     b2 = buffer(line, d * 1.5)
     assert alg.area(overlay(b, b2, "difference")) < 1e-6 * max(alg.area(b), 1.0)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_line_area_overlay_length_partition(seed):
+    """len(L ∩ P) + len(L \\ P) == len(L) for random lines vs rotated
+    polygons — the mixed-dimension overlay paths."""
+    rng = np.random.default_rng(seed)
+    t = rng.uniform(0, 2 * np.pi)
+    R = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+    w, h = rng.uniform(2, 10, 2)
+    c = rng.uniform(-3, 3, 2)
+    poly = Geom.polygon(
+        [tuple(p) for p in (np.array([[-w, -h], [w, -h], [w, h], [-w, h]]) / 2 @ R.T + c)]
+    )
+    pts = np.cumsum(rng.uniform(-5, 5, (rng.integers(2, 6), 2)), axis=0)
+    line = Geom.linestring(pts)
+    L = alg.length(line)
+    li = overlay(line, poly, "intersection")
+    ld = overlay(line, poly, "difference")
+    assert abs((alg.length(li) + alg.length(ld)) - L) < 1e-6 * max(L, 1.0)
