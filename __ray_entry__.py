@@ -392,6 +392,26 @@ def _q_lang_pred(sf_dir: str):
     return grouped_sum(pred.map_batches(ones, batch_format="pyarrow"), ["lang", "lang_pred"], ["n"])
 
 
+def _q_near_dup_groups(sf_dir: str):
+    """Connected near-dup clusters (exact-Jaccard-verified LSH pairs +
+    distributed min-label propagation); oracle: recursive-CTE transitive
+    closure over the same exact all-pairs Jaccard edges."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.dedup import MinHasher, near_dup_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"emit_shingles": True},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        num_cpus=1,
+        batch_size=2048,
+    )
+    return near_dup_groups(sigs, num_partitions=4)
+
+
 def _q_minhash_lsh_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs, exact-verified by n-gram Jaccard >= 1/2
     (integer arithmetic) — fully distributed: banding shuffle for
@@ -918,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "buffer_mitre": _q_buffer_mitre,
         "densify_simplify": _q_densify_simplify,
+        "near_dup_groups": _q_near_dup_groups,
     }
 
 
@@ -1222,6 +1243,41 @@ WITH e AS (
 SELECT event_id, CAST(4 AS BIGINT) AS n_tris,
        CAST(2 * (a * b + c * (d - b)) AS BIGINT) AS area2
 FROM e
+""",
+        # connected components over the exact-Jaccard edge set: recursive
+        # transitive closure, min label per node (see _q_near_dup_groups)
+        "near_dup_groups": """
+WITH RECURSIVE
+t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM t),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s3
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ix AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+  FROM sh x JOIN sh y ON y.s3 = x.s3 AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b
+  FROM ix
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE 2 * i >= (na.n + nb.n - i)
+),
+edges2 AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+nodes AS (SELECT DISTINCT a AS id FROM edges2),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges2 e ON e.a = r.id
+)
+SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS rep_id
+FROM reach GROUP BY id
 """,
         # exact all-pairs word-3-gram Jaccard >= 1/2; equals the Ray
         # LSH-candidates + exact-verify result (see _q_minhash_lsh_pairs)

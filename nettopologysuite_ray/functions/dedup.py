@@ -385,3 +385,146 @@ def exact_dedup(
             Sum("dup_count", alias_name="dup_count"),
         )
     )
+
+
+def lsh_dedup(
+    sigs,
+    id_col: str = "doc_id",
+    rounds: int = 4,
+    shuffle_partitions: int = 32,
+):
+    """Near-dup GROUP assignment (connected components over LSH buckets):
+    each doc gets the min doc id of its connected near-dup cluster.
+
+    The all-pairs candidate list is QUADRATIC in cluster size (a
+    boilerplate page replicated 100x yields ~5,000 pairs per bucket) —
+    for dedup you only need a representative, which is LINEAR: each
+    bucket emits (member, bucket_min) star edges, then `rounds` of
+    min-label propagation merge chains across buckets.  This is the
+    100 TB-safe shape for web-scale boilerplate clusters.
+
+    Output: (id_col, rep_id) — rep_id == min id of the cluster once
+    propagation converges (star-shaped bucket overlaps converge in 2;
+    chains of length L need ~log2(L) rounds).
+
+    Size shuffle_partitions to the cluster: each hash-join/aggregate
+    partition runs an aggregator actor needing a CPU — more partitions
+    than CPUs stalls the propagation joins.
+    """
+    from ray.data.aggregate import Min
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bks = np.asarray(batch["band_keys"].to_pylist(), dtype=np.int64)
+        nb = bks.shape[1] if bks.ndim == 2 else 0
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, nb)),
+                "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), len(ids))),
+                "bucket": pa.array(bks.reshape(-1)),
+            }
+        )
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        b = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15) + b) >> np.uint64(32)
+        return batch.append_column(
+            "_h", pa.array((h % np.uint64(shuffle_partitions)).astype(np.int64))
+        )
+
+    def star_edges(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[[id_col, "band", "bucket"]].drop_duplicates()
+        mn = df.groupby(["band", "bucket"])[id_col].transform("min")
+        out = pd.DataFrame({"a": df[id_col].to_numpy(), "b": mn.to_numpy()})
+        out = out[out["a"] != out["b"]].drop_duplicates()
+        return out
+
+    edges = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(star_edges, batch_format="pandas")
+        .materialize()  # reused every propagation round
+    )
+
+    return _min_label_propagation(edges, id_col, rounds, shuffle_partitions)
+
+
+def _min_label_propagation(edges, id_col: str, rounds: int, shuffle_partitions: int):
+    """Connected-component labels by iterative min propagation over an
+    undirected edge Dataset with columns (a, b): every node ends with the
+    min id reachable within `rounds` hops of label flow (distributed hash
+    joins; edges materialized once by the caller)."""
+    from ray.data.aggregate import Min
+
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        m = np.minimum(a, b)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([a, b])),
+                "rep_id": pa.array(np.concatenate([m, m])),
+            }
+        )
+
+    labels = (
+        edges.map_batches(seed, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Min("rep_id", alias_name="rep_id"))
+        .materialize()
+    )
+
+    for _ in range(rounds - 1):
+        # propagate across BOTH edge directions
+        lab_b = labels.map_batches(
+            lambda t: pa.table({"b": t[id_col], "rep_b": t["rep_id"]}),
+            batch_format="pyarrow",
+        )
+        lab_a = labels.map_batches(
+            lambda t: pa.table({"a": t[id_col], "rep_a": t["rep_id"]}),
+            batch_format="pyarrow",
+        )
+        jb = edges.join(lab_b, "inner", shuffle_partitions, on=("b",)).map_batches(
+            lambda t: pa.table({id_col: t["a"], "rep_id": t["rep_b"]}),
+            batch_format="pyarrow",
+        )
+        ja = edges.join(lab_a, "inner", shuffle_partitions, on=("a",)).map_batches(
+            lambda t: pa.table({id_col: t["b"], "rep_id": t["rep_a"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(jb)
+            .union(ja)
+            .groupby(id_col)
+            .aggregate(Min("rep_id", alias_name="rep_id"))
+            .materialize()
+        )
+    return labels
+
+
+def near_dup_groups(
+    sigs,
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    rounds: int = 4,
+    num_partitions: int = 16,
+):
+    """Connected near-dup clusters over EXACT-Jaccard-verified LSH pairs:
+    each doc in a cluster gets the cluster's min doc id.  The verified
+    pair graph is output-bounded; labels come from distributed min-label
+    propagation (SQL-oracle-checkable via a recursive CTE)."""
+    pairs = lsh_verified_pairs(
+        sigs,
+        id_col=id_col,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        num_partitions=num_partitions,
+    )
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": t["id_a"], "b": t["id_b"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    return _min_label_propagation(edges, id_col, rounds, num_partitions)

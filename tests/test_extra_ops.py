@@ -352,3 +352,48 @@ def test_nearest_points():
         p, q = alg.nearest_points(a, b)
         assert math.isclose(math.dist(p, q), alg.distance(a, b), abs_tol=1e-12)
     assert alg.nearest_points(a, from_wkt("POINT (15 5)")) == ((10.0, 5.0), (15.0, 5.0))
+
+
+def test_lsh_dedup_matches_union_find(ray_session):
+    """lsh_dedup (linear star-edge label propagation) assigns the same
+    cluster representatives as exact union-find over the candidate pair
+    graph — the quadratic-free dedup shape for boilerplate clusters."""
+    import ray
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.dedup import (
+        MinHasher,
+        lsh_candidate_pairs,
+        lsh_dedup,
+    )
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    sigs = ds.map_batches(
+        MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 2), num_cpus=1
+    ).materialize()
+    # shuffle_partitions must fit the 4-cpu test session (hash-join
+    # aggregator actors each need a cpu)
+    labels = {
+        r[0]: r[1]
+        for r in lsh_dedup(sigs, shuffle_partitions=4).to_pandas().itertuples(index=False)
+    }
+    pairs = lsh_candidate_pairs(sigs).to_pandas()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = set(pairs.id_a) | set(pairs.id_b)
+    assert ids
+    for i in ids:
+        assert labels.get(i, i) == find(i)
