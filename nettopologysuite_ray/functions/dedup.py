@@ -440,11 +440,18 @@ def lsh_dedup(
         out = out[out["a"] != out["b"]].drop_duplicates()
         return out
 
+    from ray.data.aggregate import Count
+
     edges = (
         sigs.map_batches(explode, batch_format="pyarrow")
         .map_batches(add_hash, batch_format="pyarrow")
         .groupby("_h")
         .map_groups(star_edges, batch_format="pandas")
+        # global distinct: the same (member, bucket_min) edge repeats once
+        # per band (up to 16x) — dedup before the propagation rounds
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
         .materialize()  # reused every propagation round
     )
 
@@ -476,27 +483,77 @@ def _min_label_propagation(edges, id_col: str, rounds: int, shuffle_partitions: 
         .materialize()
     )
 
+    P = np.uint64(shuffle_partitions)
+
+    def _hash_col(v):
+        return ((v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % P
+
     for _ in range(rounds - 1):
-        # propagate across BOTH edge directions
-        lab_b = labels.map_batches(
-            lambda t: pa.table({"b": t[id_col], "rep_b": t["rep_id"]}),
-            batch_format="pyarrow",
-        )
-        lab_a = labels.map_batches(
-            lambda t: pa.table({"a": t[id_col], "rep_a": t["rep_id"]}),
-            batch_format="pyarrow",
-        )
-        jb = edges.join(lab_b, "inner", shuffle_partitions, on=("b",)).map_batches(
-            lambda t: pa.table({id_col: t["a"], "rep_id": t["rep_b"]}),
-            batch_format="pyarrow",
-        )
-        ja = edges.join(lab_a, "inner", shuffle_partitions, on=("a",)).map_batches(
-            lambda t: pa.table({id_col: t["b"], "rep_id": t["rep_a"]}),
-            batch_format="pyarrow",
+        # propagate across BOTH edge directions.  The join is a bucketed
+        # sort-merge (hash column + groupby(_h) + vectorized pandas merge
+        # per bucket) — Ray's hash-shuffle join spins up aggregator actors
+        # per call, which dominates wall time in an iterative loop.
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            key = batch["b"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "a": batch["a"],
+                    "b": batch["b"],
+                    "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+                    "_h": pa.array(_hash_col(key).astype(np.int64)),
+                }
+            )
+
+        def tag_label(batch: pa.Table) -> pa.Table:
+            key = batch[id_col].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "a": batch["rep_id"],  # payload: the label
+                    "b": batch[id_col],    # join key
+                    "side": pa.array(np.ones(len(batch), dtype=np.int8)),
+                    "_h": pa.array(_hash_col(key).astype(np.int64)),
+                }
+            )
+
+        def merge_bucket(g: pd.DataFrame) -> pa.Table:
+            lab = g[g["side"] == 1][["b", "a"]].rename(columns={"a": "rep"})
+            eg = g[g["side"] == 0][["a", "b"]]
+            if lab.empty or eg.empty:
+                return pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        "rep_id": pa.array([], type=pa.int64()),
+                    }
+                )
+            m = eg.merge(lab, on="b")
+            # label flows to BOTH endpoints of the edge
+            out = pd.DataFrame(
+                {
+                    id_col: np.concatenate([m["a"].to_numpy(), m["b"].to_numpy()]),
+                    "rep_id": np.concatenate([m["rep"].to_numpy(), m["rep"].to_numpy()]),
+                }
+            ).drop_duplicates()
+            return pa.table(
+                {
+                    id_col: pa.array(out[id_col].to_numpy().astype(np.int64)),
+                    "rep_id": pa.array(out["rep_id"].to_numpy().astype(np.int64)),
+                }
+            )
+
+        # symmetric edges: propagate across both directions by adding the
+        # reversed copy once per round
+        def rev(batch: pa.Table) -> pa.Table:
+            return pa.table({"a": batch["b"], "b": batch["a"]})
+
+        sym = edges.union(edges.map_batches(rev, batch_format="pyarrow"))
+        prop = (
+            sym.map_batches(tag_edge, batch_format="pyarrow")
+            .union(labels.map_batches(tag_label, batch_format="pyarrow"))
+            .groupby("_h")
+            .map_groups(merge_bucket, batch_format="pandas")
         )
         labels = (
-            labels.union(jb)
-            .union(ja)
+            labels.union(prop)
             .groupby(id_col)
             .aggregate(Min("rep_id", alias_name="rep_id"))
             .materialize()
