@@ -17,7 +17,7 @@ import numpy as np
 
 from . import algorithms as alg
 from .triangulate import delaunay_triangles
-from .types import GEOMETRYCOLLECTION, POLYGON, Geom
+from .types import POLYGON, Geom
 
 
 def _next(i: int) -> int:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .overlay import _snap_arr, union_all
+from .overlay import _snap_arr
 from .types import (
     GEOMETRYCOLLECTION,
     LINESTRING,

@@ -270,7 +270,6 @@ def voronoi(g: Geom, clip_env=None) -> Geom:
     """GC of Voronoi cell polygons, clipped to an envelope (default: the
     input envelope expanded by 50% — VoronoiDiagramBuilder.ClipEnvelope
     semantics)."""
-    from .extra import _circumcenter
     from .overlay import overlay
 
     tris, pts = delaunay_triangles(g)
