@@ -754,6 +754,65 @@ def _q_triangulate_events(sf_dir: str):
     return events.map_batches(tri_batch, batch_format="pyarrow")
 
 
+def _q_voronoi_cells(sf_dir: str):
+    """Per-tile Voronoi diagram as a map_groups stage (reference:
+    Triangulate/VoronoiDiagramBuilder.cs:28).  Sites derive from event_id
+    integer arithmetic; the oracle checks the exact partition invariant:
+    each distinct site keeps exactly one clipped cell and the cells tile
+    the clip envelope (area ratio == 1 within 1e-6)."""
+    import numpy as np
+    import ray.data as rd
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def sites(b: "pa.Table"):
+        import pyarrow as pa2
+
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa2.table(
+            {
+                "tile": pa2.array(eid % 16),
+                "x": pa2.array((eid * 7919) % 10000),
+                "y": pa2.array((eid * 104729) % 10000),
+            }
+        )
+
+    def voro_group(g):
+        import numpy as np
+        import pandas as pd
+
+        from nettopologysuite_ray.geom import algorithms as alg
+        from nettopologysuite_ray.geom.triangulate import voronoi
+        from nettopologysuite_ray.geom.types import MULTIPOINT, Geom
+
+        xy = np.unique(
+            np.stack([g["x"].to_numpy(), g["y"].to_numpy()], axis=1).astype(
+                np.float64
+            ),
+            axis=0,
+        )
+        gm = Geom(MULTIPOINT, list(xy))
+        v = voronoi(gm)
+        env = alg.envelope(gm)
+        w = (env[2] - env[0]) or 1.0
+        h = (env[3] - env[1]) or 1.0
+        tot = sum(alg.area(c) for c in v.data)
+        return pd.DataFrame(
+            {
+                "tile": [np.int64(g["tile"].iloc[0])],
+                "n_sites": [np.int64(len(xy))],
+                "n_cells": [np.int64(len(v.data))],
+                "area_ppm": [np.int64(round(tot / ((2 * w) * (2 * h)) * 1e6))],
+            }
+        )
+
+    return (
+        events.map_batches(sites, batch_format="pyarrow")
+        .groupby("tile")
+        .map_groups(voro_group, batch_format="pandas")
+    )
+
+
 def _q_buffer_mitre(sf_dir: str):
     """Mitre-join buffer of per-cell squares (reference:
     Operation/Buffer/BufferOp.cs + BufferParameters JoinStyle.Mitre): a
@@ -935,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_simplify": _q_coverage_simplify,
         "cluster_hulls": _q_cluster_hulls,
         "triangulate_events": _q_triangulate_events,
+        "voronoi_cells": _q_voronoi_cells,
         "ann_ivf": _q_ann_ivf,
         "buffer_mitre": _q_buffer_mitre,
         "densify_simplify": _q_densify_simplify,
@@ -1243,6 +1303,17 @@ WITH e AS (
 SELECT event_id, CAST(4 AS BIGINT) AS n_tris,
        CAST(2 * (a * b + c * (d - b)) AS BIGINT) AS area2
 FROM e
+""",
+        # Voronoi partition invariant: one cell per distinct site, cells
+        # tile the 2w x 2h clip envelope exactly (see _q_voronoi_cells)
+        "voronoi_cells": """
+SELECT tile, n_sites, n_sites AS n_cells, CAST(1000000 AS BIGINT) AS area_ppm
+FROM (
+  SELECT event_id % 16 AS tile,
+         CAST(COUNT(DISTINCT (event_id * 7919) % 10000 * 100000
+                    + (event_id * 104729) % 10000) AS BIGINT) AS n_sites
+  FROM events GROUP BY 1
+)
 """,
         # connected components over the exact-Jaccard edge set: recursive
         # transitive closure, min label per node (see _q_near_dup_groups)

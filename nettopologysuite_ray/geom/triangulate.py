@@ -269,9 +269,9 @@ def delaunay(g: Geom) -> Geom:
 def voronoi(g: Geom, clip_env=None) -> Geom:
     """GC of Voronoi cell polygons, clipped to an envelope (default: the
     input envelope expanded by 50% — VoronoiDiagramBuilder.ClipEnvelope
-    semantics)."""
-    from .overlay import overlay
-
+    semantics).  Cells are convex (intersections of half-planes), so the
+    envelope clip is 4 more Sutherland-Hodgman passes — no noding engine
+    in the per-site loop (scale path: O(sites x avg-degree) arithmetic)."""
     tris, pts = delaunay_triangles(g)
     if len(pts) == 0:
         return Geom.empty(GEOMETRYCOLLECTION)
@@ -281,9 +281,6 @@ def voronoi(g: Geom, clip_env=None) -> Geom:
         h = (env[3] - env[1]) or 1.0
         clip_env = (env[0] - w / 2, env[1] - h / 2, env[2] + w / 2, env[3] + h / 2)
     x0, y0, x1, y1 = clip_env
-    clip_poly = Geom(
-        POLYGON, [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
-    )
     big = max(x1 - x0, y1 - y0) * 4
     # cell of site i: intersection of half-planes vs its Delaunay neighbors;
     # build from a big square clipped by each neighbor's bisector
@@ -301,68 +298,95 @@ def voronoi(g: Geom, clip_env=None) -> Geom:
         if n_sites == 1:
             neighbors[0] = set()
     cells = []
+    Px = pts[:, 0].tolist()
+    Py = pts[:, 1].tolist()
     for i in sorted(neighbors):
-        cell = Geom(
-            POLYGON,
-            [
-                np.array(
-                    [
-                        [pts[i][0] - big, pts[i][1] - big],
-                        [pts[i][0] + big, pts[i][1] - big],
-                        [pts[i][0] + big, pts[i][1] + big],
-                        [pts[i][0] - big, pts[i][1] + big],
-                        [pts[i][0] - big, pts[i][1] - big],
-                    ]
-                )
-            ],
-        )
+        six = Px[i]
+        siy = Py[i]
+        ring = [
+            (six - big, siy - big),
+            (six + big, siy - big),
+            (six + big, siy + big),
+            (six - big, siy + big),
+        ]
         for j in sorted(neighbors[i]):
-            cell = _halfplane_clip(cell, pts[i], pts[j], big)
-            if cell is None or cell.is_empty:
+            ring = _halfplane_clip(ring, six, siy, Px[j], Py[j])
+            if len(ring) < 3:
                 break
-        if cell is None or cell.is_empty:
+        if len(ring) < 3:
             continue
-        clipped = overlay(cell, clip_poly, "intersection")
-        if not clipped.is_empty:
+        clipped = _clip_rect(ring, x0, y0, x1, y1)
+        if clipped is not None:
             cells.append(clipped)
     return Geom(GEOMETRYCOLLECTION, cells)
 
 
-def _halfplane_clip(cell: Geom, p, q, big):
-    """Clip cell to the half-plane of points closer to p than q
-    (Sutherland-Hodgman against the perpendicular bisector)."""
-    mx, my = (p[0] + q[0]) / 2, (p[1] + q[1]) / 2
-    dx, dy = q[0] - p[0], q[1] - p[1]
-    ll = np.hypot(dx, dy)
-    if ll == 0:
-        return cell
-    ux, uy = dx / ll, dy / ll
-    # bisector line direction = (-uy, ux); keep side containing p
-    a = np.array([mx - (-uy) * big * 2, my - ux * big * 2])
-    b = np.array([mx + (-uy) * big * 2, my + ux * big * 2])
-    ring = cell.data[0]
-    out = []
-    n = len(ring) - 1
-    # half-plane test: (x - mx, y - my) . (dx, dy) <= 0 keeps p's side
-    def inside(pt):
-        return (pt[0] - mx) * dx + (pt[1] - my) * dy <= 0
-
-    for k in range(n):
-        cur = ring[k]
-        nxt = ring[k + 1]
-        ci, ni = inside(cur), inside(nxt)
-        if ci:
-            out.append(cur)
-        if ci != ni:
-            # intersection of segment with the bisector
-            t = ((mx - cur[0]) * dx + (my - cur[1]) * dy) / (
-                (nxt[0] - cur[0]) * dx + (nxt[1] - cur[1]) * dy
-            )
-            out.append(cur + t * (nxt - cur))
-    if len(out) < 3:
+def _clip_rect(ring, x0, y0, x1, y1):
+    """Clip a convex cell ring (open list of (x, y) tuples) to
+    [x0,x1]x[y0,y1] (four half-plane passes); returns the closed Geom or
+    None when the intersection is empty/degenerate."""
+    for axis, bound, keep_le in ((0, x1, True), (0, x0, False),
+                                 (1, y1, True), (1, y0, False)):
+        out = []
+        n = len(ring)
+        if n == 0:
+            return None
+        for k in range(n):
+            cur = ring[k]
+            nxt = ring[(k + 1) % n]
+            ci = cur[axis] <= bound if keep_le else cur[axis] >= bound
+            ni = nxt[axis] <= bound if keep_le else nxt[axis] >= bound
+            if ci:
+                out.append(cur)
+            if ci != ni:
+                t = (bound - cur[axis]) / (nxt[axis] - cur[axis])
+                if axis == 0:  # exact on the clip line
+                    out.append((bound, cur[1] + t * (nxt[1] - cur[1])))
+                else:
+                    out.append((cur[0] + t * (nxt[0] - cur[0]), bound))
+        ring = out
+    if len(ring) < 3:
         return None
-    out.append(out[0])
-    return Geom(POLYGON, [np.array(out)])
+    arr = np.array(ring + [ring[0]])
+    # drop consecutive duplicates introduced by corner-touching clips
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = (np.abs(arr[1:] - arr[:-1]).max(axis=1)) > 0
+    arr = arr[keep]
+    if len(arr) < 4 or (arr[0] != arr[-1]).any():
+        if len(arr) >= 3 and (arr[0] != arr[-1]).any():
+            arr = np.vstack([arr, arr[:1]])
+        if len(arr) < 4:
+            return None
+    if alg.area(Geom(POLYGON, [arr])) <= 0:
+        return None
+    return Geom(POLYGON, [arr])
+
+
+def _halfplane_clip(ring, px, py, qx, qy):
+    """Clip a convex ring (open list of (x, y) tuples) to the half-plane of
+    points closer to (px, py) than (qx, qy) — Sutherland-Hodgman against
+    the perpendicular bisector.  Inside test: (v - mid) . (q - p) <= 0."""
+    dx, dy = qx - px, qy - py
+    if dx == 0 and dy == 0:
+        return ring
+    mx, my = (px + qx) / 2, (py + qy) / 2
+    n = len(ring)
+    vals = [(x - mx) * dx + (y - my) * dy for x, y in ring]
+    out = []
+    for k in range(n):
+        k1 = k + 1 if k + 1 < n else 0
+        cv = vals[k]
+        nv = vals[k1]
+        ci = cv <= 0
+        if ci:
+            out.append(ring[k])
+        if ci != (nv <= 0):
+            cur = ring[k]
+            nxt = ring[k1]
+            t = cv / (cv - nv)
+            out.append((cur[0] + t * (nxt[0] - cur[0]),
+                        cur[1] + t * (nxt[1] - cur[1])))
+    return out
 
 
 # ---------------------------------------------------------------------------

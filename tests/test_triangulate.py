@@ -4,7 +4,7 @@ import numpy as np
 
 from nettopologysuite_ray.geom import algorithms as alg
 from nettopologysuite_ray.geom.triangulate import _in_circle, delaunay, delaunay_triangles, voronoi
-from nettopologysuite_ray.geom.types import Geom
+from nettopologysuite_ray.geom.types import MULTIPOINT, Geom
 from nettopologysuite_ray.geom.wkt import from_wkt
 
 
@@ -56,6 +56,41 @@ def test_voronoi_cells_partition_and_nearest():
         owner = int(np.argmin(d))
         # the owning site must be inside-or-on this cell
         assert alg.locate_in_geom(pts[owner][0], pts[owner][1], cell) != alg.EXTERIOR
+
+
+def test_voronoi_area_partition_random():
+    rng = np.random.default_rng(42)
+    pts = rng.uniform(0, 1000, size=(300, 2)).round(2)
+    g = Geom(MULTIPOINT, [np.array([p]) for p in pts])
+    v = voronoi(g)
+    assert len(v.data) == len(np.unique(pts, axis=0))
+    env = alg.envelope(g)
+    w, h = env[2] - env[0], env[3] - env[1]
+    tot = sum(alg.area(c) for c in v.data)
+    assert abs(tot / ((2 * w) * (2 * h)) - 1.0) < 1e-9
+
+
+def test_voronoi_collinear_sites():
+    g = from_wkt("MULTIPOINT ((0 0), (10 0), (20 0), (30 0))")
+    v = voronoi(g)
+    cells = list(v.flatten())
+    assert len(cells) == 4
+    # collinear fallback: cells are vertical strips tiling the clip env
+    tot = sum(alg.area(c) for c in cells)
+    assert abs(tot - 60.0) < 1e-9  # clip env 60 wide x 1 tall (h -> 1.0)
+
+
+def test_voronoi_explicit_clip_smaller_than_extent():
+    g = from_wkt("MULTIPOINT ((0 0), (10 0), (5 8), (2 4), (100 100))")
+    v = voronoi(g, clip_env=(0, 0, 12, 10))
+    cells = list(v.flatten())
+    # the far site's cell is clipped away or shrunk; cells tile the rect
+    tot = sum(alg.area(c) for c in cells)
+    assert abs(tot - 120.0) < 1e-9
+    for c in cells:
+        e = alg.envelope(c)
+        assert e[0] >= -1e-12 and e[1] >= -1e-12
+        assert e[2] <= 12 + 1e-12 and e[3] <= 10 + 1e-12
 
 
 def test_delaunay_collinear_degenerate():
