@@ -15,18 +15,29 @@ from ..stages.geometry import ConformanceRunner
 
 
 def conformance_dataset(dirs=("general", "validate"), files=None):
+    import numpy as np
     import ray.data as rd
 
     table = load_cases(dirs=dirs, files=files)
-    return rd.from_arrow(table)
+    # deterministic driver-side shuffle (table is a few MB): heavy cases
+    # cluster by file, and a straggler batch of them serializes the run
+    perm = np.random.default_rng(0xC0FFEE).permutation(len(table))
+    # one Arrow table = ONE Dataset block = one map task; repartition
+    # splits it so the map stage actually fans out across the cluster
+    n_blocks = max(len(table) // 32, 1)
+    return rd.from_arrow(table.take(perm)).repartition(n_blocks)
 
 
-def run_conformance(dirs=("general", "validate"), files=None, concurrency=(1, 16)):
+def run_conformance(dirs=("general", "validate"), files=None, concurrency=None):
+    """Evaluate every corpus case.  The runner is stateless, so this is a
+    task pool (instant fan-out) rather than an actor pool — an
+    autoscaling actor pool adds ~1 actor every few seconds and serializes
+    the first half of the run."""
     ds = conformance_dataset(dirs=dirs, files=files)
     return ds.map_batches(
-        ConformanceRunner,
+        lambda batch: ConformanceRunner()(batch),
         batch_format="pyarrow",
-        batch_size=128,
+        batch_size=32,
         concurrency=concurrency,
         num_cpus=1,
     )
