@@ -176,41 +176,64 @@ def coverage_simplify(geoms, tol: float, inner_only: bool = False):
                 elist.append((ei, fwd))
         ring_edges.append(elist)
 
-    # simplify each edge with TPVW against the LIVE vertex set of all edges
+    # simplify each edge with TPVW against the LIVE vertex set of all edges.
+    # One uniform grid indexes every edge vertex (the reference backs this
+    # with VertexSequencePackedRtree per edge; TPVWSimplifier.cs): corner
+    # clearance queries the grid instead of scanning all other edges, and
+    # a liveness mask tracks removed vertices so later edges see earlier
+    # edges' simplified state — same guard set as the O(E x V) scan.
     area_tol = tol * tol
 
-    def all_other_vertices(skip_ei):
-        arrs = []
-        for ej, e in enumerate(edges):
-            if ej == skip_ei:
-                continue
-            pts = e["new"] if "new" in e else e["pts"]
-            if pts:
-                arrs.append(np.asarray(pts, dtype=np.float64))
-        if not arrs:
-            return np.empty((0, 2), dtype=np.float64)
-        return np.concatenate(arrs)
+    edge_gids = []
+    gxy = []
+    gedge = []
+    for ei, e in enumerate(edges):
+        ids = []
+        for p in e["pts"]:
+            ids.append(len(gxy))
+            gxy.append(p)
+            gedge.append(ei)
+        edge_gids.append(ids)
+    G = np.asarray(gxy, dtype=np.float64).reshape(-1, 2)
+    gedge_arr = np.asarray(gedge, dtype=np.int64)
+    galive = np.ones(len(G), dtype=bool)
+    grid = _PointGrid(G)
 
     for ei, e in enumerate(edges):
         pts = list(e["pts"])
+        gids = list(edge_gids[ei])
         if inner_only and e["ring_count"] < 2:
             e["new"] = pts
             continue
         free = e["free"]
         min_size = 4 if free else 2
-        guard = all_other_vertices(ei)
-        changed = True
-        while changed and len(pts) > min_size:
-            changed = False
-            best = None
-            for i in range(1, len(pts) - 1):
-                a = _tri_area(pts[i - 1], pts[i], pts[i + 1])
-                if a <= area_tol and (best is None or a < best[0]):
-                    if _corner_clear(pts, i, guard):
-                        best = (a, i)
-            if best is not None:
-                del pts[best[1]]
-                changed = True
+        while len(pts) > min_size:
+            arr = np.asarray(pts, dtype=np.float64)
+            # corner areas for all interior vertices, same float ops as
+            # _tri_area (elementwise IEEE -> identical candidate set)
+            ax, ay = arr[:-2, 0], arr[:-2, 1]
+            bx, by = arr[1:-1, 0], arr[1:-1, 1]
+            cx, cy = arr[2:, 0], arr[2:, 1]
+            areas = np.abs((bx - ax) * (cy - ay) - (cx - ax) * (by - ay)) / 2.0
+            cand = np.flatnonzero(areas <= area_tol)
+            if len(cand) == 0:
+                break
+            # ascending (area, index): first clear corner == the old
+            # "min-area corner passing clearance" choice, tie -> lowest i
+            order = cand[np.argsort(areas[cand], kind="stable")]
+            removed = False
+            for ci in order:
+                i = int(ci) + 1
+                if _corner_clear_indexed(
+                    pts, arr, i, grid, G, galive, gedge_arr, ei
+                ):
+                    galive[gids[i]] = False
+                    del pts[i]
+                    del gids[i]
+                    removed = True
+                    break
+            if not removed:
+                break
         e["new"] = pts
 
     # rebuild rings and geometries
@@ -242,41 +265,98 @@ def coverage_simplify(geoms, tol: float, inner_only: bool = False):
     return out_geoms
 
 
-def _corner_clear(pts, i, guard_xy) -> bool:
-    """True if removing corner i keeps topology: no other vertex of the
-    edge set lies inside (or on) the corner triangle (reference:
-    TPVWSimplifier.Edge.IsRemovable / HasIntersectingVertex).  guard_xy is
-    an (N,2) float array; candidates are bbox-filtered vectorized so only
-    the (usually tiny) survivors pay the robust orientation test."""
+class _PointGrid:
+    """CSR uniform grid over a static point set for bbox range queries
+    (the VertexSequencePackedRtree role from TPVWSimplifier.cs:  O(k)
+    per corner query instead of a scan of every edge vertex)."""
+
+    def __init__(self, pts: np.ndarray, target_per_cell: int = 4):
+        import math
+
+        n = max(len(pts), 1)
+        if len(pts) == 0:
+            pts = np.zeros((1, 2))
+        self.minx = float(pts[:, 0].min())
+        self.miny = float(pts[:, 1].min())
+        spanx = float(pts[:, 0].max()) - self.minx
+        spany = float(pts[:, 1].max()) - self.miny
+        self.spanx = spanx if spanx > 0 else 1.0
+        self.spany = spany if spany > 0 else 1.0
+        self.g = int(min(1024, max(1, math.sqrt(n / target_per_cell))))
+        cx = np.clip(
+            ((pts[:, 0] - self.minx) / self.spanx * self.g).astype(np.int64),
+            0, self.g - 1,
+        )
+        cy = np.clip(
+            ((pts[:, 1] - self.miny) / self.spany * self.g).astype(np.int64),
+            0, self.g - 1,
+        )
+        cell = cx * self.g + cy
+        self.order = np.argsort(cell, kind="stable").astype(np.int64)
+        self.starts = np.searchsorted(
+            cell[self.order], np.arange(self.g * self.g + 1)
+        )
+
+    def query(self, minx, miny, maxx, maxy) -> np.ndarray:
+        g = self.g
+        cx0 = min(max(int((minx - self.minx) / self.spanx * g), 0), g - 1)
+        cx1 = min(max(int((maxx - self.minx) / self.spanx * g), 0), g - 1)
+        cy0 = min(max(int((miny - self.miny) / self.spany * g), 0), g - 1)
+        cy1 = min(max(int((maxy - self.miny) / self.spany * g), 0), g - 1)
+        out = []
+        for cx in range(cx0, cx1 + 1):
+            base = cx * g
+            s = self.starts[base + cy0]
+            t = self.starts[base + cy1 + 1]
+            if t > s:
+                out.append(self.order[s:t])
+        if not out:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(out)
+
+
+def _pt_in_corner(p, a, b, c) -> bool:
+    """Point strictly-or-on inside triangle abc (robust orientation);
+    coordinate-equal to a corner vertex does not count."""
+    if p == a or p == b or p == c:
+        return False
+    d1 = alg.orient2d(a[0], a[1], b[0], b[1], p[0], p[1])
+    d2 = alg.orient2d(b[0], b[1], c[0], c[1], p[0], p[1])
+    d3 = alg.orient2d(c[0], c[1], a[0], a[1], p[0], p[1])
+    neg = (d1 < 0) or (d2 < 0) or (d3 < 0)
+    pos = (d1 > 0) or (d2 > 0) or (d3 > 0)
+    return not (neg and pos)
+
+
+def _corner_clear_indexed(pts, arr, i, grid, G, galive, gedge, ei) -> bool:
+    """True if removing corner i keeps topology: no live vertex of any
+    other edge, and no other vertex of this edge, lies inside (or on) the
+    corner triangle (reference: TPVWSimplifier.Edge.IsRemovable /
+    HasIntersectingVertex)."""
     a, b, c = pts[i - 1], pts[i], pts[i + 1]
     minx = min(a[0], b[0], c[0])
     maxx = max(a[0], b[0], c[0])
     miny = min(a[1], b[1], c[1])
     maxy = max(a[1], b[1], c[1])
 
-    def inside(p):
-        if p[0] < minx or p[0] > maxx or p[1] < miny or p[1] > maxy:
-            return False
-        if p == a or p == b or p == c:
-            return False
-        d1 = alg.orient2d(a[0], a[1], b[0], b[1], p[0], p[1])
-        d2 = alg.orient2d(b[0], b[1], c[0], c[1], p[0], p[1])
-        d3 = alg.orient2d(c[0], c[1], a[0], a[1], p[0], p[1])
-        neg = (d1 < 0) or (d2 < 0) or (d3 < 0)
-        pos = (d1 > 0) or (d2 > 0) or (d3 > 0)
-        return not (neg and pos)
-
-    if len(guard_xy):
-        m = (
-            (guard_xy[:, 0] >= minx)
-            & (guard_xy[:, 0] <= maxx)
-            & (guard_xy[:, 1] >= miny)
-            & (guard_xy[:, 1] <= maxy)
-        )
-        for p in guard_xy[m]:
-            if inside((p[0], p[1])):
+    rows = grid.query(minx, miny, maxx, maxy)
+    if len(rows):
+        rows = rows[galive[rows] & (gedge[rows] != ei)]
+        for r in rows:
+            px = G[r, 0]
+            py = G[r, 1]
+            if px < minx or px > maxx or py < miny or py > maxy:
+                continue
+            if _pt_in_corner((px, py), a, b, c):
                 return False
-    for j, p in enumerate(pts):
-        if j not in (i - 1, i, i + 1) and inside(p):
+    m = (
+        (arr[:, 0] >= minx)
+        & (arr[:, 0] <= maxx)
+        & (arr[:, 1] >= miny)
+        & (arr[:, 1] <= maxy)
+    )
+    m[i - 1 : i + 2] = False
+    for j in np.flatnonzero(m):
+        if _pt_in_corner(pts[j], a, b, c):
             return False
     return True
