@@ -31,6 +31,8 @@ LEVEL = 12  # tile level for morton/hilbert cell queries
 KNN_K = 3
 ANN_K = 5
 ANN_NQ = 3
+IVF_NC = 16
+IVF_NPROBE = 6
 
 
 def entry() -> Any:
@@ -349,9 +351,10 @@ def _q_ann_topk(sf_dir: str):
 
 def _q_ann_ivf(sf_dir: str):
     """IVF-bucketed approximate ANN end-to-end (bucket assign -> probe
-    score -> top-k tree).  Rows-only at the gate (bucketing uses seeded
-    random centroids SQL cannot reproduce); recall vs the exact path is
-    asserted in tests/test_extra_ops.py."""
+    score -> top-k tree).  Centroids are the first IVF_NC corpus vectors
+    (k-means-style data seeding, broadcast once via ray.put) so the whole
+    probe pipeline is deterministic and the DuckDB oracle reproduces it
+    exactly; recall vs the exact path is asserted in tests."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -361,13 +364,20 @@ def _q_ann_ivf(sf_dir: str):
     from nettopologysuite_ray.functions.embed import ivf_ann_topk
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qmask = np.asarray(emb["vec_id"].to_pylist()) < ANN_NQ
-    qids = np.asarray(emb["vec_id"].to_pylist())[qmask]
-    qvecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)[qmask]
+    vids = np.asarray(emb["vec_id"].to_pylist())
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    qmask = vids < ANN_NQ
+    qids = vids[qmask]
+    qvecs = vecs[qmask]
     dim = qvecs.shape[1]
+    order = np.argsort(vids, kind="stable")
+    cents = vecs[order[:IVF_NC]]
     qref = ray.put({"query_ids": qids, "vectors": qvecs})
+    cref = ray.put(cents)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = ivf_ann_topk(ds, qref, dim=dim, k=ANN_K, nprobe=6)
+    out = ivf_ann_topk(
+        ds, qref, dim=dim, k=ANN_K, n_centroids=IVF_NC, nprobe=IVF_NPROBE, centroids_ref=cref
+    )
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
@@ -1379,6 +1389,39 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_
 s AS (
   SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
   FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) - 1 AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id FROM r WHERE rank < {ANN_K}
+""",
+        # IVF probe pipeline, reproduced exactly: centroids = first IVF_NC
+        # corpus vectors; corpus bucket = nearest centroid (tie -> lowest
+        # cid, same as numpy argmax); each query probes its IVF_NPROBE
+        # nearest buckets; exact cosine rank within the probed set.
+        "ann_ivf": f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {IVF_NC}),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {ANN_NQ}),
+qp AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid) AS rn
+    FROM q CROSS JOIN c) WHERE rn <= {IVF_NPROBE}
+),
+eb AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c) WHERE rn = 1
+),
+s AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+  JOIN eb ON eb.vec_id = e.vec_id
+  JOIN qp ON qp.query_id = q.query_id AND qp.cid = eb.bucket
 ), r AS (
   SELECT query_id, vec_id,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) - 1 AS rank

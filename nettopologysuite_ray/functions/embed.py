@@ -124,14 +124,16 @@ class IvfTopK:
         seed: int = 42,
         id_col: str = "vec_id",
         emb_col: str = "embedding",
+        centroids_ref=None,
     ):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.qids = np.asarray(q["query_ids"], dtype=np.int64)
         self.qm = _normalize(np.asarray(q["vectors"], dtype=np.float64))
-        rng = np.random.default_rng(seed)
-        self.centroids = _normalize(rng.standard_normal((n_centroids, dim)))
+        self.centroids = _resolve_centroids(centroids_ref, dim, n_centroids, seed)
         qsims = self.qm @ self.centroids.T
-        self.probe = np.argsort(-qsims, axis=1)[:, :nprobe]  # (Q, nprobe)
+        # stable sort: equal-sim ties go to the LOWER centroid index, the
+        # same tie-break the SQL oracle uses (ORDER BY sim DESC, cid)
+        self.probe = np.argsort(-qsims, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
@@ -170,12 +172,17 @@ class IvfTopK:
         )
 
 
-def ivf_ann_topk(ds, queries_ref, dim: int, k: int = 5, n_centroids: int = 16, nprobe: int = 4):
+def ivf_ann_topk(
+    ds, queries_ref, dim: int, k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+    centroids_ref=None,
+):
     """End-to-end IVF-bucketed approximate top-k: bucket the corpus with
     IvfIndexer, probe-score per batch, merge with the same top-k tree."""
     bucketed = ds.map_batches(
         IvfIndexer,
-        fn_constructor_kwargs={"dim": dim, "n_centroids": n_centroids},
+        fn_constructor_kwargs={
+            "dim": dim, "n_centroids": n_centroids, "centroids_ref": centroids_ref,
+        },
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 2),
@@ -189,6 +196,7 @@ def ivf_ann_topk(ds, queries_ref, dim: int, k: int = 5, n_centroids: int = 16, n
             "n_centroids": n_centroids,
             "nprobe": nprobe,
             "k": k,
+            "centroids_ref": centroids_ref,
         },
         batch_format="pyarrow",
         batch_size=4096,
@@ -198,16 +206,28 @@ def ivf_ann_topk(ds, queries_ref, dim: int, k: int = 5, n_centroids: int = 16, n
     return topk_tree_merge(local, k)
 
 
+def _resolve_centroids(centroids_ref, dim: int, n_centroids: int, seed: int) -> np.ndarray:
+    """Shared centroid resolution for IvfIndexer/IvfTopK: explicit
+    data-derived centroids (broadcast once via ray.put — the k-means-style
+    'seed from sampled data points' init, and SQL-reproducible), else
+    seeded unit directions (no data pass needed)."""
+    if centroids_ref is not None:
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        return _normalize(np.asarray(c, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    return _normalize(rng.standard_normal((n_centroids, dim)))
+
+
 class IvfIndexer:
     """IVF bucket assignment: nearest of C deterministic centroids.
 
-    Centroids are seeded from hashed unit directions (no data pass) —
-    at scale you'd fit them on a sample; determinism matters more here.
+    Centroids are either explicit data-derived vectors (broadcast ref) or
+    seeded from hashed unit directions (no data pass) — at scale you'd
+    fit them on a sample; determinism matters more here.
     """
 
-    def __init__(self, dim: int, n_centroids: int = 16, seed: int = 42):
-        rng = np.random.default_rng(seed)
-        self.centroids = _normalize(rng.standard_normal((n_centroids, dim)))
+    def __init__(self, dim: int, n_centroids: int = 16, seed: int = 42, centroids_ref=None):
+        self.centroids = _resolve_centroids(centroids_ref, dim, n_centroids, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
