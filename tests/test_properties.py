@@ -369,3 +369,50 @@ def test_line_area_overlay_length_partition(seed):
     li = overlay(line, poly, "intersection")
     ld = overlay(line, poly, "difference")
     assert abs((alg.length(li) + alg.length(ld)) - L) < 1e-6 * max(L, 1.0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=2, max_value=3),
+    st.integers(min_value=1, max_value=6),
+)
+def test_coverage_simplify_partition_preserved(seed, k, tol10):
+    """Randomized wiggly-grid coverages stay a clean partition after
+    coverage simplification: every cell valid, no pairwise overlap, and
+    union area == sum of cell areas (shared borders simplify identically
+    on both sides, so neither overlaps nor double-counted slivers can
+    appear).  Regression net for the grid-indexed corner-clearance path
+    (reference: Coverage/CoverageSimplifier.cs:48 edge consistency)."""
+    from nettopologysuite_ray.geom.coverage_simplify import coverage_simplify
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    rng = np.random.default_rng(seed)
+    tol = tol10 / 10.0
+
+    def wiggle(p0, p1, n=5, amp=0.12):
+        ts = np.linspace(0, 1, n + 1)
+        base = np.outer(1 - ts, p0) + np.outer(ts, p1)
+        d = np.array(p1, float) - np.array(p0, float)
+        nrm = np.array([-d[1], d[0]]) / np.hypot(*d)
+        off = rng.uniform(-amp, amp, size=n + 1)
+        off[0] = off[-1] = 0.0
+        return base + np.outer(off, nrm)
+
+    H = {(i, j): wiggle((i, j), (i + 1, j)) for i in range(k) for j in range(k + 1)}
+    V = {(i, j): wiggle((i, j), (i, j + 1)) for i in range(k + 1) for j in range(k)}
+    cells = []
+    for i in range(k):
+        for j in range(k):
+            ring = np.concatenate(
+                [H[(i, j)][:-1], V[(i + 1, j)][:-1], H[(i, j + 1)][::-1][:-1], V[(i, j)][::-1]]
+            )
+            cells.append(Geom.polygon(ring))
+    simp = coverage_simplify(cells, tol)
+    assert all(is_valid(c) for c in simp)
+    total = 0.0
+    for c in simp:
+        assert not c.is_empty
+        total += alg.area(c)
+    u = union_all(simp)
+    assert abs(alg.area(u) - total) < 1e-9 * max(total, 1.0)
