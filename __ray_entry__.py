@@ -867,6 +867,59 @@ def _q_buffer_mitre(sf_dir: str):
     return ds.map_batches(buf, batch_format="pyarrow")
 
 
+def _q_buffer_caps(sf_dir: str):
+    """End-cap styles + single-sided buffers (reference:
+    Operation/Buffer/BufferParameters.cs EndCapStyle / IsSingleSided) on
+    per-admin straight segments: flat = exact rectangle, square extends d
+    beyond each end, single-sided covers only the signed side — all areas
+    and the side-proving centroid are integer-exact, so the oracle is
+    pure arithmetic."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.range(648).map_batches(
+        lambda b: {"admin_id": b["id"].astype(np.int64)}, batch_format="numpy"
+    )
+
+    def buf(b: "pa.Table"):
+        import pyarrow as pa2
+
+        from nettopologysuite_ray.geom import algorithms as alg
+        from nettopologysuite_ray.geom.buffer import buffer
+        from nettopologysuite_ray.geom.types import Geom
+
+        aid = b["admin_id"].to_numpy(zero_copy_only=False)
+        L = 200 + (aid * 7) % 300
+        d = 10 + (aid * 13) % 40
+        flat2 = np.empty(len(aid), dtype=np.int64)
+        square2 = np.empty(len(aid), dtype=np.int64)
+        ss2 = np.empty(len(aid), dtype=np.int64)
+        ss_cy2 = np.empty(len(aid), dtype=np.int64)
+        ssr_cy2 = np.empty(len(aid), dtype=np.int64)
+        for i in range(len(aid)):
+            line = Geom.linestring(np.array([[0.0, 0.0], [float(L[i]), 0.0]]))
+            di = float(d[i])
+            flat2[i] = np.int64(round(2 * alg.area(buffer(line, di, cap="flat"))))
+            square2[i] = np.int64(round(2 * alg.area(buffer(line, di, cap="square"))))
+            left = buffer(line, di, single_sided=True)
+            right = buffer(line, -di, single_sided=True)
+            ss2[i] = np.int64(round(2 * alg.area(left)))
+            ss_cy2[i] = np.int64(round(2 * alg.centroid(left).data[1]))
+            ssr_cy2[i] = np.int64(round(2 * alg.centroid(right).data[1]))
+        return pa2.table(
+            {
+                "admin_id": pa2.array(aid),
+                "flat2": pa2.array(flat2),
+                "square2": pa2.array(square2),
+                "ss2": pa2.array(ss2),
+                "ss_cy2": pa2.array(ss_cy2),
+                "ssr_cy2": pa2.array(ssr_cy2),
+            }
+        )
+
+    return ds.map_batches(buf, batch_format="pyarrow", batch_size=64, num_cpus=0.9)
+
+
 def _q_densify_simplify(sf_dir: str):
     """Densify + Douglas-Peucker round trip (reference: Densify/
     Densifier.cs:27, Simplify/DouglasPeuckerSimplifier.cs): per-cell
@@ -1007,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "voronoi_cells": _q_voronoi_cells,
         "ann_ivf": _q_ann_ivf,
         "buffer_mitre": _q_buffer_mitre,
+        "buffer_caps": _q_buffer_caps,
         "densify_simplify": _q_densify_simplify,
         "near_dup_groups": _q_near_dup_groups,
     }
@@ -1158,6 +1212,22 @@ p AS (
 )
 SELECT admin_id, CAST(2 * (w + 2 * d) * (w + 2 * d) AS BIGINT) AS area2,
        CAST(12 AS BIGINT) AS nverts
+FROM p
+""",
+        "buffer_caps": """
+WITH g AS (SELECT unnest(range(648)) AS admin_id),
+p AS (
+  SELECT admin_id,
+         200 + (admin_id * 7) % 300 AS L,
+         10 + (admin_id * 13) % 40 AS d
+  FROM g
+)
+SELECT admin_id,
+       CAST(4 * L * d AS BIGINT) AS flat2,
+       CAST(4 * d * (L + 2 * d) AS BIGINT) AS square2,
+       CAST(2 * L * d AS BIGINT) AS ss2,
+       CAST(d AS BIGINT) AS ss_cy2,
+       CAST(-d AS BIGINT) AS ssr_cy2
 FROM p
 """,
         # densify(<=70) then DP-simplify(1) restores the 4-corner rectangle

@@ -73,7 +73,54 @@ def _seg_rect(p0, p1, normal) -> Geom:
     return Geom(POLYGON, [ring])
 
 
-def _linework_pieces(arrs, d: float, quad_segs: int):
+def _square_cap(p, tangent, d: float) -> Geom:
+    """Square end cap (reference: BufferParameters.cs EndCapStyle.Square):
+    extends `d` beyond the endpoint along the outward unit tangent, full
+    2d width."""
+    tx, ty = tangent[0] * d, tangent[1] * d
+    nx, ny = -ty, tx  # left normal of the outward tangent, length d
+    ring = np.array(
+        [
+            [p[0] + nx, p[1] + ny],
+            [p[0] + nx + tx, p[1] + ny + ty],
+            [p[0] - nx + tx, p[1] - ny + ty],
+            [p[0] - nx, p[1] - ny],
+            [p[0] + nx, p[1] + ny],
+        ]
+    )
+    return Geom(POLYGON, [ring])
+
+
+def _unit_tangent(a, b):
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    ll = math.hypot(dx, dy)
+    if ll == 0:
+        return None
+    return (dx / ll, dy / ll)
+
+
+def _linework_pieces(arrs, d: float, quad_segs: int, cap: str = "round"):
+    # endpoint treatment: an open line's two end vertices take the cap
+    # style; every other vertex keeps the round-join disk.  A coordinate
+    # that is an endpoint of one line but interior to another still gets
+    # its join disk (interior wins).
+    end_caps: dict = {}
+    interior: set = set()
+    for arr in arrs:
+        closed = len(arr) >= 3 and (arr[0] == arr[-1]).all()
+        for i, p in enumerate(arr):
+            key = (float(p[0]), float(p[1]))
+            if not closed and i in (0, len(arr) - 1) and len(arr) >= 2:
+                if i == 0:
+                    t = _unit_tangent(arr[1], arr[0])
+                else:
+                    t = _unit_tangent(arr[-2], arr[-1])
+                if t is not None:
+                    end_caps.setdefault(key, t)
+                else:
+                    interior.add(key)
+            else:
+                interior.add(key)
     pieces = []
     seen_v = set()
     for arr in arrs:
@@ -88,6 +135,11 @@ def _linework_pieces(arrs, d: float, quad_segs: int):
             if key in seen_v:
                 continue
             seen_v.add(key)
+            if cap != "round" and key in end_caps and key not in interior:
+                if cap == "square":
+                    pieces.append(_square_cap(key, end_caps[key], d))
+                # flat: no cap piece at this endpoint
+                continue
             nrm = None
             if i < len(normals) and normals[i] is not None:
                 nrm = normals[i]
@@ -139,6 +191,84 @@ def _mitre_wedges(arr, d: float, limit: float = 5.0):
     return wedges
 
 
+def _side_sector(p, n1, n2, quad_segs: int) -> Geom | None:
+    """Round-join pie at an interior vertex of a single-sided buffer:
+    sweeps from offset point p+n1 to p+n2 on the offset side (the gap
+    that opens when the line turns away from the offset side)."""
+    a1 = math.atan2(n1[1], n1[0])
+    a2 = math.atan2(n2[1], n2[0])
+    d = math.hypot(*n1)
+    # sweep from a1 to a2 the short way; the gap only opens when the turn
+    # is away from the offset side, giving a sweep < pi
+    sweep = a2 - a1
+    while sweep <= -math.pi:
+        sweep += 2 * math.pi
+    while sweep > math.pi:
+        sweep -= 2 * math.pi
+    if abs(sweep) < 1e-12:
+        return None
+    nseg = max(1, int(math.ceil(abs(sweep) / (math.pi / (2 * quad_segs)))))
+    ang = a1 + sweep * np.arange(nseg + 1) / nseg
+    ring = np.empty((nseg + 3, 2))
+    ring[0] = p
+    ring[1 : nseg + 2, 0] = p[0] + d * np.cos(ang)
+    ring[1 : nseg + 2, 1] = p[1] + d * np.sin(ang)
+    ring[1] = (p[0] + n1[0], p[1] + n1[1])
+    ring[nseg + 1] = (p[0] + n2[0], p[1] + n2[1])
+    ring[nseg + 2] = ring[0]
+    if alg.ring_signed_area(ring) == 0.0:
+        return None
+    return Geom(POLYGON, [ring])
+
+
+def _single_sided_buffer(g: Geom, dist: float, quad_segs: int) -> Geom:
+    """Single-sided line buffer (reference: BufferParameters.cs:198
+    IsSingleSided, OffsetCurveSetBuilder): the region between each line
+    and its offset at |dist| on the left (dist > 0) or right (dist < 0).
+    Ends are always flat.  Construction: per-segment one-sided rectangles
+    + round-join sectors at interior vertices, unioned."""
+    if dist == 0.0:
+        return Geom.empty(POLYGON)
+    d = abs(dist)
+    sign = 1.0 if dist > 0 else -1.0
+    pieces = []
+    for comp in g.flatten():
+        if comp.gtype != LINESTRING:
+            continue
+        arr = comp.data
+        normals = []
+        for i in range(len(arr) - 1):
+            nrm = _seg_normal(arr[i], arr[i + 1], sign * d)
+            normals.append(nrm)
+            if nrm is not None:
+                nx, ny = nrm
+                ring = np.array(
+                    [
+                        [arr[i][0], arr[i][1]],
+                        [arr[i + 1][0], arr[i + 1][1]],
+                        [arr[i + 1][0] + nx, arr[i + 1][1] + ny],
+                        [arr[i][0] + nx, arr[i][1] + ny],
+                        [arr[i][0], arr[i][1]],
+                    ]
+                )
+                pieces.append(Geom(POLYGON, [ring]))
+        for i in range(1, len(arr) - 1):
+            n1 = normals[i - 1]
+            n2 = normals[i]
+            if n1 is None or n2 is None:
+                continue
+            sec = _side_sector((float(arr[i][0]), float(arr[i][1])), n1, n2, quad_segs)
+            if sec is not None:
+                pieces.append(sec)
+    if not pieces:
+        return Geom.empty(POLYGON)
+    res = union_all(pieces, _buffer_grid(d), weld=True)
+    out = [c for c in res.flatten() if c.gtype == POLYGON]
+    if not out:
+        return Geom.empty(POLYGON)
+    return out[0] if len(out) == 1 else union_all(out)
+
+
 def _buffer_grid(dist: float) -> float:
     """Union-cascade welding grid: a power of two ~ |d|/2^16 — snap error
     per fold is exact in binary and orders of magnitude inside the d/100
@@ -147,9 +277,23 @@ def _buffer_grid(dist: float) -> float:
     return 2.0 ** (math.floor(math.log2(abs(dist))) - 16)
 
 
-def buffer(g: Geom, dist: float, quad_segs: int = 8, join: str = "round") -> Geom:
+def buffer(
+    g: Geom,
+    dist: float,
+    quad_segs: int = 8,
+    join: str = "round",
+    cap: str = "round",
+    single_sided: bool = False,
+) -> Geom:
+    """Buffer with BufferParameters surface (reference:
+    Operation/Buffer/BufferParameters.cs): join in {round, mitre}, cap in
+    {round, flat, square}; single_sided buffers linework on the left of
+    the line for positive dist, right for negative (caps always flat,
+    reference BufferParameters.cs:198 IsSingleSided)."""
     if g is None or g.is_empty:
         return Geom.empty(POLYGON)
+    if single_sided:
+        return _single_sided_buffer(g, dist, quad_segs)
     polys = [c for c in g.flatten() if c.gtype == POLYGON]
     lines = [c.data for c in g.flatten() if c.gtype == LINESTRING]
     points = [c.data for c in g.flatten() if c.gtype == POINT]
@@ -181,11 +325,28 @@ def buffer(g: Geom, dist: float, quad_segs: int = 8, join: str = "round") -> Geo
     pieces = list(polys)
     arrs = list(lines)
     arrs.extend([r for p in polys for r in p.data])
-    pieces.extend(_linework_pieces(arrs, dist, quad_segs))
+    pieces.extend(_linework_pieces(arrs, dist, quad_segs, cap=cap))
     if join == "mitre":
         for arr in arrs:
             pieces.extend(_mitre_wedges(arr, dist))
     for p in points:
+        # cap styles apply to points too (reference BufferParameters:
+        # flat-cap point buffer is empty, square-cap is the axis square)
+        if cap == "flat":
+            continue
+        if cap == "square":
+            px, py = float(p[0]), float(p[1])
+            ring = np.array(
+                [
+                    [px - dist, py - dist],
+                    [px + dist, py - dist],
+                    [px + dist, py + dist],
+                    [px - dist, py + dist],
+                    [px - dist, py - dist],
+                ]
+            )
+            pieces.append(Geom(POLYGON, [ring]))
+            continue
         pieces.append(_disk(float(p[0]), float(p[1]), dist, quad_segs))
     # weld half-ulp near-misses between piece vertices (a disk vertex at a
     # 45-degree turn cannot hit the abutting rect corner bit-exactly);

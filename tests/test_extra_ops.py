@@ -397,3 +397,58 @@ def test_lsh_dedup_matches_union_find(ray_session):
     assert ids
     for i in ids:
         assert labels.get(i, i) == find(i)
+
+
+def test_buffer_cap_styles():
+    """End-cap styles (reference: Operation/Buffer/BufferParameters.cs
+    EndCapStyle; tests BufferParameterTest.cs): flat = bare rectangle,
+    square = extends d beyond each end, round (default) adds the disk
+    caps; polygon rings are closed so caps never apply; a flat-cap point
+    buffer is empty, a square-cap point buffer is the axis square."""
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.buffer import buffer
+    from nettopologysuite_ray.geom.validity import is_valid
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    line = from_wkt("LINESTRING (0 0, 100 0)")
+    flat = buffer(line, 10.0, cap="flat")
+    assert alg.area(flat) == 2000.0 and is_valid(flat)
+    sq = buffer(line, 10.0, cap="square")
+    assert alg.area(sq) == 2400.0 and is_valid(sq)
+    rnd = buffer(line, 10.0)
+    assert alg.area(rnd) > 2000.0  # disk caps add area
+    # interior joins stay round under flat caps (L-shape: outer corner arc)
+    ell = from_wkt("LINESTRING (0 0, 100 0, 100 100)")
+    f = buffer(ell, 10.0, cap="flat")
+    assert 3900.0 < alg.area(f) < 4000.0 and is_valid(f)
+    # points
+    pt = from_wkt("POINT (5 5)")
+    assert buffer(pt, 2.0, cap="flat").is_empty
+    assert alg.area(buffer(pt, 2.0, cap="square")) == 16.0
+    # polygons: cap style is a no-op (rings are closed)
+    poly = from_wkt("POLYGON ((0 0, 50 0, 50 50, 0 50, 0 0))")
+    assert abs(alg.area(buffer(poly, 5.0, cap="flat")) - alg.area(buffer(poly, 5.0))) < 1e-9
+
+
+def test_buffer_single_sided():
+    """Single-sided buffers (reference: BufferParameters.cs IsSingleSided):
+    positive distance buffers the LEFT of the line, negative the RIGHT;
+    ends are flat; the line itself bounds the region."""
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.buffer import buffer
+    from nettopologysuite_ray.geom.validity import is_valid
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    line = from_wkt("LINESTRING (0 0, 100 0)")
+    left = buffer(line, 10.0, single_sided=True)
+    assert alg.area(left) == 1000.0 and is_valid(left)
+    assert alg.centroid(left).data[1] == 5.0  # entirely on the left (y>0)
+    right = buffer(line, -10.0, single_sided=True)
+    assert alg.area(right) == 1000.0
+    assert alg.centroid(right).data[1] == -5.0
+    # inner turn: rect overlap removed exactly; outer turn: round join arc
+    ell = from_wkt("LINESTRING (0 0, 100 0, 100 100)")
+    inner = buffer(ell, 10.0, single_sided=True)
+    assert alg.area(inner) == 1900.0 and is_valid(inner)
+    outer = buffer(ell, -10.0, single_sided=True)
+    assert 2000.0 < alg.area(outer) < 2100.0 and is_valid(outer)
