@@ -45,13 +45,16 @@ def _init_ray(num_cpus: int):
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    # NOTE on Ray Data's per-operator resource reservation (default ratio
-    # 0.5 stays ON): each operator's reserved CPU share is ratio*n/ops ≈
-    # 0.67 cpu at n=8 — a map stage whose tasks request MORE than that gets
-    # ONE concurrent task and serializes the pipeline (observed 80s vs 18s).
-    # Stage task sizes below are chosen to fit the reserved share at the
-    # smallest benched cluster; fully disabling reservation instead floods
-    # the object store at n=32 (spill storm, 4x slower).
+    # Ray Data per-operator resource reservation: with the default ratio
+    # 0.5 the reserved CPU share per op is 0.5*n/ops ≈ 0.8 cpu at n=8 —
+    # the 0.5-cpu prep tasks fit ONCE and the shared half is handed to
+    # downstream ops first, so the extract stage runs near-serial at
+    # small clusters (measured 95 s vs 26 s on the same 2M-page job).
+    # ratio=0.9 gives every op a share proportional to the cluster and
+    # keeps the flood protection reservation provides (fully disabling it
+    # spill-storms at n=32: 42 s vs 10 s).  Measured best at BOTH levels:
+    # 8 cpus 77.6k docs/s, 32 cpus 191.8k docs/s (2M pages).
+    ctx.op_resource_reservation_ratio = 0.9
     return ray
 
 
@@ -80,15 +83,17 @@ def stage_pages(sf_dir: str, rep: int) -> tuple[str, int]:
             tables.append(build_pages_batch(t))
         return pa.concat_tables(tables)
 
-    # repartition before write: one fat row group per file — without this the
-    # write emits 128-row row groups and the downstream read pays ~20x
-    # per-row-group overhead
     # ~20k pages per explode output block: high replication factors
     # otherwise produce multi-100MB blocks that fill the object store
     bs = max(8, 20000 // rep)
-    ds.map_batches(explode, batch_format="pyarrow", batch_size=bs).repartition(32).write_parquet(
-        path
-    )
+    staged = ds.map_batches(explode, batch_format="pyarrow", batch_size=bs)
+    if bs * rep < 8192:
+        # low replication → tiny blocks → 128-row parquet row groups and
+        # ~20x read overhead downstream; coalesce first.  At high rep each
+        # block is already ~20k rows, and the repartition would needlessly
+        # materialize the whole staged table (spill storm at 8M pages).
+        staged = staged.repartition(32)
+    staged.write_parquet(path)
     with open(os.path.join(path, "_DONE"), "w") as f:
         f.write("ok")
     return path, n_pages
@@ -127,9 +132,11 @@ def bench_northstar(pages_path: str, n_pages: int, num_cpus: int) -> dict:
     # stage (an extract pool reserving every CPU serializes the parquet
     # reads and the small cluster becomes read-bound)
     join_slots = max(2, num_cpus // 4)
-    # num_cpus=0.5: (a) breaks operator fusion with the 1-cpu actor pool,
-    # (b) fits the per-operator reserved share at 8 cpus (see _init_ray note)
-    ents = pages.map_batches(prep, batch_format="pyarrow", batch_size=2048, num_cpus=0.5)
+    # num_cpus=0.25: (a) breaks operator fusion with the 1-cpu actor pool,
+    # (b) fits ~5 concurrent prep tasks in the 0.9-ratio reserved share at
+    # 8 cpus (see _init_ray note); measured sweep at n=8: 0.25 -> 65.8k,
+    # 0.4 -> 49.6k, 0.5 -> 21k docs/s
+    ents = pages.map_batches(prep, batch_format="pyarrow", batch_size=2048, num_cpus=0.25)
     admin_ref = prepare_admin_state(admin_boundaries_table(fancy=True))
     joined = ents.map_batches(
         PIPJoin,

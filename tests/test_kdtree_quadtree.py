@@ -131,3 +131,99 @@ def test_quadtree_null_query():
     assert qt.query(None) == []
     qt.insert((0, 0, 10, 10), "d")
     assert qt.query(None) == []
+
+
+# ---------------------------------------------------------------------------
+# Bintree + Interval (reference: test/.../Index/Bintree/IntervalTest.cs,
+# BinTreeCorrectTest.cs) and SortedPackedIntervalRTree (reference:
+# test/.../Index/IntervalRtree/SortedPackedIntervalRtreeTest.cs)
+
+
+def test_interval_algebra():
+    from nettopologysuite_ray.geom.intervals import Interval
+
+    i = Interval()
+    assert i.min == 0 and i.centre == 0 and i.max == 0
+    i = Interval(1, 3)
+    assert i.min == 1 and i.max == 3 and i.width == 2
+    for v1, v2 in [(0.0, 10.0), (10.0, 0.0)]:
+        iv = Interval(v1, v2)
+        lo, hi = min(v1, v2), max(v1, v2)
+        assert iv.min == lo and iv.max == hi
+        assert iv.width == hi - lo and iv.centre == lo + (hi - lo) / 2
+    i = Interval()
+    i.expand_to_include(Interval(-2, -1))
+    i.expand_to_include(Interval(1, 2))
+    assert (i.min, i.centre, i.max, i.width) == (-2, 0, 2, 4)
+    i = Interval()
+    i.init(3, 6)
+    assert (i.min, i.centre, i.max) == (3, 4.5, 6)
+    i.init(-3, -6)
+    assert (i.min, i.centre, i.max) == (-6, -4.5, -3)
+    a = Interval(3, 6)
+    assert a.overlaps(Interval(4, 5)) and a.overlaps(Interval(6, 7))
+    assert not a.overlaps(Interval(7, 8))
+    assert a.overlaps(Interval(5, 6.1)) and a.overlaps(Interval(2, 3))
+    assert a.overlaps(Interval(1.9, 4)) and not a.overlaps(Interval(1, 2))
+    assert a.contains(Interval(4, 5))
+    for bad in [(6, 7), (7, 8), (5, 6.1), (2, 3), (1.9, 4), (1, 2)]:
+        assert not a.contains(Interval(*bad))
+
+
+def test_bintree_grid_queries_match_brute_force():
+    """BinTreeCorrectTest.cs: grid of overlapping intervals, every query's
+    exact-filtered candidate set equals the brute-force scan."""
+    from nettopologysuite_ray.geom.intervals import Bintree, Interval
+
+    NUM_ITEMS = 2000
+    MIN_EXTENT, MAX_EXTENT = -1000.0, 1000.0
+    grid_size = int(NUM_ITEMS**0.5) + 1
+    extent = MAX_EXTENT - MIN_EXTENT
+    inc = extent / grid_size
+    cell = 2 * inc
+    tree = Bintree()
+    all_iv = []
+    for i in range(grid_size):
+        x = MIN_EXTENT + inc * i
+        iv = Interval(x, x + cell)
+        tree.insert(iv, iv)
+        all_iv.append(iv)
+    assert tree.count == grid_size
+    qcell = 2.0 * extent / int(NUM_ITEMS**0.5)
+    qgrid = int(100**0.5) + 1
+    qinc = extent / qgrid
+    for i in range(qgrid):
+        x = MIN_EXTENT + qinc * i
+        q = Interval(x, x + qcell)
+        got = sorted((iv.min, iv.max) for iv in tree.query(q) if iv.overlaps(q))
+        want = sorted((iv.min, iv.max) for iv in all_iv if iv.overlaps(q))
+        assert got == want
+
+
+def test_sorted_packed_interval_rtree():
+    from nettopologysuite_ray.geom.intervals import SortedPackedIntervalRTree
+
+    # empty query must not hang or raise (JTS GH #19)
+    t = SortedPackedIntervalRTree()
+    out = []
+    t.query(0, 1, out.append)
+    assert out == []
+    # random intervals: query matches brute force
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    lows = rng.uniform(-100, 100, 500)
+    widths = rng.uniform(0, 20, 500)
+    t = SortedPackedIntervalRTree()
+    for k in range(500):
+        t.insert(lows[k], lows[k] + widths[k], k)
+    for lo, hi in [(-5, 5), (-100, -90), (99, 130), (0, 0), (-200, 200)]:
+        got = []
+        t.query(lo, hi, got.append)
+        want = [k for k in range(500) if lows[k] <= hi and lows[k] + widths[k] >= lo]
+        assert sorted(got) == sorted(want)
+    # inserts after build are rejected
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        t.insert(0, 1, 999)
