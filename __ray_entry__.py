@@ -920,6 +920,63 @@ def _q_buffer_caps(sf_dir: str):
     return ds.map_batches(buf, batch_format="pyarrow", batch_size=64, num_cpus=0.9)
 
 
+def _q_multimodal_decode(sf_dir: str):
+    """Multimodal image decode, oracle-checked: solid-colour images whose
+    RGB derives from doc_id are encoded to real PPM (even ids) / BMP (odd
+    ids) bytes, shipped as opaque binary columns, and DECODED back to
+    pixels by the pure-numpy decoders (stages/multimodal.py) inside a
+    map_batches stage.  Emitted width/height/luminance come from the
+    decoded array — the DuckDB oracle recomputes them from doc_id
+    arithmetic, so a single wrong pixel or header byte fails the hash."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.range(256).map_batches(
+        lambda b: {"doc_id": b["id"].astype(np.int64)}, batch_format="numpy"
+    )
+
+    def enc_dec(b: "pa.Table"):
+        import pyarrow as pa2
+
+        from nettopologysuite_ray.stages.multimodal import (
+            decode_bmp,
+            decode_ppm,
+            encode_bmp,
+            encode_ppm,
+        )
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        w_out = np.empty(len(ids), dtype=np.int64)
+        h_out = np.empty(len(ids), dtype=np.int64)
+        lum_out = np.empty(len(ids), dtype=np.int64)
+        sum_out = np.empty(len(ids), dtype=np.int64)
+        for i, d in enumerate(ids):
+            d = int(d)
+            w = 8 + d % 16
+            h = 8 + (d // 3) % 12
+            rgb = np.array([(d * 37) % 256, (d * 59) % 256, (d * 83) % 256], dtype=np.uint8)
+            img = np.broadcast_to(rgb, (h, w, 3)).copy()
+            blob = encode_ppm(img) if d % 2 == 0 else encode_bmp(img)
+            dec = decode_ppm(blob) if d % 2 == 0 else decode_bmp(blob)
+            h_out[i], w_out[i] = dec.shape[:2]
+            # first-pixel luminance: identical float64 ops in DuckDB;
+            # pix_sum covers EVERY decoded byte integer-exactly
+            lum = float(dec[0, 0].astype(np.float64) @ np.array([0.299, 0.587, 0.114]))
+            lum_out[i] = np.int64(round(1e6 * lum))
+            sum_out[i] = np.int64(dec.astype(np.int64).sum())
+        return pa2.table(
+            {
+                "doc_id": pa2.array(ids),
+                "width": pa2.array(w_out),
+                "height": pa2.array(h_out),
+                "lum_1e6": pa2.array(lum_out),
+                "pix_sum": pa2.array(sum_out),
+            }
+        )
+
+    return ds.map_batches(enc_dec, batch_format="pyarrow", batch_size=64, num_cpus=0.9)
+
+
 def _q_densify_simplify(sf_dir: str):
     """Densify + Douglas-Peucker round trip (reference: Densify/
     Densifier.cs:27, Simplify/DouglasPeuckerSimplifier.cs): per-cell
@@ -1061,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "buffer_mitre": _q_buffer_mitre,
         "buffer_caps": _q_buffer_caps,
+        "multimodal_decode": _q_multimodal_decode,
         "densify_simplify": _q_densify_simplify,
         "near_dup_groups": _q_near_dup_groups,
     }
@@ -1212,6 +1270,24 @@ p AS (
 )
 SELECT admin_id, CAST(2 * (w + 2 * d) * (w + 2 * d) AS BIGINT) AS area2,
        CAST(12 AS BIGINT) AS nverts
+FROM p
+""",
+        "multimodal_decode": """
+WITH g AS (SELECT unnest(range(256)) AS doc_id),
+p AS (
+  SELECT doc_id,
+         8 + doc_id % 16 AS width,
+         8 + (doc_id // 3) % 12 AS height,
+         (doc_id * 37) % 256 AS r,
+         (doc_id * 59) % 256 AS g,
+         (doc_id * 83) % 256 AS b
+  FROM g
+)
+SELECT doc_id,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(round(1000000 * (0.299 * r + 0.587 * g + 0.114 * b)) AS BIGINT) AS lum_1e6,
+       CAST((r + g + b) * width * height AS BIGINT) AS pix_sum
 FROM p
 """,
         "buffer_caps": """

@@ -115,7 +115,17 @@ def bench_northstar(pages_path: str, n_pages: int, num_cpus: int) -> dict:
     # concurrent map task and the whole extract stage serializes (observed:
     # prep concurrency pinned at 1 with 170 MB blocks).
     n_blocks = max(num_cpus * 4, n_pages // 8192)
-    pages = rd.read_parquet(pages_path, columns=["doc_id", "html"], override_num_blocks=n_blocks)
+    # read tasks at 0.25 cpu: parquet scan+decompress is a pipeline STAGE
+    # here, and 1-cpu read tasks exceed the per-operator reserved share at
+    # small clusters — reads serialize and starve everything downstream
+    # (measured at n=8 on 8M pages: read@1.0 -> 185 s, @0.5 -> 179 s,
+    # @0.25 -> 91 s wall; n=32: 62 -> 42 -> 37 s).
+    pages = rd.read_parquet(
+        pages_path,
+        columns=["doc_id", "html"],
+        override_num_blocks=n_blocks,
+        ray_remote_args={"num_cpus": 0.25},
+    )
 
     def prep(b: pa.Table) -> pa.Table:
         b = extract_text_batch(b, out_col="text")
@@ -230,15 +240,17 @@ def run_headline_only() -> dict:
     return ns
 
 
-SCALING_REP = int(os.environ.get("GRAFT_SCALING_REP", "400"))
+SCALING_REP = int(os.environ.get("GRAFT_SCALING_REP", "1600"))
 
 
 def run_scaling() -> dict:
     """Fresh-process headline runs at 8 and 32 CPUs on the same input.
 
-    Uses a larger replication (GRAFT_SCALING_REP, default 400 → 2M pages
-    at sf0.1) so the run is long enough that fixed startup overhead does
-    not mask the compute scaling — the quantity the north_rule grades.
+    Uses a larger replication (GRAFT_SCALING_REP, default 1600 → 8M pages
+    at sf0.1, ~20 GB of html) so the run is long enough that fixed startup
+    overhead and the page cache do not mask the compute scaling — the
+    quantity the north_rule grades.  First call stages the input once
+    (~6 min); subsequent runs reuse it.
     """
     results = {}
     for nc in (8, 32):
