@@ -452,3 +452,79 @@ def test_buffer_single_sided():
     assert alg.area(inner) == 1900.0 and is_valid(inner)
     outer = buffer(ell, -10.0, single_sided=True)
     assert 2000.0 < alg.area(outer) < 2100.0 and is_valid(outer)
+
+
+def test_fractal_and_curve_builders():
+    """Shape namespace parity (reference: Shape/Fractal/*.cs, Shape/Random/*,
+    Shape/CubicBezierCurve.cs): Koch snowflake area converges to 8/5 of the
+    inscribed triangle, Sierpinski carpet area = (8/9)^(level+1), curves
+    visit every grid cell exactly once, random builders respect masks."""
+    import math
+
+    import numpy as np
+
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.shape import (
+        cubic_bezier_curve,
+        hilbert_curve,
+        koch_snowflake,
+        morton_curve,
+        random_points,
+        random_points_in_grid,
+        sierpinski_carpet,
+    )
+    from nettopologysuite_ray.geom.validity import is_valid
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    # Koch: valid at several levels; area matches the closed form
+    # tri * (1 + 1/3 * sum_{k<level} (4/9)^k) exactly
+    tri_area = math.sin(math.pi / 3.0) / 2.0  # side-1 equilateral triangle
+    for level in (0, 1, 2, 3):
+        k = koch_snowflake((0, 0), 1.0, 3 * 4**level)
+        assert is_valid(k)
+        expect = tri_area * (1 + sum((4 / 9) ** j for j in range(level)) / 3)
+        assert abs(alg.area(k) - expect) < 1e-9
+
+    # Sierpinski: area = (8/9)^(level+1), holes = (9^(level+1) - 1) / 8
+    for level in (0, 1, 2):
+        s = sierpinski_carpet((0, 0), 1.0, 3 * 4**level)
+        assert is_valid(s)
+        assert abs(alg.area(s) - (8.0 / 9.0) ** (level + 1)) < 1e-9
+        assert len(s.data) - 1 == (8 ** (level + 1) - 1) // 7
+
+    # space-filling curves: 4^level points, each grid node visited once;
+    # Hilbert is unit-step (length = n-1 cells), Morton jumps
+    for level in (2, 3):
+        n = 1 << level
+        h = hilbert_curve((0, 0), float(n - 1), level)
+        assert len(h.data) == n * n
+        assert len({(p[0], p[1]) for p in h.data}) == n * n
+        assert abs(alg.length(h) - (n * n - 1)) < 1e-9  # unit steps
+        m = morton_curve((0, 0), float(n - 1), level)
+        assert len({(p[0], p[1]) for p in m.data}) == n * n
+        assert alg.length(m) > alg.length(h)  # Z-order jumps
+
+    # Bezier: smooth interpolation passes through input vertices
+    line = from_wkt("LINESTRING (0 0, 10 0, 10 10)")
+    b = cubic_bezier_curve(line, 1.0, n_seg=8)
+    bp = {(round(p[0], 9), round(p[1], 9)) for p in b.data}
+    assert {(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)} <= bp
+    assert alg.length(b) >= 20.0  # curve bows outward, never shorter
+
+    # random points: deterministic, inside the mask, holes excluded
+    holed = from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    )
+    r1 = random_points(holed, 100, seed=7)
+    r2 = random_points(holed, 100, seed=7)
+    assert len(r1.data) == 100
+    assert all((p1 == p2).all() for p1, p2 in zip(r1.data, r2.data))
+    assert all(not (4 < p[0] < 6 and 4 < p[1] < 6) for p in r1.data)
+    g = random_points_in_grid((0, 0, 8, 8), 4, seed=3, gutter_fraction=0.5)
+    assert len(g.data) == 16
+    # gutter: each point within the inset quarter of its 2x2 cell
+    for j in range(4):
+        for i in range(4):
+            p = g.data[j * 4 + i]
+            assert 2 * i + 0.5 <= p[0] <= 2 * i + 1.5
+            assert 2 * j + 0.5 <= p[1] <= 2 * j + 1.5
