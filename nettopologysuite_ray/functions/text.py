@@ -33,37 +33,79 @@ def extract_text(html: bytes) -> str:
 
 
 def extract_text_batch(batch: pa.Table, html_col: str = "html", out_col: str = "text") -> pa.Table:
-    """Batch text extraction: ONE C-level regex scan over the concatenated
-    htmls, matches mapped back to rows by offset (np.searchsorted) — ~5x
-    the per-row loop.  Byte-identical to extract_text per row."""
-    htmls = pc.cast(batch[html_col], pa.string()).to_pylist()  # utf-8 validated in C
-    if not htmls:
+    """Batch text extraction, zero-copy over the Arrow buffers: the
+    string column's value buffer IS the concatenated htmls, so text nodes
+    (`>[^<>]+<` spans) are found with one vectorized bracket scan, and the
+    output column is assembled as a single byte buffer + offsets — no
+    Python string or match object is ever created.  Byte-identical to
+    extract_text per row (the pure-Python oracle, asserted in tests).
+
+    Row-boundary safety: every html starts with '<' and ends with '>', so
+    adjacent rows meet as ">...<" with a zero-length gap — rejected by the
+    non-empty-span condition, and no node can span rows (each row ends on
+    a bracket)."""
+    n_rows = len(batch)
+    arr = batch[html_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if n_rows == 0:
         out = batch
         if out_col in out.column_names:
             out = out.drop_columns([out_col])
         return out.append_column(out_col, pa.array([], type=pa.string()))
-    # html starts with '<' and ends with '>': plain concatenation cannot
-    # create a cross-row ">text<" match
-    offsets = np.cumsum([0] + [len(h) for h in htmls])
-    blob = "".join(htmls)
-    starts = []
-    pieces = []
-    for m in _TEXT_NODE.finditer(blob):
-        starts.append(m.start())
-        pieces.append(m.group(1))
-    rows = np.searchsorted(offsets, np.asarray(starts, dtype=np.int64), side="right") - 1
-    texts = []
-    k = 0
-    n = len(htmls)
-    for r in range(n):
-        j = k
-        while j < len(rows) and rows[j] == r:
-            j += 1
-        texts.append("\n".join(pieces[k:j]))
-        k = j
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n_rows + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lo, hi = offsets[0], offsets[-1]
+    window = data[lo:hi]
+    pos = np.nonzero((window == 60) | (window == 62))[0] + lo  # '<' '>'
+    if len(pos) >= 2:
+        a = pos[:-1]
+        b = pos[1:]
+        node = (data[a] == 62) & (data[b] == 60) & (b > a + 1)
+        starts = a[node] + 1
+        ends = b[node]
+    else:
+        starts = ends = np.empty(0, dtype=np.int64)
     if out_col in batch.column_names:
         batch = batch.drop_columns([out_col])
-    return batch.append_column(out_col, pa.array(texts, type=pa.string()))
+    if len(starts) == 0:
+        return batch.append_column(out_col, pa.array([""] * n_rows, type=pa.string()))
+    rows = np.searchsorted(offsets, starts, side="right") - 1
+    lengths = ends - starts
+    first_in_row = np.empty(len(rows), dtype=bool)
+    first_in_row[0] = True
+    np.not_equal(rows[1:], rows[:-1], out=first_in_row[1:])
+    # assemble by mask-compress, not per-byte gather: keep every node span,
+    # and for nodes followed by another node of the same row also keep the
+    # closing '<' byte rewritten to '\n' — one copy, one cumsum, one
+    # boolean index, all O(bytes) single passes
+    not_last = np.empty(len(rows), dtype=bool)
+    not_last[:-1] = ~first_in_row[1:]
+    not_last[-1] = False
+    buf = data[lo:hi].copy()
+    s2 = starts - lo
+    e2 = ends - lo
+    buf[e2[not_last]] = 10  # '\n' over the tag's '<'
+    e3 = e2 + not_last  # span end including the separator byte
+    delta = np.zeros(len(buf) + 1, dtype=np.int8)
+    delta[s2] = 1
+    delta[e3] -= 1  # e3 can collide with nothing: spans are disjoint
+    mask = np.cumsum(delta[:-1], dtype=np.int8).view(bool)
+    out = buf[mask]
+    dest_len = lengths + not_last
+    # per-row output offsets (int32 fits: output <= input html size)
+    row_sizes = np.bincount(rows, weights=dest_len, minlength=n_rows).astype(np.int64)
+    out_offsets = np.concatenate([[0], np.cumsum(row_sizes)]).astype(np.int32)
+    text_arr = pa.StringArray.from_buffers(
+        n_rows, pa.py_buffer(out_offsets.tobytes()), pa.py_buffer(out.tobytes())
+    )
+    return batch.append_column(out_col, text_arr)
 
 
 def parse_geo_entities(text: str) -> list[tuple[float, float]]:
