@@ -63,7 +63,9 @@ def extract_text_batch(batch: pa.Table, html_col: str = "html", out_col: str = "
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     lo, hi = offsets[0], offsets[-1]
     window = data[lo:hi]
-    pos = np.nonzero((window == 60) | (window == 62))[0] + lo  # '<' '>'
+    # '<' (60) and '>' (62) differ only in bit 1, so one masked compare
+    # finds both — a third of the temp bytes of (w==60)|(w==62)
+    pos = np.nonzero((window & 0xFD) == 60)[0] + lo
     if len(pos) >= 2:
         a = pos[:-1]
         b = pos[1:]
@@ -96,7 +98,8 @@ def extract_text_batch(batch: pa.Table, html_col: str = "html", out_col: str = "
     delta = np.zeros(len(buf) + 1, dtype=np.int8)
     delta[s2] = 1
     delta[e3] -= 1  # e3 can collide with nothing: spans are disjoint
-    mask = np.cumsum(delta[:-1], dtype=np.int8).view(bool)
+    np.cumsum(delta[:-1], out=delta[:-1])
+    mask = delta[:-1].view(bool)
     out = buf[mask]
     dest_len = lengths + not_last
     # per-row output offsets (int32 fits: output <= input html size)

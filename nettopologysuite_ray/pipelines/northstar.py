@@ -38,7 +38,11 @@ def entity_dataset(sf_dir: str, concurrency: int | None = None):
         # drop the wide html column before anything heavy (SURVEY.md §7.4)
         return parse_geo_entities_batch(b.drop_columns(["html"]), keys=("doc_id",))
 
-    return pages.map_batches(prep, batch_format="pyarrow")
+    # Explicit remote args ≠ the downstream actor stages' (num_cpus=1), so
+    # build+prep fuse with EACH OTHER (html never crosses the object store)
+    # but NOT into the actor op — otherwise the actor's batch_size bundles
+    # the whole small-SF input into one task and the pipeline runs serial.
+    return pages.map_batches(prep, batch_format="pyarrow", batch_size=1024, num_cpus=0.5)
 
 
 def northstar(

@@ -116,7 +116,10 @@ def read_pages(sf_dir: str, include_doc_id: bool = True):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    out = ds.map_batches(build_pages_batch, batch_format="pyarrow")
+    # Same remote args as the downstream prep stage (northstar.entity_dataset)
+    # so build+prep fuse into one task op and the wide html column never
+    # crosses the object store.
+    out = ds.map_batches(build_pages_batch, batch_format="pyarrow", batch_size=1024, num_cpus=0.5)
     if not include_doc_id:
         out = out.select_columns(["url", "warc_ts", "html", "text", "lang"])
     return out

@@ -16,6 +16,15 @@ def ray_session():
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # keep freed batch buffers in the worker heap (see bench.py):
+            # first-touch page faults are ~14 MB/s on this host, so heap
+            # reuse is the difference between ms and seconds per task
+            runtime_env={
+                "env_vars": {
+                    "MALLOC_MMAP_MAX_": "0",
+                    "MALLOC_TRIM_THRESHOLD_": "268435456",
+                }
+            },
         )
     from ray.data import DataContext
 
