@@ -33,6 +33,7 @@ ANN_K = 5
 ANN_NQ = 3
 IVF_NC = 16
 IVF_NPROBE = 6
+EMBED_DUP_TAU = 0.42  # nearest pair gap to tau > 3e-5 at every SF (margin-checked)
 
 
 def entry() -> Any:
@@ -347,6 +348,18 @@ def _q_ann_topk(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = ann_topk(ds, qref, k=ANN_K)
     return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+def _q_embed_near_dup(sf_dir: str):
+    """Exact all-pairs embedding near-dup (cosine >= tau) via the
+    block-pair matmul decomposition — the embedding-space member of the
+    dedup family (exact / MinHash-LSH / SimHash / embedding-cosine)."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.embed import embed_near_dup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embed_near_dup(ds, threshold=EMBED_DUP_TAU)
 
 
 def _q_ann_ivf(sf_dir: str):
@@ -1107,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": _q_doc_token_stats,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
+        "embed_near_dup": _q_embed_near_dup,
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
@@ -1529,6 +1543,19 @@ FROM ix
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE 2 * i >= (na.n + nb.n - i)
+""",
+        # double-precision dot/(|a||b|) exactly as the engine computes it;
+        # ROUND is half-away-from-zero, mirrored by floor(x+0.5) (sims>0)
+        "embed_near_dup": f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS sim_1e4
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {EMBED_DUP_TAU}
 """,
         "ann_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {ANN_NQ}),

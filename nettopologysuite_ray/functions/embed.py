@@ -234,3 +234,137 @@ class IvfIndexer:
         sims = emb @ self.centroids.T
         bucket = sims.argmax(axis=1).astype(np.int64)
         return batch.append_column("ivf_bucket", pa.array(bucket))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: exact all-pairs cosine >= threshold
+
+
+def _emb_matrix(col, dtype=np.float64) -> np.ndarray:
+    """list<float> column → (n, dim) ndarray via the Arrow values buffer
+    (no per-row Python lists)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.FixedSizeListArray):
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        return vals.reshape(len(arr), -1).astype(dtype, copy=False)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    dim = int(widths[0]) if len(widths) else 0
+    if len(widths) and not (widths == dim).all():
+        raise ValueError("ragged embedding column")
+    vals = arr.flatten().to_numpy(zero_copy_only=False)
+    return vals.reshape(len(arr), dim).astype(dtype, copy=False)
+
+
+def _pack_block_factory(id_col: str, emb_col: str):
+    """batch → ONE packed row: ids + raw float64 matrix bytes.  Packing
+    lets the pair stage fetch whole blocks from the object store zero-copy
+    instead of re-parsing list rows."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(batch[emb_col])
+        return pa.table(
+            {
+                "ids": pa.array([ids.tobytes()], type=pa.binary()),
+                "mat": pa.array([np.ascontiguousarray(m).tobytes()], type=pa.binary()),
+                "n": pa.array([len(ids)], type=pa.int64()),
+                "dim": pa.array([m.shape[1] if len(ids) else 0], type=pa.int64()),
+            }
+        )
+
+    return pack
+
+
+def _unpack_rows(tbl: pa.Table):
+    out = []
+    for r in range(tbl.num_rows):
+        n = tbl["n"][r].as_py()
+        dim = tbl["dim"][r].as_py()
+        ids = np.frombuffer(tbl["ids"][r].as_py(), dtype=np.int64)
+        m = np.frombuffer(tbl["mat"][r].as_py(), dtype=np.float64).reshape(n, dim)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        out.append((ids, m, nrm))
+    return out
+
+
+def embed_near_dup(
+    ds,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block_rows: int = 8192,
+):
+    """Exact all-pairs embedding near-dup: every unordered pair with
+    cosine(a, b) >= threshold, as (id_a < id_b, sim_1e4:int64).
+
+    Shape: pack `block_rows` vectors per block (one object-store entry),
+    then one task per block PAIR does the (B x B) float64 matmul — the
+    quadratic work is decomposed into bounded-memory tasks that each read
+    exactly two blocks zero-copy from the object store; no task and no
+    driver ever holds the full corpus.  Partitioning assumption: exact
+    all-pairs is inherently O((n/block_rows)^2) tasks — at corpus scale
+    use the IVF-bucketed variant (IvfIndexer + intra-bucket pairs) when an
+    approximate high-threshold join is acceptable.
+
+    Cosine is computed as dot / (|a| * |b|) in float64 — the same
+    associativity class as the SQL oracle's list_dot_product, so the
+    rounded sim_1e4 column is hash-stable; sim_1e4 uses floor(x + 0.5)
+    (= SQL ROUND's half-away-from-zero for positive sims).
+    """
+    import ray.data as rd
+
+    packed = ds.map_batches(
+        _pack_block_factory(id_col, emb_col),
+        batch_format="pyarrow",
+        batch_size=block_rows,
+    ).materialize()
+    refs = packed.to_arrow_refs()
+    nb = len(refs)
+    pair_items = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+
+    def score(batch: pa.Table) -> pa.Table:
+        a_out, b_out, s_out = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            left = _unpack_rows(ray.get(refs[i]))
+            right = left if i == j else _unpack_rows(ray.get(refs[j]))
+            for a in range(len(left)):
+                ids_a, ma, na = left[a]
+                b_start = a if i == j else 0
+                for b in range(b_start, len(right)):
+                    ids_b, mb, nbm = right[b]
+                    if not len(ids_a) or not len(ids_b):
+                        continue
+                    sims = (ma @ mb.T) / (na[:, None] * nbm[None, :])
+                    if i == j and a == b:
+                        ii, jj = np.triu_indices(len(ids_a), k=1)
+                        mask = sims[ii, jj] >= threshold
+                        ii, jj = ii[mask], jj[mask]
+                        sv = sims[ii, jj]
+                    else:
+                        ii, jj = np.nonzero(sims >= threshold)
+                        sv = sims[ii, jj]
+                    ia, ib = ids_a[ii], ids_b[jj]
+                    lo = np.minimum(ia, ib)
+                    hi = np.maximum(ia, ib)
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    s_out.append(np.floor(sv * 10000.0 + 0.5).astype(np.int64))
+        if a_out:
+            aa = np.concatenate(a_out)
+            bb = np.concatenate(b_out)
+            ss = np.concatenate(s_out)
+        else:
+            aa = bb = ss = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(aa, type=pa.int64()),
+                "id_b": pa.array(bb, type=pa.int64()),
+                "sim_1e4": pa.array(ss, type=pa.int64()),
+            }
+        )
+
+    return rd.from_items(pair_items).map_batches(
+        score, batch_format="pyarrow", batch_size=1, num_cpus=1
+    )

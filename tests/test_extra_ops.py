@@ -528,3 +528,40 @@ def test_fractal_and_curve_builders():
             p = g.data[j * 4 + i]
             assert 2 * i + 0.5 <= p[0] <= 2 * i + 1.5
             assert 2 * j + 0.5 <= p[1] <= 2 * j + 1.5
+
+
+def test_embed_near_dup_multiblock(ray_session):
+    """embed_near_dup with tiny blocks (forces intra-block, cross-block and
+    cross-row-pair paths) equals the brute-force all-pairs threshold join."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.embed import embed_near_dup
+
+    rng = np.random.default_rng(11)
+    n, dim = 137, 8
+    m = rng.standard_normal((n, dim))
+    # plant some genuine near-dups
+    for a, b in ((3, 77), (10, 11), (50, 120), (121, 122)):
+        m[b] = m[a] + rng.standard_normal(dim) * 0.05
+    ids = rng.permutation(n).astype(np.int64) + 1000
+    tau = 0.6
+    tbl = pa.table({"vec_id": ids, "embedding": [list(map(float, r)) for r in m]})
+    out = (
+        embed_near_dup(rd.from_arrow(tbl), threshold=tau, block_rows=16)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    nrm = np.sqrt((m * m).sum(axis=1))
+    sims = (m @ m.T) / (nrm[:, None] * nrm[None, :])
+    ii, jj = np.triu_indices(n, k=1)
+    keep = sims[ii, jj] >= tau
+    lo = np.minimum(ids[ii[keep]], ids[jj[keep]])
+    hi = np.maximum(ids[ii[keep]], ids[jj[keep]])
+    s4 = np.floor(sims[ii[keep], jj[keep]] * 10000.0 + 0.5).astype(np.int64)
+    order = np.lexsort((hi, lo))
+    assert len(out) == keep.sum() and keep.sum() >= 4
+    assert (out["id_a"].to_numpy() == lo[order]).all()
+    assert (out["id_b"].to_numpy() == hi[order]).all()
+    assert (out["sim_1e4"].to_numpy() == s4[order]).all()
