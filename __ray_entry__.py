@@ -34,6 +34,8 @@ ANN_NQ = 3
 IVF_NC = 16
 IVF_NPROBE = 6
 EMBED_DUP_TAU = 0.42  # nearest pair gap to tau > 3e-5 at every SF (margin-checked)
+WINNOW_K = 8  # winnowing k-gram length
+WINNOW_W = 8  # winnowing window (guarantee: every >= k+w-1 char match shares a fingerprint)
 
 
 def entry() -> Any:
@@ -348,6 +350,18 @@ def _q_ann_topk(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = ann_topk(ds, qref, k=ANN_K)
     return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+def _q_winnow_fingerprint(sf_dir: str):
+    """Winnowing document fingerprints over the documents table — the
+    rolling-hash member of the fingerprint family (md5 whole-doc +
+    winnowing local)."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.text import winnow_fingerprints_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(winnow_fingerprints_batch, batch_format="pyarrow")
 
 
 def _q_embed_near_dup(sf_dir: str):
@@ -1121,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
         "embed_near_dup": _q_embed_near_dup,
+        "winnow_fingerprint": _q_winnow_fingerprint,
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
@@ -1543,6 +1558,43 @@ FROM ix
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE 2 * i >= (na.n + nb.n - i)
+""",
+        # winnowing reproduced verbatim: k-gram polynomial hash as an
+        # explicit 8-term BIGINT sum (131^7*255*8 < 2^63, no overflow
+        # before % 2^32), window min via an inequality join, rightmost
+        # tie-break via max(p) per window, DISTINCT selected positions
+        "winnow_fingerprint": f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+),
+grams AS (
+  SELECT doc_id, p,
+    ( ascii(substr(text, p + 1, 1))::BIGINT * {131**7}
+    + ascii(substr(text, p + 2, 1))::BIGINT * {131**6}
+    + ascii(substr(text, p + 3, 1))::BIGINT * {131**5}
+    + ascii(substr(text, p + 4, 1))::BIGINT * {131**4}
+    + ascii(substr(text, p + 5, 1))::BIGINT * {131**3}
+    + ascii(substr(text, p + 6, 1))::BIGINT * {131**2}
+    + ascii(substr(text, p + 7, 1))::BIGINT * 131
+    + ascii(substr(text, p + 8, 1))::BIGINT ) % 4294967296 AS gram_hash
+  FROM (SELECT doc_id, text, unnest(range(0, length(text) - {WINNOW_K} + 1)) AS p FROM docs)
+),
+wins AS (
+  SELECT doc_id, unnest(range(0, length(text) - {WINNOW_K} - {WINNOW_W} + 2)) AS i FROM docs
+),
+wj AS (
+  SELECT g.doc_id, w.i, g.p, g.gram_hash
+  FROM wins w JOIN grams g
+    ON g.doc_id = w.doc_id AND g.p >= w.i AND g.p < w.i + {WINNOW_W}
+),
+wm AS (SELECT doc_id, i, min(gram_hash) AS mh FROM wj GROUP BY doc_id, i),
+sel AS (
+  SELECT j.doc_id, max(j.p) AS pos
+  FROM wj j JOIN wm m ON j.doc_id = m.doc_id AND j.i = m.i AND j.gram_hash = m.mh
+  GROUP BY j.doc_id, j.i
+)
+SELECT DISTINCT s.doc_id, s.pos, g.gram_hash
+FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.p = s.pos
 """,
         # double-precision dot/(|a||b|) exactly as the engine computes it;
         # ROUND is half-away-from-zero, mirrored by floor(x+0.5) (sims>0)

@@ -120,45 +120,23 @@ def bench_northstar(pages_path: str, n_pages: int, num_cpus: int) -> dict:
     from nettopologysuite_ray.stages.spatial_join import PIPJoin, prepare_admin_state
     from nettopologysuite_ray.stages.tiling import assign_cells_batch, tile_stats
 
+    from nettopologysuite_ray.sources.shards import shard_map_parquet
+
     t0 = time.time()
-    # prune at the read: url/text/lang/warc_ts are not needed downstream.
-    # Block sizing is the scaling lever: ~8k pages (~20 MB) per block — with
-    # few huge blocks (>128 MB) Ray Data's memory budgeting admits only ONE
-    # concurrent map task and the whole extract stage serializes (observed:
-    # prep concurrency pinned at 1 with 170 MB blocks).
-    n_blocks = max(num_cpus * 4, n_pages // 8192)
-    # read tasks at 0.25 cpu: parquet scan+decompress is a pipeline STAGE
-    # here, and 1-cpu read tasks exceed the per-operator reserved share at
-    # small clusters — reads serialize and starve everything downstream
-    # (measured at n=8 on 8M pages: read@1.0 -> 185 s, @0.5 -> 179 s,
-    # @0.25 -> 91 s wall; n=32: 62 -> 42 -> 37 s).
-    pages = rd.read_parquet(
-        pages_path,
-        columns=["doc_id", "html"],
-        override_num_blocks=n_blocks,
-        ray_remote_args={"num_cpus": 0.25},
-    )
 
     def prep(b: pa.Table) -> pa.Table:
         b = extract_text_batch(b, out_col="text")
         return parse_geo_entities_batch(b.drop_columns(["html"]), keys=("doc_id",))
 
-    # num_cpus=0.9 breaks operator fusion with the actor pool so the
-    # task-parallel extract stage and the stateful join stage batch
-    # independently (fused, the whole pipeline collapses to ceil(rows/B) tasks).
-    # Explicit per-stage CPU budgets: ~60% extract, ~25% join, rest for the
-    # read — an uncapped 0.9-cpu task pool reserves every CPU and starves
-    # the actor pool at small cluster sizes (observed: 8-cpu run 2x slower
-    # than CPU-bound, efficiency superlinear artifact).
-    # caps proportional to cluster size, leaving ~25% headroom for the read
-    # stage (an extract pool reserving every CPU serializes the parquet
-    # reads and the small cluster becomes read-bound)
+    # read+extract in ONE task per row-group shard: the wide html column
+    # never enters the object store (plasma fresh pages fault at
+    # ~0.4 GB/s aggregate on this host — shipping 20 GB of html through it
+    # WAS the pipeline ceiling: 151k docs/s before, 384k after).  Only the
+    # narrow entity rows cross to the join stage.
+    ents = shard_map_parquet(
+        pages_path, prep, columns=["doc_id", "html"], target_rows=8192, num_cpus=0.25
+    )
     join_slots = max(2, num_cpus // 4)
-    # num_cpus=0.25: (a) breaks operator fusion with the 1-cpu actor pool,
-    # (b) fits ~5 concurrent prep tasks in the 0.9-ratio reserved share at
-    # 8 cpus (see _init_ray note); measured sweep at n=8: 0.25 -> 65.8k,
-    # 0.4 -> 49.6k, 0.5 -> 21k docs/s
-    ents = pages.map_batches(prep, batch_format="pyarrow", batch_size=2048, num_cpus=0.25)
     admin_ref = prepare_admin_state(admin_boundaries_table(fancy=True))
     joined = ents.map_batches(
         PIPJoin,
@@ -231,6 +209,14 @@ def run_all() -> dict:
 
 
 def run_headline_only() -> dict:
+    # honest cluster-size emulation: pin the WHOLE Ray session (raylet +
+    # workers inherit the affinity) to num_cpus physical cores.  Without
+    # this, fractional-cpu tasks overcommit the logical budget and an
+    # "8-cpu" run borrows all 32 physical cores — both scaling legs
+    # measure the same machine and efficiency is meaningless.
+    aff = os.environ.get("GRAFT_CPU_AFFINITY")
+    if aff:
+        os.sched_setaffinity(0, set(range(int(aff))))
     _init_ray(NUM_CPUS)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     pages_path, n_pages = stage_pages(SF_DIR, REP)
@@ -270,6 +256,7 @@ def run_scaling() -> dict:
         env["RAY_GRAFT_CPUS"] = str(nc)
         env["GRAFT_BENCH_REP"] = str(SCALING_REP)
         env["GRAFT_BENCH_MODE"] = "headline"
+        env["GRAFT_CPU_AFFINITY"] = str(nc)
         best = None
         # best-of-2 per level: single-node wall times vary up to 2x with
         # host load; min wall is the standard noise-free estimator

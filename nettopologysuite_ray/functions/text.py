@@ -252,3 +252,62 @@ def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
         d = hashlib.md5(t.encode()).hexdigest()
         fps.append(d)
     return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting: winnowing (rolling k-gram hash + window minimum)
+
+WINNOW_B = 131  # polynomial base: 131**7 * 255 * 8 < 2**63, so the SQL
+WINNOW_MOD = 1 << 32  # oracle's BIGINT sum never overflows before % 2**32
+
+
+def winnow_fingerprints_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the standard local fingerprinting scheme): polynomial
+    k-gram hashes h[p] = sum(code[p+j] * B^(k-1-j)) mod 2^32, then per
+    w-window the RIGHTMOST minimal hash position is selected; output is
+    the distinct (doc_id, pos, gram_hash) rows.
+
+    Vectorized per row: code points via utf-32 reinterpretation, gram
+    hashes via a strided window multiply-sum in uint64 (the natural
+    mod-2^64 wrap is exact mod 2^32 because 2^32 | 2^64), window argmin on
+    the reversed strided view (first-min of reversed = rightmost-min).
+    Docs with fewer than w grams yield no fingerprints (mirrors the SQL
+    oracle's empty window range).  Map-only — embarrassingly parallel at
+    any scale; expected fingerprint density is 2/(w+1) per position.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    texts = batch[text_col].to_pylist()
+    powers = (WINNOW_B ** np.arange(k - 1, -1, -1, dtype=np.uint64)).astype(np.uint64)
+    out_id, out_pos, out_h = [], [], []
+    for i, t in zip(ids.tolist(), texts):
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n_grams = len(cp) - k + 1
+        if n_grams < w:
+            continue
+        h = (sliding_window_view(cp, k) * powers[None, :]).sum(axis=1) % WINNOW_MOD
+        wv = sliding_window_view(h, w)
+        j = (w - 1) - np.argmin(wv[:, ::-1], axis=1)
+        pos = np.unique(np.arange(len(wv)) + j)
+        out_id.append(np.full(len(pos), i, dtype=np.int64))
+        out_pos.append(pos.astype(np.int64))
+        out_h.append(h[pos].astype(np.int64))
+    if out_id:
+        a, p, g = np.concatenate(out_id), np.concatenate(out_pos), np.concatenate(out_h)
+    else:
+        a = p = g = np.empty(0, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(a, type=pa.int64()),
+            "pos": pa.array(p, type=pa.int64()),
+            "gram_hash": pa.array(g, type=pa.int64()),
+        }
+    )

@@ -565,3 +565,40 @@ def test_embed_near_dup_multiblock(ray_session):
     assert (out["id_a"].to_numpy() == lo[order]).all()
     assert (out["id_b"].to_numpy() == hi[order]).all()
     assert (out["sim_1e4"].to_numpy() == s4[order]).all()
+
+
+def test_winnow_fingerprints_matches_reference():
+    """Vectorized winnowing == the textbook per-window implementation,
+    including rightmost tie-break and the short-doc cutoff."""
+    import pyarrow as pa
+
+    from nettopologysuite_ray.functions.text import winnow_fingerprints_batch
+
+    def slow(text, k=8, w=8):
+        B, M = 131, 1 << 32
+        h = [
+            sum(ord(text[p + j]) * B ** (k - 1 - j) for j in range(k)) % M
+            for p in range(len(text) - k + 1)
+        ]
+        sel = set()
+        for i in range(len(h) - w + 1):
+            win = h[i : i + w]
+            mh = min(win)
+            p = max(j for j in range(w) if win[j] == mh) + i
+            sel.add((p, h[p]))
+        return sel
+
+    rng = np.random.default_rng(5)
+    texts = [
+        "".join(chr(rng.integers(97, 123)) for _ in range(int(n)))
+        for n in rng.integers(5, 200, 40)
+    ]
+    texts += ["aaaaaaaaaaaaaaaaaaaaaaaa", "abababababababababababab", "short"]
+    ids = list(range(len(texts)))
+    out = winnow_fingerprints_batch(pa.table({"doc_id": ids, "text": texts}))
+    got = set(zip(out["doc_id"].to_pylist(), out["pos"].to_pylist(), out["gram_hash"].to_pylist()))
+    exp = set()
+    for i, t in zip(ids, texts):
+        if len(t) >= 15:  # k + w - 1
+            exp |= {(i, p, g) for p, g in slow(t)}
+    assert got == exp and len(exp) > 100
