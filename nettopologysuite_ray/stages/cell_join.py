@@ -163,10 +163,23 @@ def within_distance_join(
         ly = lefts["lat_1e2"].to_numpy()
         rx = rights["lon_1e2"].to_numpy()
         ry = rights["lat_1e2"].to_numpy()
-        dx = lx[:, None] - rx[None, :]
-        dy = ly[:, None] - ry[None, :]
-        d2 = dx * dx + dy * dy
-        ii, jj = np.nonzero(d2 <= r2)
+        # chunk the left side so the dense (chunk x R) distance matrix stays
+        # ~32 MB no matter how hot the cell is (salting divides CPU work;
+        # this bounds MEMORY).  np.nonzero is row-major, so chunk-by-chunk
+        # concatenation reproduces the unchunked pair order byte-identically.
+        chunk = max(1, 4_000_000 // max(len(rx), 1))
+        ii_parts, jj_parts, d2_parts = [], [], []
+        for a in range(0, len(lx), chunk):
+            dx = lx[a : a + chunk, None] - rx[None, :]
+            dy = ly[a : a + chunk, None] - ry[None, :]
+            d2 = dx * dx + dy * dy
+            ci, cj = np.nonzero(d2 <= r2)
+            ii_parts.append(ci + a)
+            jj_parts.append(cj)
+            d2_parts.append(d2[ci, cj])
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
+        d2v = np.concatenate(d2_parts)
         out = {}
         # the null-padded union promotes key columns to NaN-bearing float64
         # in pandas; cast back so every output block shares one int64 schema
@@ -175,7 +188,7 @@ def within_distance_join(
             out[k] = lefts[k].to_numpy()[ii].astype(np.int64)
         for k in rk:
             out[k] = rights[k].to_numpy()[jj].astype(np.int64)
-        out["dist2"] = d2[ii, jj].astype(np.int64)
+        out["dist2"] = d2v.astype(np.int64)
         return pd.DataFrame(out)
 
     return both.groupby("cell").map_groups(join_cell, batch_format="pandas")
