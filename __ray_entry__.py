@@ -587,11 +587,14 @@ def _q_within_distance_join(sf_dir: str):
         )
 
     ev = events.map_batches(ev_points, batch_format="pyarrow")
-    # salting active: cells above the threshold split into deterministic
-    # subkeys (pair set proven identical in tests/test_pipeline.py)
+    # salt_threshold=2: events are uniform (~2.4/cell at sf0.01), so a
+    # realistic threshold would never fire here — 2 forces most cells
+    # through the salting path, putting it under the DuckDB oracle's
+    # value-hash (identity also asserted in tests/test_pipeline.py and
+    # tools/join_bench.py --verify)
     out = within_distance_join(ev, ents, radius_1e2=300, left_keys=("event_id",),
                                right_keys=("doc_id", "entity_idx"),
-                               salt_threshold=100_000, n_salt=16)
+                               salt_threshold=2, n_salt=16)
     return out.select_columns(["event_id", "doc_id", "entity_idx", "dist2"])
 
 
