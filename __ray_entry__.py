@@ -364,6 +364,34 @@ def _q_winnow_fingerprint(sf_dir: str):
     return ds.map_batches(winnow_fingerprints_batch, batch_format="pyarrow")
 
 
+def _q_tumbling_window(sf_dir: str):
+    """Fixed-width (6h) tumbling-window rollup over the events stream —
+    the windowed-aggregate member of the engine-level operator family
+    (map-side combiner, partial-bounded shuffle)."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.windows import tumbling_window_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return tumbling_window_agg(ds, width_s=21600)
+
+
+def _q_session_stats(sf_dir: str):
+    """Gap-based sessionization (30 min) of the events stream per user —
+    hash-bucketed users, one vectorized pass per bucket."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.windows import sessionize_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return sessionize_stats(ds, gap_s=1800)
+
+
 def _q_embed_near_dup(sf_dir: str):
     """Exact all-pairs embedding near-dup (cosine >= tau) via the
     block-pair matmul decomposition — the embedding-space member of the
@@ -1139,6 +1167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "embed_near_dup": _q_embed_near_dup,
         "winnow_fingerprint": _q_winnow_fingerprint,
+        "tumbling_window": _q_tumbling_window,
+        "session_stats": _q_session_stats,
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
@@ -1561,6 +1591,41 @@ FROM ix
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE 2 * i >= (na.n + nb.n - i)
+""",
+        # integer-exact: epoch microseconds // width, money as
+        # round-half-away cents (floor(|v|*100+0.5)*sign == DuckDB round)
+        "tumbling_window": """
+SELECT epoch_us(ts) // 21600000000 * 21600 AS window_start,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
+           * CASE WHEN value < 0 THEN -1 ELSE 1 END) AS value_cents
+FROM events
+GROUP BY 1, 2
+""",
+        # sessionization reproduced verbatim: per-user lag gap breaks,
+        # running sum -> sess_idx, integer-cent value sums
+        "session_stats": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
+           * CASE WHEN value < 0 THEN -1 ELSE 1 END AS vc,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS sess_idx
+  FROM e
+)
+SELECT user_id, sess_idx, count(*) AS n_events,
+       min(tus) AS ts_start_us, max(tus) AS ts_end_us,
+       sum(vc) AS value_cents
+FROM s
+GROUP BY 1, 2
 """,
         # winnowing reproduced verbatim: k-gram polynomial hash as an
         # explicit 8-term BIGINT sum (131^7*255*8 < 2^63, no overflow

@@ -1,0 +1,154 @@
+"""Time-window operators over event streams (engine-level additions).
+
+The reference has no streaming/window surface (SURVEY.md §2.10) — these
+are the Ray-Data-native window operators a web-scale event pipeline
+needs, expressed as shuffle-light Dataset transforms:
+
+- ``tumbling_window_agg``: fixed-width window rollups as a map-side
+  combiner (one partial row per (task, window, key)) followed by a small
+  groupby — the pre-aggregate-before-shuffle shape; the all-to-all
+  carries partials whose count is bounded by windows x keys x tasks,
+  independent of event count.
+- ``sessionize_stats``: gap-based session windows per user.  Users are
+  hash-bucketed into ``num_partitions`` groups and each partition is
+  sessionized in ONE vectorized pandas pass (sort by (user, ts, id),
+  vectorized gap/new-user breaks, cumsum session ids) — no per-user
+  Python overhead, the same hash-bucket trick as the LSH pairing stage.
+  Partitioning assumption: one user's events fit one task (the per-user
+  skew bound); a pathological mega-user would need time-chunking with
+  boundary stitching, which this corpus never approaches.
+
+All arithmetic is integer-exact (epoch microseconds; money in cents) so
+results are bit-deterministic at any parallelism and SQL-oracle-checkable
+(see driver-contract determinism notes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+US = 1_000_000
+
+
+def _epoch_us(col: pa.ChunkedArray) -> np.ndarray:
+    """timestamp[us] column -> int64 epoch microseconds."""
+    return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+
+
+def _value_cents(col: pa.ChunkedArray) -> np.ndarray:
+    """DOUBLE money -> exact int64 cents (half-away-from-zero, matching
+    DuckDB round()); keeps aggregate sums order-independent."""
+    v = col.to_numpy(zero_copy_only=False)
+    return np.sign(v).astype(np.int64) * np.floor(np.abs(v) * 100 + 0.5).astype(np.int64)
+
+
+def tumbling_window_agg(
+    ds,
+    width_s: int,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    shuffle_partitions: int = 32,
+):
+    """Fixed-width tumbling-window rollup: (window_start, key) ->
+    n_events, value_cents.
+
+    window_start is the window's start in epoch SECONDS (int64):
+    floor(epoch_us / width_us) * width_s.
+    """
+    width_us = width_s * US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tus = _epoch_us(batch[ts_col])
+        win = tus // width_us * np.int64(width_s)
+        df = pd.DataFrame(
+            {
+                "window_start": win,
+                key_col: batch[key_col].to_pylist(),
+                "vc": _value_cents(batch[value_col]),
+            }
+        )
+        g = df.groupby(["window_start", key_col], as_index=False).agg(
+            n_events=("vc", "size"), value_cents=("vc", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        partials.repartition(shuffle_partitions)
+        .groupby(["window_start", key_col])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+def sessionize_stats(
+    ds,
+    gap_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_partitions: int = 32,
+):
+    """Gap-based session windows: a new session starts when a user's
+    inter-event gap exceeds gap_s.  Output one row per session:
+    (user_id, sess_idx, n_events, ts_start_us, ts_end_us, value_cents),
+    sess_idx counting each user's sessions from 0 in time order.
+    """
+    gap_us = gap_s * US
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                user_col: pa.array(uid),
+                "_h": pa.array(
+                    (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    % np.uint64(num_partitions)
+                ).cast(pa.int64()),
+                "tus": pa.array(_epoch_us(batch[ts_col])),
+                id_col: batch[id_col],
+                "vc": pa.array(_value_cents(batch[value_col])),
+            }
+        )
+
+    def sessionize_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype="int64")
+                    for c in (user_col, "sess_idx", "n_events",
+                              "ts_start_us", "ts_end_us", "value_cents")
+                }
+            )
+        df = g.sort_values([user_col, "tus", id_col], kind="mergesort")
+        uid = df[user_col].to_numpy()
+        tus = df["tus"].to_numpy()
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user.copy()
+        brk[1:] |= (tus[1:] - tus[:-1]) > gap_us
+        sess = np.cumsum(brk) - 1  # global session id within this partition
+        # per-user session index: global id minus the user's first global id
+        first = pd.Series(np.where(new_user, sess, 0)).groupby(uid).transform("max")
+        df = df.assign(_sess=sess, sess_idx=sess - first.to_numpy())
+        out = df.groupby([user_col, "_sess", "sess_idx"], as_index=False).agg(
+            n_events=("vc", "size"),
+            ts_start_us=("tus", "min"),
+            ts_end_us=("tus", "max"),
+            value_cents=("vc", "sum"),
+        )
+        return out[
+            [user_col, "sess_idx", "n_events", "ts_start_us", "ts_end_us", "value_cents"]
+        ]
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_h").map_groups(sessionize_partition, batch_format="pandas")

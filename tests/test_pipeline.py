@@ -270,3 +270,87 @@ def test_within_distance_join_salted_identical(ray_session):
     base = pairs()
     salted = pairs(salt_threshold=500, n_salt=8)
     assert base == salted and len(base) > 0
+
+
+def test_sessionize_matches_reference(ray_session):
+    """Vectorized hash-bucketed sessionization == a per-user pure-Python
+    sessionizer, including ts-tie ordering by event_id and gap edges."""
+    import pandas as pd
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.windows import sessionize_stats
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    uid = rng.integers(0, 40, n).astype(np.int64)
+    # coarse timestamps force exact-gap edges and ts ties within a user
+    tus = rng.integers(0, 200, n).astype(np.int64) * 1_000_000 * 900
+    val = rng.integers(-5000, 5000, n) / 100.0
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(tus.view("datetime64[us]")),
+            "user_id": pa.array(uid),
+            "value": pa.array(val),
+        }
+    )
+    out = (
+        sessionize_stats(rd.from_arrow(tbl), gap_s=1800, num_partitions=7)
+        .to_pandas()
+        .sort_values(["user_id", "sess_idx"])
+        .reset_index(drop=True)
+    )
+
+    # reference: per-user python loop
+    df = pd.DataFrame({"event_id": np.arange(n), "uid": uid, "tus": tus, "val": val})
+    rows = []
+    for u, g in df.sort_values(["uid", "tus", "event_id"]).groupby("uid"):
+        sess, prev = -1, None
+        cur = []
+        for _, r in g.iterrows():
+            if prev is None or r.tus - prev > 1800 * 1_000_000:
+                if cur:
+                    rows.append((u, sess, cur))
+                sess += 1
+                cur = []
+            cur.append(r)
+            prev = r.tus
+        rows.append((u, sess, cur))
+    exp = pd.DataFrame(
+        [
+            {
+                "user_id": u,
+                "sess_idx": s,
+                "n_events": len(c),
+                "ts_start_us": int(min(r.tus for r in c)),
+                "ts_end_us": int(max(r.tus for r in c)),
+                "value_cents": int(
+                    sum(int(np.sign(r.val)) * int(np.floor(abs(r.val) * 100 + 0.5)) for r in c)
+                ),
+            }
+            for u, s, c in rows
+        ]
+    ).sort_values(["user_id", "sess_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_tumbling_window_invariant_to_parallelism(ray_session, sf_dir):
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.windows import tumbling_window_agg
+
+    path = f"{sf_dir}/events.parquet"
+    outs = []
+    for blocks, parts in ((1, 2), (16, 8)):
+        ds = rd.read_parquet(
+            path, columns=["ts", "event_type", "value"], override_num_blocks=blocks
+        )
+        df = (
+            tumbling_window_agg(ds, width_s=3600, shuffle_partitions=parts)
+            .to_pandas()
+            .sort_values(["window_start", "event_type"])
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1]) and len(outs[0]) > 10
+    assert int(outs[0]["n_events"].sum()) == rd.read_parquet(path).count()
