@@ -392,6 +392,21 @@ def _q_session_stats(sf_dir: str):
     return sessionize_stats(ds, gap_s=1800)
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join: each click event matched to the user's most recent
+    prior view event (inner, tie-broken to max view id) — the time-series
+    join member of the engine-level operator family."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.windows import as_of_join
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    clicks = ev.filter(expr="event_type == 'click'")
+    views = ev.filter(expr="event_type == 'view'")
+    return as_of_join(clicks, views)
+
+
 def _q_embed_near_dup(sf_dir: str):
     """Exact all-pairs embedding near-dup (cosine >= tau) via the
     block-pair matmul decomposition — the embedding-space member of the
@@ -1169,6 +1184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": _q_winnow_fingerprint,
         "tumbling_window": _q_tumbling_window,
         "session_stats": _q_session_stats,
+        "asof_join": _q_asof_join,
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
@@ -1626,6 +1642,23 @@ SELECT user_id, sess_idx, count(*) AS n_events,
        sum(vc) AS value_cents
 FROM s
 GROUP BY 1, 2
+""",
+        # DuckDB's native ASOF JOIN is the oracle; the right side is
+        # pre-deduped to one row per (user, tus) keeping max id — the same
+        # deterministic tie-break the engine applies
+        "asof_join": """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus
+  FROM events WHERE event_type = 'click'
+),
+r0 AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus
+  FROM events WHERE event_type = 'view'
+),
+r AS (SELECT user_id, tus, max(event_id) AS event_id FROM r0 GROUP BY 1, 2)
+SELECT l.event_id AS id_l, l.user_id AS user_id, l.tus AS tus_l,
+       r.event_id AS id_r, r.tus AS tus_r, l.tus - r.tus AS lag_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
 """,
         # winnowing reproduced verbatim: k-gram polynomial hash as an
         # explicit 8-term BIGINT sum (131^7*255*8 < 2^63, no overflow

@@ -88,6 +88,92 @@ def tumbling_window_agg(
     )
 
 
+def as_of_join(
+    left_ds,
+    right_ds,
+    by_col: str = "user_id",
+    ts_col: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    num_partitions: int = 32,
+):
+    """Inner as-of join: for each left row, the most recent right row of
+    the same ``by_col`` with right ts <= left ts (ties among equal right
+    timestamps broken to the max right id, so output is deterministic).
+    Unmatched left rows are dropped (inner semantics — no null columns).
+
+    Output: left_id ("id_l"), by_col, left epoch-µs ("tus_l"), matched
+    right id ("id_r"), right epoch-µs ("tus_r"), lag_us (int64, >= 0).
+
+    Shape: both sides hash-bucketed by ``by_col`` (same co-location trick
+    as sessionize), each bucket joined in ONE vectorized
+    ``pandas.merge_asof`` pass.  The all-to-all carries only
+    (id, by, tus) int rows — payload columns join back afterwards if
+    needed.  Skew bound = one by-key's rows per task.
+    """
+
+    def tag(side: int, idname: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            idc = batch[left_id if side == 0 else right_id]
+            by = batch[by_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "_id": idc.cast(pa.int64()),
+                    by_col: pa.array(by),
+                    "_h": pa.array(
+                        (by.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                        % np.uint64(num_partitions)
+                    ).cast(pa.int64()),
+                    "tus": pa.array(_epoch_us(batch[ts_col])),
+                    "_side": pa.array(np.full(len(by), side, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("id_l", by_col, "tus_l", "id_r", "tus_r", "lag_us")
+        lefts = g[g["_side"] == 0]
+        rights = g[g["_side"] == 1]
+        if lefts.empty or rights.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        # deterministic tie-break: one right row per (by, tus) — max id
+        r = (
+            rights.sort_values([by_col, "tus", "_id"], kind="mergesort")
+            .groupby([by_col, "tus"], as_index=False)
+            .last()
+        )
+        lf = lefts.sort_values("tus", kind="mergesort")
+        r = r.sort_values("tus", kind="mergesort")
+        m = pd.merge_asof(
+            lf[["_id", by_col, "tus"]],
+            r[["_id", by_col, "tus"]],
+            on="tus",
+            by=by_col,
+            direction="backward",
+            allow_exact_matches=True,
+            suffixes=("_l", "_r"),
+        )
+        m = m.dropna(subset=["_id_r"])
+        out = pd.DataFrame(
+            {
+                "id_l": m["_id_l"].to_numpy(dtype=np.int64),
+                by_col: m[by_col].to_numpy(dtype=np.int64),
+                "tus_l": m["tus"].to_numpy(dtype=np.int64),
+                "id_r": m["_id_r"].to_numpy(dtype=np.int64),
+            }
+        )
+        tr = r.set_index("_id")["tus"]
+        out["tus_r"] = tr.loc[out["id_r"]].to_numpy(dtype=np.int64)
+        out["lag_us"] = out["tus_l"] - out["tus_r"]
+        return out
+
+    both = left_ds.map_batches(tag(0, left_id), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1, right_id), batch_format="pyarrow")
+    )
+    return both.groupby("_h").map_groups(join_partition, batch_format="pandas")
+
+
 def sessionize_stats(
     ds,
     gap_s: int,

@@ -354,3 +354,42 @@ def test_tumbling_window_invariant_to_parallelism(ray_session, sf_dir):
         outs.append(df)
     assert outs[0].equals(outs[1]) and len(outs[0]) > 10
     assert int(outs[0]["n_events"].sum()) == rd.read_parquet(path).count()
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    """Hash-bucketed merge_asof == an O(L*R) per-row scan, including
+    right-timestamp ties (max id wins) and exact-equality matches."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.windows import as_of_join
+
+    rng = np.random.default_rng(23)
+    nl, nr = 800, 600
+    # coarse grid forces many exact ts collisions on both sides
+    def mk(n, base):
+        return {
+            "event_id": np.arange(base, base + n, dtype=np.int64),
+            "uid": rng.integers(0, 25, n).astype(np.int64),
+            "tus": rng.integers(0, 50, n).astype(np.int64) * 1_000_000,
+        }
+
+    L, R = mk(nl, 0), mk(nr, 10_000)
+
+    def ds_of(d):
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array(d["event_id"]),
+            "ts": pa.array(d["tus"].view("datetime64[us]")),
+            "user_id": pa.array(d["uid"]),
+        }))
+
+    out = as_of_join(ds_of(L), ds_of(R), num_partitions=5).to_pandas()
+    got = set(zip(out.id_l, out.id_r, out.lag_us))
+
+    exp = set()
+    for i in range(nl):
+        mask = (R["uid"] == L["uid"][i]) & (R["tus"] <= L["tus"][i])
+        if mask.any():
+            best_t = R["tus"][mask].max()
+            best_id = R["event_id"][mask & (R["tus"] == best_t)].max()
+            exp.add((L["event_id"][i], best_id, int(L["tus"][i] - best_t)))
+    assert got == exp and len(exp) > 400
