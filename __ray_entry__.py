@@ -407,6 +407,18 @@ def _q_asof_join(sf_dir: str):
     return as_of_join(clicks, views)
 
 
+def _q_kmv_distinct(sf_dir: str):
+    """KMV bottom-k distinct-count sketch: approximate distinct users per
+    event_type — the mergeable-sketch member of the engine-level family
+    (map partials bounded by groups x k, independent of event count)."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.sketch import kmv_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return kmv_distinct(ds, key_col="user_id", group_col="event_type", k=64)
+
+
 def _q_embed_near_dup(sf_dir: str):
     """Exact all-pairs embedding near-dup (cosine >= tau) via the
     block-pair matmul decomposition — the embedding-space member of the
@@ -1185,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "session_stats": _q_session_stats,
         "asof_join": _q_asof_join,
+        "kmv_distinct": _q_kmv_distinct,
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
@@ -1642,6 +1655,32 @@ SELECT user_id, sess_idx, count(*) AS n_events,
        sum(vc) AS value_cents
 FROM s
 GROUP BY 1, 2
+""",
+        # the KMV sketch replayed verbatim: same Knuth 32-bit hash, same
+        # bottom-k, same integer estimator ((k-1)*2^32 // kth) — exact
+        # when fewer than k distinct hashes exist
+        "kmv_distinct": """
+WITH h AS (
+  SELECT DISTINCT event_type, (user_id * 2654435761) % 4294967296 AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+stats AS (
+  SELECT event_type,
+         count(*) FILTER (WHERE rn <= 64) AS n_hashes,
+         max(CASE WHEN rn = 64 THEN hv END) AS kth0
+  FROM ranked GROUP BY 1
+)
+SELECT event_type,
+       CASE WHEN n_hashes < 64 THEN n_hashes
+            ELSE (63 * 4294967296) // kth0 END AS est_distinct,
+       n_hashes,
+       COALESCE(kth0, 0) AS kth_hash
+FROM stats
 """,
         # DuckDB's native ASOF JOIN is the oracle; the right side is
         # pre-deduped to one row per (user, tus) keeping max id — the same

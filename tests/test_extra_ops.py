@@ -602,3 +602,31 @@ def test_winnow_fingerprints_matches_reference():
         if len(t) >= 15:  # k + w - 1
             exp |= {(i, p, g) for p, g in slow(t)}
     assert got == exp and len(exp) > 100
+
+
+def test_kmv_sketch_parallelism_invariant_and_accurate(ray_session):
+    """KMV bottom-k merge is exact (same sketch at any block split) and
+    the estimator lands near truth on a 20k-cardinality group."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.sketch import kmv_distinct
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 20000, 60000).astype(np.int64)  # ~19k distinct
+    truth = len(np.unique(keys))
+    grp = np.where(keys % 2 == 0, "even", "odd")
+    tbl = pa.table({"user_id": pa.array(keys), "event_type": pa.array(grp)})
+    outs = []
+    for nb in (1, 13):
+        ds = rd.from_arrow(tbl).repartition(nb)
+        df = (
+            kmv_distinct(ds, "user_id", "event_type", k=64)
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    est = int(outs[0]["est_distinct"].sum())
+    assert abs(est - truth) / truth < 0.25
