@@ -419,6 +419,17 @@ def _q_kmv_distinct(sf_dir: str):
     return kmv_distinct(ds, key_col="user_id", group_col="event_type", k=64)
 
 
+def _q_sample_per_lang(sf_dir: str):
+    """Deterministic per-language bottom-k sample of documents (hash-order
+    sampling — reproducible at any parallelism, replayable in SQL)."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.sketch import bottom_k_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return bottom_k_sample(ds, id_col="doc_id", group_col="lang", n=20)
+
+
 def _q_embed_near_dup(sf_dir: str):
     """Exact all-pairs embedding near-dup (cosine >= tau) via the
     block-pair matmul decomposition — the embedding-space member of the
@@ -1198,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": _q_session_stats,
         "asof_join": _q_asof_join,
         "kmv_distinct": _q_kmv_distinct,
+        "sample_per_lang": _q_sample_per_lang,
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
@@ -1655,6 +1667,19 @@ SELECT user_id, sess_idx, count(*) AS n_events,
        sum(vc) AS value_cents
 FROM s
 GROUP BY 1, 2
+""",
+        # hash-order sampling replayed with a window rank over the same
+        # Knuth hash; doc_id tie-break mirrors the engine's sort
+        "sample_per_lang": """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, rn - 1 AS sample_rank FROM ranked WHERE rn <= 20
 """,
         # the KMV sketch replayed verbatim: same Knuth 32-bit hash, same
         # bottom-k, same integer estimator ((k-1)*2^32 // kth) — exact

@@ -75,3 +75,48 @@ def kmv_distinct(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(group_col).map_groups(merge, batch_format="pandas")
+
+
+def bottom_k_sample(
+    ds,
+    id_col: str,
+    group_col: str,
+    n: int,
+    salt: int = 0,
+):
+    """Deterministic per-group sample of n rows: the n rows whose hashed
+    ids are smallest (hash-order / bottom-k sampling).  Unlike
+    random_shuffle + limit, the sample is a pure function of the data —
+    reproducible across runs, parallelism levels, and engines (the SQL
+    oracle replays it with a window rank) — and composable: the same
+    rows are picked no matter how the input is partitioned.
+
+    Distributed shape: per-batch local bottom-n partials (shuffle carries
+    <= groups x n x tasks rows), then a per-group exact merge.  ``salt``
+    varies the sample between runs when wanted while staying
+    deterministic for a given value.
+
+    Output: all of ds's columns for the sampled rows, plus sample_rank
+    (0-based hash-order rank within the group).
+    """
+
+    def _hash(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.int64) + np.int64(salt)) * np.int64(KMV_MULT)) % np.int64(
+            KMV_MOD
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_hv"] = _hash(batch[id_col].to_numpy(zero_copy_only=False))
+        df = df.sort_values([group_col, "_hv", id_col], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(group_col, as_index=False).head(n), preserve_index=False
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["_hv", id_col], kind="mergesort").head(n)
+        df = df.assign(sample_rank=np.arange(len(df), dtype=np.int64))
+        return df.drop(columns=["_hv"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(group_col).map_groups(merge, batch_format="pandas")

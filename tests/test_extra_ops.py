@@ -630,3 +630,35 @@ def test_kmv_sketch_parallelism_invariant_and_accurate(ray_session):
     assert outs[0].equals(outs[1])
     est = int(outs[0]["est_distinct"].sum())
     assert abs(est - truth) / truth < 0.25
+
+
+def test_bottom_k_sample_invariant_and_unbiased_shape(ray_session):
+    """Sample is identical at any block split, ranks are dense per group,
+    and a different salt picks a (mostly) different sample."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.sketch import bottom_k_sample
+
+    ids = np.arange(5000, dtype=np.int64)
+    grp = np.array(["a", "b", "c"])[ids % 3]
+    tbl = pa.table({"doc_id": pa.array(ids), "lang": pa.array(grp)})
+
+    def run(nb, salt=0):
+        ds = rd.from_arrow(tbl).repartition(nb)
+        return (
+            bottom_k_sample(ds, "doc_id", "lang", n=25, salt=salt)
+            .to_pandas()
+            .sort_values(["lang", "sample_rank"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(1), run(17)
+    assert a.equals(b)
+    assert len(a) == 75
+    assert (a.groupby("lang")["sample_rank"].apply(
+        lambda s: (s.to_numpy() == np.arange(len(s))).all()
+    )).all()
+    other = run(5, salt=99)
+    overlap = len(set(a.doc_id) & set(other.doc_id))
+    assert overlap < 20  # different salt ~ different sample
