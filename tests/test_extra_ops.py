@@ -662,3 +662,17 @@ def test_bottom_k_sample_invariant_and_unbiased_shape(ray_session):
     other = run(5, salt=99)
     overlap = len(set(a.doc_id) & set(other.doc_id))
     assert overlap < 20  # different salt ~ different sample
+
+
+def test_public_facade_exports_resolve():
+    """Every name in the package façade resolves and the kernel works
+    through it (a reference user's import surface)."""
+    import nettopologysuite_ray as nts
+
+    for name in nts.__all__:
+        assert getattr(nts, name) is not None
+    from nettopologysuite_ray.geom import algorithms as alg
+
+    g = nts.from_wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert nts.intersects(g, nts.from_wkt("POINT(5 5)"))
+    assert abs(alg.area(nts.overlay(g, g, "intersection")) - 100.0) < 1e-9
