@@ -378,6 +378,19 @@ def _q_tumbling_window(sf_dir: str):
     return tumbling_window_agg(ds, width_s=21600)
 
 
+def _q_hopping_window(sf_dir: str):
+    """Hopping-window rollup (1h window, 15min slide): each event counted
+    in exactly 4 overlapping windows."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.windows import hopping_window_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return hopping_window_agg(ds, width_s=3600, slide_s=900)
+
+
 def _q_session_stats(sf_dir: str):
     """Gap-based sessionization (30 min) of the events stream per user —
     hash-bucketed users, one vectorized pass per bucket."""
@@ -1206,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": _q_embed_near_dup,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "tumbling_window": _q_tumbling_window,
+        "hopping_window": _q_hopping_window,
         "session_stats": _q_session_stats,
         "asof_join": _q_asof_join,
         "kmv_distinct": _q_kmv_distinct,
@@ -1642,6 +1656,17 @@ SELECT epoch_us(ts) // 21600000000 * 21600 AS window_start,
        sum(CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
            * CASE WHEN value < 0 THEN -1 ELSE 1 END) AS value_cents
 FROM events
+GROUP BY 1, 2
+""",
+        # hopping windows: every event joins the 4 slide offsets that
+        # cover it (epoch-aligned, so no range filter is needed)
+        "hopping_window": """
+SELECT (epoch_us(ts) // 900000000 - off) * 900 AS window_start,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
+           * CASE WHEN value < 0 THEN -1 ELSE 1 END) AS value_cents
+FROM events, (SELECT unnest(range(0, 4)) AS off) o
 GROUP BY 1, 2
 """,
         # sessionization reproduced verbatim: per-user lag gap breaks,

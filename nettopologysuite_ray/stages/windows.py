@@ -88,6 +88,59 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    ds,
+    width_s: int,
+    slide_s: int,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    shuffle_partitions: int = 32,
+):
+    """Hopping (sliding) window rollup: windows of ``width_s`` starting
+    every ``slide_s`` (width must be a multiple of slide).  Each event is
+    multiplexed into exactly width/slide windows — epoch-aligned, so
+    w = (floor(t/slide) - off) * slide for off in [0, k) always satisfies
+    w <= t < w + width with no filter.  Same map-side combiner shape as
+    the tumbling window; shuffle volume scales with k, not event count.
+    """
+    if width_s % slide_s:
+        raise ValueError("width_s must be a multiple of slide_s")
+    k = width_s // slide_s
+    slide_us = slide_s * US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tus = _epoch_us(batch[ts_col])
+        base = tus // slide_us  # slide index containing t
+        off = np.tile(np.arange(k, dtype=np.int64), len(tus))
+        win = (np.repeat(base, k) - off) * np.int64(slide_s)
+        df = pd.DataFrame(
+            {
+                "window_start": win,
+                key_col: np.repeat(
+                    np.asarray(batch[key_col].to_pylist(), dtype=object), k
+                ),
+                "vc": np.repeat(_value_cents(batch[value_col]), k),
+            }
+        )
+        g = df.groupby(["window_start", key_col], as_index=False).agg(
+            n_events=("vc", "size"), value_cents=("vc", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        partials.repartition(shuffle_partitions)
+        .groupby(["window_start", key_col])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
 def as_of_join(
     left_ds,
     right_ds,

@@ -393,3 +393,32 @@ def test_asof_join_matches_bruteforce(ray_session):
             best_id = R["event_id"][mask & (R["tus"] == best_t)].max()
             exp.add((L["event_id"][i], best_id, int(L["tus"][i] - best_t)))
     assert got == exp and len(exp) > 400
+
+
+def test_hopping_window_covers_each_event_k_times(ray_session, sf_dir):
+    """Every event lands in exactly width/slide hopping windows, and the
+    hopping rollup at slide == width degenerates to the tumbling rollup."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.windows import (
+        hopping_window_agg,
+        tumbling_window_agg,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    n = rd.read_parquet(path).count()
+    hop = hopping_window_agg(
+        rd.read_parquet(path, columns=["ts", "event_type", "value"]),
+        width_s=3600, slide_s=900,
+    ).to_pandas()
+    assert int(hop["n_events"].sum()) == 4 * n
+
+    a = hopping_window_agg(
+        rd.read_parquet(path, columns=["ts", "event_type", "value"]),
+        width_s=3600, slide_s=3600,
+    ).to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    b = tumbling_window_agg(
+        rd.read_parquet(path, columns=["ts", "event_type", "value"]),
+        width_s=3600,
+    ).to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    assert a.equals(b)
