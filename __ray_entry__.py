@@ -420,6 +420,18 @@ def _q_asof_join(sf_dir: str):
     return as_of_join(clicks, views)
 
 
+def _q_value_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of event value per event_type — count-based
+    distributed quantiles over the integer-cents domain (no global
+    sort)."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.relational import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantiles(ds, value_col="value", group_col="event_type")
+
+
 def _q_kmv_distinct(sf_dir: str):
     """KMV bottom-k distinct-count sketch: approximate distinct users per
     event_type — the mergeable-sketch member of the engine-level family
@@ -1224,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "kmv_distinct": _q_kmv_distinct,
         "sample_per_lang": _q_sample_per_lang,
+        "value_quantiles": _q_value_quantiles,
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
@@ -1691,6 +1704,28 @@ SELECT user_id, sess_idx, count(*) AS n_events,
        min(tus) AS ts_start_us, max(tus) AS ts_end_us,
        sum(vc) AS value_cents
 FROM s
+GROUP BY 1, 2
+""",
+        # discrete lower quantile at 1-based rank ceil(q*n/100), replayed
+        # with a cumulative-sum window over per-value counts
+        "value_quantiles": """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
+           * CASE WHEN value < 0 THEN -1 ELSE 1 END AS vc,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, vc,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY vc
+                        ROWS UNBOUNDED PRECEDING) AS cumn,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+qs AS (SELECT unnest([50, 90, 99]) AS q_pct)
+SELECT cum.event_type, qs.q_pct, min(cum.vc) AS quantile_cents
+FROM cum JOIN qs ON cum.cumn >= (qs.q_pct * cum.n + 99) // 100
 GROUP BY 1, 2
 """,
         # hash-order sampling replayed with a window rank over the same

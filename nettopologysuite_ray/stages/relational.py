@@ -144,3 +144,56 @@ def grouped_min_max_count(ds, keys, col):
         Min("_mn", alias_name="min_" + col),
         Max("_mx", alias_name="max_" + col),
     )
+
+
+def grouped_quantiles(
+    ds,
+    value_col: str,
+    group_col: str,
+    q_pcts=(50, 90, 99),
+    scale: int = 100,
+):
+    """Exact distributed quantiles over a quantized (money-like) value
+    domain — no global sort.  Map-side partial: (group, value_cents,
+    count) rows, so the exchange is bounded by each task's DISTINCT
+    values (the quantized-domain assumption; for unbounded real domains
+    use a sketch instead).  Per-group merge re-aggregates counts, sorts
+    the (small) distinct-value list and reads each quantile at 1-based
+    rank ceil(q * n / 100) — the "discrete lower quantile" definition a
+    SQL oracle can replay with a cumulative-sum window.
+
+    Output rows: (group_col, q_pct int64, quantile_cents int64).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                group_col: batch[group_col].to_pylist(),
+                "vc": to_cents(batch[value_col], scale).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby([group_col, "vc"], as_index=False).agg(cnt=("vc", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby([group_col, "vc"], as_index=False)["cnt"].sum()
+        out = []
+        for grp, sub in agg.groupby(group_col):
+            sub = sub.sort_values("vc", kind="mergesort")
+            vals = sub["vc"].to_numpy()
+            cum = np.cumsum(sub["cnt"].to_numpy())
+            n = int(cum[-1])
+            for q in q_pcts:
+                rank = (q * n + 99) // 100  # ceil(q*n/100), 1-based
+                idx = int(np.searchsorted(cum, rank, side="left"))
+                out.append(
+                    {
+                        group_col: grp,
+                        "q_pct": np.int64(q),
+                        "quantile_cents": np.int64(vals[idx]),
+                    }
+                )
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(group_col).map_groups(merge, batch_format="pandas")

@@ -676,3 +676,38 @@ def test_public_facade_exports_resolve():
     g = nts.from_wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
     assert nts.intersects(g, nts.from_wkt("POINT(5 5)"))
     assert abs(alg.area(nts.overlay(g, g, "intersection")) - 100.0) < 1e-9
+
+
+def test_grouped_quantiles_matches_numpy_and_is_split_invariant(ray_session):
+    """Count-based quantiles == rank ceil(q*n/100) in the fully sorted
+    array, at any block split, including heavy ties."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.relational import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    vals = np.round(rng.gamma(2.0, 10.0, n), 2)
+    vals[rng.integers(0, n, 5000)] = 7.77  # tie block
+    grp = np.array(["x", "y"])[rng.integers(0, 2, n)]
+    tbl = pa.table({"event_type": pa.array(grp), "value": pa.array(vals)})
+    outs = []
+    for nb in (1, 19):
+        df = (
+            grouped_quantiles(rd.from_arrow(tbl).repartition(nb), "value", "event_type")
+            .to_pandas()
+            .sort_values(["event_type", "q_pct"])
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    cents = np.round(vals * 100).astype(np.int64)
+    for g in ("x", "y"):
+        s = np.sort(cents[grp == g])
+        for q in (50, 90, 99):
+            exp = s[(q * len(s) + 99) // 100 - 1]
+            got = outs[0].query(f"event_type == '{g}' and q_pct == {q}")[
+                "quantile_cents"
+            ].iloc[0]
+            assert got == exp, (g, q, got, exp)
