@@ -432,6 +432,28 @@ def _q_value_quantiles(sf_dir: str):
     return grouped_quantiles(ds, value_col="value", group_col="event_type")
 
 
+def _q_split_assign(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test split of documents by id hash
+    — map-only, reproducible across runs/engines/parallelism."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.sketch import hash_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(ds, id_col="doc_id")
+
+
+def _q_top_tokens(sf_dir: str):
+    """Global top-50 tokens by frequency (vocabulary head) — map-side
+    combined counts, vocabulary-bounded shuffle, pruned exact top-k."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.text import top_tokens
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return top_tokens(ds, k=50)
+
+
 def _q_kmv_distinct(sf_dir: str):
     """KMV bottom-k distinct-count sketch: approximate distinct users per
     event_type — the mergeable-sketch member of the engine-level family
@@ -1237,6 +1259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": _q_kmv_distinct,
         "sample_per_lang": _q_sample_per_lang,
         "value_quantiles": _q_value_quantiles,
+        "split_assign": _q_split_assign,
+        "top_tokens": _q_top_tokens,
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
@@ -1705,6 +1729,25 @@ SELECT user_id, sess_idx, count(*) AS n_events,
        sum(vc) AS value_cents
 FROM s
 GROUP BY 1, 2
+""",
+        # split thresholds are floor(cumfrac * 2^32): 0.90 -> 3865470566,
+        # 0.95 -> 4080218931 (same Knuth hash as the sketches)
+        "split_assign": """
+SELECT doc_id,
+       CASE WHEN hv < 3865470566 THEN 'train'
+            WHEN hv < 4080218931 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hv FROM documents)
+""",
+        # same tokenizer: lowercase, whitespace runs, empties dropped;
+        # ties token-ascending
+        "top_tokens": """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1),
+r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) - 1 AS rank FROM c)
+SELECT token, n, rank FROM r WHERE rank < 50
 """,
         # discrete lower quantile at 1-based rank ceil(q*n/100), replayed
         # with a cumulative-sum window over per-value counts

@@ -120,3 +120,37 @@ def bottom_k_sample(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(group_col).map_groups(merge, batch_format="pandas")
+
+
+def hash_split(
+    ds,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: int = 0,
+):
+    """Deterministic train/val/test split: each row's bucket is a pure
+    function of its id (same Knuth hash as the sketches), so the split is
+    reproducible across runs, engines and parallelism, and disjoint by
+    construction.  Map-only — no shuffle.
+
+    fractions: ordered {name: fraction} summing to 1.0 (default
+    90/5/5 train/val/test).  Output: input columns + ``split`` (string).
+    """
+    if fractions is None:
+        fractions = {"train": 0.90, "val": 0.05, "test": 0.05}
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    if abs(cum[-1] - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1.0")
+    bounds = np.minimum((cum * KMV_MOD).astype(np.int64), KMV_MOD)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hv = ((ids.astype(np.int64) + np.int64(salt)) * np.int64(KMV_MULT)) % np.int64(
+            KMV_MOD
+        )
+        idx = np.searchsorted(bounds, hv, side="right")
+        split = np.asarray(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

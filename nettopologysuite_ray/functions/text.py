@@ -311,3 +311,47 @@ def winnow_fingerprints_batch(
             "gram_hash": pa.array(g, type=pa.int64()),
         }
     )
+
+
+def top_tokens(ds, k: int = 50, text_col: str = "text", id_col: str = "doc_id"):
+    """Global top-k tokens by frequency (vocabulary head): lowercase,
+    whitespace-split token counts combined map-side (the shuffle carries
+    one (token, partial-count) row per task per distinct token — bounded
+    by vocabulary, not corpus size), summed per token, then a pruned
+    exact top-k sort.  Ties broken token-ascending; rank is 0-based.
+
+    Output: token (string), n (int64), rank (int64).
+    """
+    import pandas as pd
+
+    from ..stages.relational import top_k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for t in batch[text_col].to_pylist():
+            for tok in t.lower().split():
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), type=pa.string()),
+                "n": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = top_k(summed, ["n", "token"], k, descending=[True, False])
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort"
+        )
+        df["rank"] = np.arange(len(df), dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return top.repartition(1).map_batches(add_rank, batch_format="pyarrow")

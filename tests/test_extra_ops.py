@@ -711,3 +711,46 @@ def test_grouped_quantiles_matches_numpy_and_is_split_invariant(ray_session):
                 "quantile_cents"
             ].iloc[0]
             assert got == exp, (g, q, got, exp)
+
+
+def test_hash_split_deterministic_and_proportional(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.sketch import hash_split
+
+    ids = np.arange(50000, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids)})
+    outs = []
+    for nb in (1, 11):
+        df = (
+            hash_split(rd.from_arrow(tbl).repartition(nb), "doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    frac = outs[0]["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.90) < 0.01
+    assert abs(frac["val"] - 0.05) < 0.005
+    assert abs(frac["test"] - 0.05) < 0.005
+
+
+def test_top_tokens_matches_local_counter(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+    from collections import Counter
+
+    from nettopologysuite_ray.functions.text import top_tokens
+
+    path = f"{sf_dir}/documents.parquet"
+    out = top_tokens(
+        rd.read_parquet(path, columns=["doc_id", "text"]), k=30
+    ).to_pandas()
+    texts = duckdb.sql(f"select text from '{path}'").df()["text"]
+    c = Counter(tok for t in texts for tok in t.lower().split())
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = list(zip(out["token"], out["n"]))
+    assert got == exp
+    assert out["rank"].tolist() == list(range(30))
