@@ -65,8 +65,10 @@ _EXPORTS = {
     "grouped_topk_min": "stages.tiling",
     "salt_hot_cells": "stages.tiling",
     "tumbling_window_agg": "stages.windows",
+    "hopping_window_agg": "stages.windows",
     "sessionize_stats": "stages.windows",
     "as_of_join": "stages.windows",
+    "grouped_quantiles": "stages.relational",
     "scalar_stage": "stages.geometry",
     "geometry_stage": "stages.geometry",
     # web-text functions
@@ -88,6 +90,8 @@ _EXPORTS = {
     "embed_near_dup": "functions.embed",
     "kmv_distinct": "functions.sketch",
     "bottom_k_sample": "functions.sketch",
+    "hash_split": "functions.sketch",
+    "top_tokens": "functions.text",
     # sources / state
     "shard_map_parquet": "sources.shards",
 }
