@@ -454,6 +454,18 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(ds, k=50)
 
 
+def _q_tfidf_terms(sf_dir: str):
+    """Top-5 characteristic terms per document by exact-integer tf-idf
+    ranking (tf/(df+1), no floating log) — DF via a vocabulary-bounded
+    groupby, tf joined back by token-hash shuffle."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.text import tfidf_top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=5)
+
+
 def _q_kmv_distinct(sf_dir: str):
     """KMV bottom-k distinct-count sketch: approximate distinct users per
     event_type — the mergeable-sketch member of the engine-level family
@@ -1261,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "split_assign": _q_split_assign,
         "top_tokens": _q_top_tokens,
+        "tfidf_terms": _q_tfidf_terms,
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
@@ -1738,6 +1751,28 @@ SELECT doc_id,
             WHEN hv < 4080218931 THEN 'val'
             ELSE 'test' END AS split
 FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hv FROM documents)
+""",
+        # integer tf-idf rank replay: same tokenizer, score
+        # tf*1e6 // (df+1), token-ascending tie-break
+        "tfidf_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * 1000000 // (df.df + 1) AS score_1e6,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * 1000000 // (df.df + 1) DESC, tf.token
+         ) - 1 AS rank
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, df, score_1e6, rank FROM scored WHERE rank < 5
 """,
         # same tokenizer: lowercase, whitespace runs, empties dropped;
         # ties token-ascending

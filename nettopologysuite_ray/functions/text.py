@@ -355,3 +355,77 @@ def top_tokens(ds, k: int = 50, text_col: str = "text", id_col: str = "doc_id"):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return top.repartition(1).map_batches(add_rank, batch_format="pyarrow")
+
+
+def tfidf_top_terms(
+    ds,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+):
+    """Top-k characteristic terms per document by a tf-idf-style weight.
+
+    Weight = tf / (df + 1), compared exactly via the integer score
+    tf * 1e6 // (df + 1) with token-ascending tie-break — no floating
+    log, so ranking is bit-deterministic and SQL-replayable.  Distributed
+    shape: per-doc term frequencies map-side; document frequencies via a
+    vocabulary-bounded groupby; tf joined back to df with a token-hash
+    shuffle join (broadcast df instead when the vocabulary fits memory);
+    per-doc top-k by hash-bucketed vectorized sort.
+
+    Output: doc_id, token, tf, df, score_1e6, rank (0-based).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for i, t in zip(
+            batch[id_col].to_numpy(zero_copy_only=False).tolist(),
+            batch[text_col].to_pylist(),
+        ):
+            c: dict = {}
+            for tok in t.lower().split():
+                c[tok] = c.get(tok, 0) + 1
+            ids.extend([i] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "token": pa.array(toks, type=pa.string()),
+                "tf": pa.array(tfs, type=pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    df_ds = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = tf.join(df_ds, "inner", num_partitions, on=("token",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy(zero_copy_only=False)
+        dfv = batch["df"].to_numpy(zero_copy_only=False)
+        s = tfv * np.int64(1_000_000) // (dfv + np.int64(1))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out = batch.append_column("score_1e6", pa.array(s, type=pa.int64()))
+        return out.append_column(
+            "_h", pa.array(ids % np.int64(num_partitions), type=pa.int64())
+        )
+
+    def topk_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [id_col, "score_1e6", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.groupby(id_col, as_index=False).head(k)
+        g["rank"] = g.groupby(id_col).cumcount()
+        return g.drop(columns=["_h"])
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(topk_per_doc, batch_format="pandas")
+    )

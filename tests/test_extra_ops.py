@@ -754,3 +754,48 @@ def test_top_tokens_matches_local_counter(ray_session, sf_dir):
     got = list(zip(out["token"], out["n"]))
     assert got == exp
     assert out["rank"].tolist() == list(range(30))
+
+
+def test_tfidf_top_terms_matches_local(ray_session, sf_dir):
+    """Distributed tf-idf ranking == a local pandas replay (same integer
+    score and tie-break), at two parallelism levels."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+    from collections import Counter
+
+    from nettopologysuite_ray.functions.text import tfidf_top_terms
+
+    path = f"{sf_dir}/documents.parquet"
+    outs = []
+    for nb in (1, 8):
+        ds = rd.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=nb)
+        df = (
+            tfidf_top_terms(ds, k=5)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+
+    docs = duckdb.sql(f"select doc_id, text from '{path}'").df()
+    rows = []
+    dfc: Counter = Counter()
+    tfs = {}
+    for _, r in docs.iterrows():
+        c = Counter(r.text.lower().split())
+        tfs[r.doc_id] = c
+        dfc.update(c.keys())
+    for did, c in tfs.items():
+        scored = sorted(
+            ((tok, tf, dfc[tok], tf * 1_000_000 // (dfc[tok] + 1)) for tok, tf in c.items()),
+            key=lambda x: (-x[3], x[0]),
+        )[:5]
+        for rk, (tok, tf, dfv, s) in enumerate(scored):
+            rows.append((did, tok, tf, dfv, s, rk))
+    exp = pd.DataFrame(
+        rows, columns=["doc_id", "token", "tf", "df", "score_1e6", "rank"]
+    ).sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    got = outs[0][["doc_id", "token", "tf", "df", "score_1e6", "rank"]]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
