@@ -92,6 +92,7 @@ _EXPORTS = {
     "bottom_k_sample": "functions.sketch",
     "hash_split": "functions.sketch",
     "top_tokens": "functions.text",
+    "tfidf_top_terms": "functions.text",
     # sources / state
     "shard_map_parquet": "sources.shards",
 }

@@ -105,9 +105,17 @@ def main() -> None:
 
     import ray
 
+    ncpus = 32
+    if "--cpus" in sys.argv:
+        # honest small-cluster emulation (same policy as bench.py
+        # --scaling): pin the whole Ray session to that many physical
+        # cores so fractional-cpu tasks cannot borrow the full machine
+        ncpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        os.sched_setaffinity(0, set(range(ncpus)))
     if not ray.is_initialized():
         ray.init(
-            address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR"
+            address="local", num_cpus=ncpus, include_dashboard=False,
+            logging_level="ERROR",
         )
     from ray.data import DataContext
 
