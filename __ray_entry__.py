@@ -466,6 +466,49 @@ def _q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(ds, k=5)
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII redaction (emails, IPv4s) over documents with deterministic
+    PII injected per doc_id so the redaction path is actually exercised;
+    compiled-regex actor pool, md5 of the redacted text for compact
+    value comparison."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.text import PIIRedactor
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        out = [
+            f"{t} contact doc{i}@example.com from 10.0.{(i // 256) % 256}.{i % 256}"
+            for i, t in zip(ids.tolist(), texts)
+        ]
+        return b.set_column(
+            b.schema.get_field_index("text"), "text", pa.array(out, type=pa.string())
+        )
+
+    red = ds.map_batches(inject, batch_format="pyarrow").map_batches(
+        PIIRedactor, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def digest(b: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_emails": b["n_emails"],
+                "n_ips": b["n_ips"],
+                "red_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+    return red.map_batches(digest, batch_format="pyarrow")
+
+
 def _q_kmv_distinct(sf_dir: str):
     """KMV bottom-k distinct-count sketch: approximate distinct users per
     event_type — the mergeable-sketch member of the engine-level family
@@ -1274,6 +1317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "top_tokens": _q_top_tokens,
         "tfidf_terms": _q_tfidf_terms,
+        "pii_redact": _q_pii_redact,
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
@@ -1751,6 +1795,26 @@ SELECT doc_id,
             WHEN hv < 4080218931 THEN 'val'
             ELSE 'test' END AS split
 FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hv FROM documents)
+""",
+        # same RE2-safe patterns, same order (emails first, then IPv4),
+        # md5 of the redacted text compared directly
+        "pii_redact": r"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact doc' || doc_id || '@example.com from 10.0.'
+              || (doc_id // 256) % 256 || '.' || doc_id % 256 AS t
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM p
+)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       md5(regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS red_md5
+FROM r
 """,
         # integer tf-idf rank replay: same tokenizer, score
         # tf*1e6 // (df+1), token-ascending tie-break

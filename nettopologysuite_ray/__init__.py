@@ -93,6 +93,7 @@ _EXPORTS = {
     "hash_split": "functions.sketch",
     "top_tokens": "functions.text",
     "tfidf_top_terms": "functions.text",
+    "PIIRedactor": "functions.text",
     # sources / state
     "shard_map_parquet": "sources.shards",
 }

@@ -429,3 +429,39 @@ def tfidf_top_terms(
         .groupby("_h")
         .map_groups(topk_per_doc, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (email / IPv4) — RE2-safe patterns so a SQL oracle can
+# replay the exact same substitutions
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+class PIIRedactor:
+    """Actor stage: redact emails then IPv4s (order fixed so results are
+    engine-independent).  Regexes compile ONCE per actor in __init__ —
+    the stateful map_batches pattern.  Adds n_emails / n_ips counts and
+    replaces the text column with the redacted version.
+    """
+
+    def __init__(self, col: str = "text"):
+        import re
+
+        self.col = col
+        self.email = re.compile(PII_EMAIL)
+        self.ipv4 = re.compile(PII_IPV4)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        red, ne, ni = [], [], []
+        for t in texts:
+            ne.append(len(self.email.findall(t)))
+            t = self.email.sub("<EMAIL>", t)
+            ni.append(len(self.ipv4.findall(t)))
+            red.append(self.ipv4.sub("<IP>", t))
+        i = batch.schema.get_field_index(self.col)
+        out = batch.set_column(i, self.col, pa.array(red, type=pa.string()))
+        out = out.append_column("n_emails", pa.array(ne, type=pa.int64()))
+        return out.append_column("n_ips", pa.array(ni, type=pa.int64()))

@@ -799,3 +799,27 @@ def test_tfidf_top_terms_matches_local(ray_session, sf_dir):
     ).sort_values(["doc_id", "rank"]).reset_index(drop=True)
     got = outs[0][["doc_id", "token", "tf", "df", "score_1e6", "rank"]]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pii_redactor_patterns():
+    """Email/IPv4 redaction on adversarial strings: adjacent PII, emails
+    containing digits/dots, IPs inside words (not matched), counts."""
+    import pyarrow as pa
+
+    from nettopologysuite_ray.functions.text import PIIRedactor
+
+    red = PIIRedactor()
+    texts = [
+        "mail a.b_c%d+e@sub.domain.co and 192.168.0.1 now",
+        "no pii here",
+        "two ips 10.0.0.1 1.2.3.4 and x9.9.9.9y edge",
+        "u1@a.bc u2@b.cd",
+    ]
+    out = red(pa.table({"text": texts}))
+    got = out["text"].to_pylist()
+    assert got[0] == "mail <EMAIL> and <IP> now"
+    assert got[1] == "no pii here"
+    assert got[2] == "two ips <IP> <IP> and x9.9.9.9y edge"
+    assert got[3] == "<EMAIL> <EMAIL>"
+    assert out["n_emails"].to_pylist() == [1, 0, 0, 2]
+    assert out["n_ips"].to_pylist() == [1, 0, 2, 0]
