@@ -1820,7 +1820,7 @@ FROM r
         # tf*1e6 // (df+1), token-ascending tie-break
         "tfidf_terms": """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[\\t\\n\\f\\r \\x0b]+')) AS token
   FROM documents
 ),
 tf AS (
@@ -1842,7 +1842,7 @@ SELECT doc_id, token, tf, df, score_1e6, rank FROM scored WHERE rank < 5
         # ties token-ascending
         "top_tokens": """
 WITH toks AS (
-  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents
+  SELECT unnest(string_split_regex(lower(text), '[\\t\\n\\f\\r \\x0b]+')) AS token FROM documents
 ),
 c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1),
 r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) - 1 AS rank FROM c)
@@ -1935,15 +1935,18 @@ WITH docs AS (
   SELECT doc_id, text FROM documents WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
 ),
 grams AS (
+  -- Horner's rule with mod 2^32 after every step: intermediates stay
+  -- under (2^32-1)*131 + 0x10FFFF < 2^40, so ANY Unicode code point is
+  -- safe (a flat sum-of-powers overflows BIGINT for code points >= ~14k)
   SELECT doc_id, p,
-    ( ascii(substr(text, p + 1, 1))::BIGINT * {131**7}
-    + ascii(substr(text, p + 2, 1))::BIGINT * {131**6}
-    + ascii(substr(text, p + 3, 1))::BIGINT * {131**5}
-    + ascii(substr(text, p + 4, 1))::BIGINT * {131**4}
-    + ascii(substr(text, p + 5, 1))::BIGINT * {131**3}
-    + ascii(substr(text, p + 6, 1))::BIGINT * {131**2}
-    + ascii(substr(text, p + 7, 1))::BIGINT * 131
-    + ascii(substr(text, p + 8, 1))::BIGINT ) % 4294967296 AS gram_hash
+    ((((((((((((((ascii(substr(text, p + 1, 1))::BIGINT
+      * 131 + ascii(substr(text, p + 2, 1))) % 4294967296)
+      * 131 + ascii(substr(text, p + 3, 1))) % 4294967296)
+      * 131 + ascii(substr(text, p + 4, 1))) % 4294967296)
+      * 131 + ascii(substr(text, p + 5, 1))) % 4294967296)
+      * 131 + ascii(substr(text, p + 6, 1))) % 4294967296)
+      * 131 + ascii(substr(text, p + 7, 1))) % 4294967296)
+      * 131 + ascii(substr(text, p + 8, 1))) % 4294967296) AS gram_hash
   FROM (SELECT doc_id, text, unnest(range(0, length(text) - {WINNOW_K} + 1)) AS p FROM docs)
 ),
 wins AS (

@@ -24,8 +24,12 @@ KMV_MULT = 2654435761
 KMV_MOD = 1 << 32
 
 
-def _kmv_hash(keys: np.ndarray) -> np.ndarray:
-    return (keys.astype(np.int64) * np.int64(KMV_MULT)) % np.int64(KMV_MOD)
+def _kmv_hash(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """The single Knuth-hash definition the sketch/sample/split family
+    shares — one copy, so engine and SQL-oracle replays cannot drift."""
+    return ((keys.astype(np.int64) + np.int64(salt)) * np.int64(KMV_MULT)) % np.int64(
+        KMV_MOD
+    )
 
 
 def kmv_distinct(
@@ -100,14 +104,9 @@ def bottom_k_sample(
     (0-based hash-order rank within the group).
     """
 
-    def _hash(ids: np.ndarray) -> np.ndarray:
-        return ((ids.astype(np.int64) + np.int64(salt)) * np.int64(KMV_MULT)) % np.int64(
-            KMV_MOD
-        )
-
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["_hv"] = _hash(batch[id_col].to_numpy(zero_copy_only=False))
+        df["_hv"] = _kmv_hash(batch[id_col].to_numpy(zero_copy_only=False), salt)
         df = df.sort_values([group_col, "_hv", id_col], kind="mergesort")
         return pa.Table.from_pandas(
             df.groupby(group_col, as_index=False).head(n), preserve_index=False
@@ -145,10 +144,7 @@ def hash_split(
     bounds = np.minimum((cum * KMV_MOD).astype(np.int64), KMV_MOD)
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        hv = ((ids.astype(np.int64) + np.int64(salt)) * np.int64(KMV_MULT)) % np.int64(
-            KMV_MOD
-        )
+        hv = _kmv_hash(batch[id_col].to_numpy(zero_copy_only=False), salt)
         idx = np.searchsorted(bounds, hv, side="right")
         split = np.asarray(names, dtype=object)[idx]
         return batch.append_column("split", pa.array(split, type=pa.string()))

@@ -20,6 +20,15 @@ _TEXT_NODE = re.compile(r">([^<>]+)<")
 _GEO = re.compile(r"@geo\((-?\d+\.\d{2}),(-?\d+\.\d{2})\)")
 _TOKEN = re.compile(r"\S+")
 _WORD = re.compile(r"[A-Za-z]+")
+# ASCII whitespace tokenizer ([ \t\n\r\f\v]): re.ASCII makes \s match
+# exactly the class the SQL oracles spell as '[\t\n\f\r \x0b]+' — plain
+# str.split() splits on UNICODE whitespace (nbsp etc.) and would diverge
+# from the RE2 replay
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def _tokens(text: str) -> list:
+    return [t for t in _WS_ASCII.split(text.lower()) if t]
 
 
 def extract_text(html: bytes) -> str:
@@ -257,8 +266,10 @@ def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 # ---------------------------------------------------------------------------
 # document fingerprinting: winnowing (rolling k-gram hash + window minimum)
 
-WINNOW_B = 131  # polynomial base: 131**7 * 255 * 8 < 2**63, so the SQL
-WINNOW_MOD = 1 << 32  # oracle's BIGINT sum never overflows before % 2**32
+WINNOW_B = 131  # polynomial base; the SQL oracle replays the hash with
+WINNOW_MOD = 1 << 32  # Horner's rule mod 2^32 per step, so ANY Unicode
+# code point is overflow-safe on both sides (engine: uint64 natural wrap
+# is exact mod 2^32 because 2^32 | 2^64)
 
 
 def winnow_fingerprints_batch(
@@ -329,7 +340,7 @@ def top_tokens(ds, k: int = 50, text_col: str = "text", id_col: str = "doc_id"):
     def partial(batch: pa.Table) -> pa.Table:
         counts: dict = {}
         for t in batch[text_col].to_pylist():
-            for tok in t.lower().split():
+            for tok in _tokens(t):
                 counts[tok] = counts.get(tok, 0) + 1
         return pa.table(
             {
@@ -387,7 +398,7 @@ def tfidf_top_terms(
             batch[text_col].to_pylist(),
         ):
             c: dict = {}
-            for tok in t.lower().split():
+            for tok in _tokens(t):
                 c[tok] = c.get(tok, 0) + 1
             ids.extend([i] * len(c))
             toks.extend(c.keys())
@@ -450,8 +461,10 @@ class PIIRedactor:
         import re
 
         self.col = col
-        self.email = re.compile(PII_EMAIL)
-        self.ipv4 = re.compile(PII_IPV4)
+        # re.ASCII: \b and \d in ASCII semantics, matching RE2 so the
+        # SQL oracle's regexp_replace replay is byte-identical
+        self.email = re.compile(PII_EMAIL, re.ASCII)
+        self.ipv4 = re.compile(PII_IPV4, re.ASCII)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.col].to_pylist()

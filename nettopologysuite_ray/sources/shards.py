@@ -81,16 +81,25 @@ def shard_map_parquet(
 
     def run_shard(batch: pa.Table) -> pa.Table:
         outs = []
+        first_pf = None
         for f, a, b in zip(
             batch["file"].to_pylist(),
             batch["rg_a"].to_pylist(),
             batch["rg_b"].to_pylist(),
         ):
             pf = pq.ParquetFile(f)
+            first_pf = first_pf or pf
             for rb in pf.iter_batches(
                 batch_size=read_batch_rows, row_groups=list(range(a, b)), columns=columns
             ):
                 outs.append(fn(pa.Table.from_batches([rb])))
+        if not outs:
+            # zero-row shard (e.g. an empty parquet file): derive the
+            # output schema by running fn on an empty input table
+            empty = first_pf.schema_arrow.empty_table()
+            if columns:
+                empty = empty.select(columns)
+            outs.append(fn(empty))
         return pa.concat_tables(outs)
 
     return rd.from_items(shards).map_batches(

@@ -24,8 +24,19 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def to_cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
-    """Exact integer cents from a 2-decimal double column."""
-    return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))), pa.int64())
+    """Exact integer cents from a 2-decimal double column.
+
+    round_mode half_towards_infinity == SQL round() (half away from
+    zero), so a value*scale landing exactly on .5 converts identically
+    in the engine and in every DuckDB oracle (pyarrow's default
+    half_to_even would diverge on ties)."""
+    return pc.cast(
+        pc.round(
+            pc.multiply(col, pa.scalar(float(scale))),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
 
 
 def broadcast_join_batch(batch: pa.Table, small_df: pd.DataFrame, key, how: str = "inner"):

@@ -44,6 +44,16 @@ def _value_cents(col: pa.ChunkedArray) -> np.ndarray:
     return np.sign(v).astype(np.int64) * np.floor(np.abs(v) * 100 + 0.5).astype(np.int64)
 
 
+def _bucket(ids: np.ndarray, n: int) -> np.ndarray:
+    """Deterministic hash bucket of int64 ids into [0, n) — the single
+    definition both sessionize and as-of use (golden-ratio multiply);
+    keeping one copy is what makes cross-operator co-location and oracle
+    replay stay byte-identical."""
+    return (
+        (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n)
+    ).astype(np.int64)
+
+
 def tumbling_window_agg(
     ds,
     width_s: int,
@@ -56,35 +66,19 @@ def tumbling_window_agg(
     n_events, value_cents.
 
     window_start is the window's start in epoch SECONDS (int64):
-    floor(epoch_us / width_us) * width_s.
+    floor(epoch_us / width_us) * width_s.  A tumbling window IS the
+    hopping window with slide == width (k == 1, each event in exactly
+    one window) — delegated so the combiner shape exists once (equality
+    asserted in tests/test_pipeline.py).
     """
-    width_us = width_s * US
-
-    def partial(batch: pa.Table) -> pa.Table:
-        tus = _epoch_us(batch[ts_col])
-        win = tus // width_us * np.int64(width_s)
-        df = pd.DataFrame(
-            {
-                "window_start": win,
-                key_col: batch[key_col].to_pylist(),
-                "vc": _value_cents(batch[value_col]),
-            }
-        )
-        g = df.groupby(["window_start", key_col], as_index=False).agg(
-            n_events=("vc", "size"), value_cents=("vc", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    from ray.data.aggregate import Sum
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return (
-        partials.repartition(shuffle_partitions)
-        .groupby(["window_start", key_col])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
-        )
+    return hopping_window_agg(
+        ds,
+        width_s,
+        width_s,
+        ts_col=ts_col,
+        key_col=key_col,
+        value_col=value_col,
+        shuffle_partitions=shuffle_partitions,
     )
 
 
@@ -173,10 +167,7 @@ def as_of_join(
                 {
                     "_id": idc.cast(pa.int64()),
                     by_col: pa.array(by),
-                    "_h": pa.array(
-                        (by.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-                        % np.uint64(num_partitions)
-                    ).cast(pa.int64()),
+                    "_h": pa.array(_bucket(by, num_partitions)),
                     "tus": pa.array(_epoch_us(batch[ts_col])),
                     "_side": pa.array(np.full(len(by), side, dtype=np.int8)),
                 }
@@ -248,10 +239,7 @@ def sessionize_stats(
         return pa.table(
             {
                 user_col: pa.array(uid),
-                "_h": pa.array(
-                    (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-                    % np.uint64(num_partitions)
-                ).cast(pa.int64()),
+                "_h": pa.array(_bucket(uid, num_partitions)),
                 "tus": pa.array(_epoch_us(batch[ts_col])),
                 id_col: batch[id_col],
                 "vc": pa.array(_value_cents(batch[value_col])),

@@ -422,3 +422,48 @@ def test_hopping_window_covers_each_event_k_times(ray_session, sf_dir):
         width_s=3600,
     ).to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_shard_map_parquet_handles_empty_file(ray_session, tmp_path):
+    """A zero-row parquet file in the directory must not crash the shard
+    reader — its shard yields an empty fn-output block."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from nettopologysuite_ray.sources.shards import shard_map_parquet
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    full = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                     "x": pa.array([10, 20], type=pa.int64())})
+    pq.write_table(full, str(d / "a.parquet"))
+    pq.write_table(full.slice(0, 0), str(d / "b.parquet"))
+
+    def double(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.set_column(1, "x", pc.multiply(b["x"], 2))
+
+    out = shard_map_parquet(str(d), double).to_pandas().sort_values("doc_id")
+    assert out["x"].tolist() == [20, 40]
+
+
+def test_pii_redactor_ascii_semantics_match_re2():
+    """re.ASCII makes \\b/\\d behave like DuckDB's RE2: unicode letters
+    are NOT word chars (IP after 'café' IS redacted), unicode digits are
+    NOT digits."""
+    import pyarrow as pa
+
+    from nettopologysuite_ray.functions.text import PIIRedactor
+
+    out = PIIRedactor()(pa.table({"text": ["café1.2.3.4 and ١٢.٣٤.٥٦.٧٨ end"]}))
+    assert out["text"].to_pylist() == ["café<IP> and ١٢.٣٤.٥٦.٧٨ end"]
+    assert out["n_ips"].to_pylist() == [1]
+
+
+def test_tokens_ascii_whitespace_only():
+    """The tokenizer splits on ASCII whitespace only (matching the SQL
+    oracle's explicit class): nbsp stays inside a token."""
+    from nettopologysuite_ray.functions.text import _tokens
+
+    assert _tokens("A B c\td") == ["a b", "c", "d"]
+    assert _tokens(" x\x0by ") == ["x", "y"]
