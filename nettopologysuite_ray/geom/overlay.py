@@ -210,22 +210,63 @@ def _result_valid(res: Geom) -> bool:
     return True
 
 
+_PIN_DEPTH = [0]  # reentrancy guard: pins compute a sibling overlay whose
+# own check must fall back to the loose bounds, or two mutually-buggy
+# results could recurse forever
+
+
+def _pinned_expected(a: Geom, b: Geom, op: str, aa: float, ab: float, ar: float, overlap: bool, tol: float):
+    """Inclusion-exclusion pin for the cases the loose bounds cannot
+    catch.  With overlapping interiors, only symdifference needs it (the
+    historical hole).  With NON-overlapping rep points the disjoint
+    expectation is exact (diff == A, union/symdiff == A+B, inter == 0) —
+    a result far from it is either a silent arrangement failure (fuzz
+    found difference/symdifference returning EMPTY/B for 1-ulp-touching
+    quads) or a rep-point false negative; computing the sibling
+    intersection (itself self-healing) distinguishes the two and gives
+    the exact expected area either way.  Returns None when the loose
+    bounds suffice."""
+    if _PIN_DEPTH[0] > 0:
+        return None
+    _PIN_DEPTH[0] += 1
+    try:
+        if op == "difference" and ar < aa - tol:
+            # any reported area loss is pinned exactly: the loose lower
+            # bound max(0, aa-ab) admits a difference that silently lost
+            # area whenever ab is large (fuzz: 1-ulp-rotated overlapping
+            # rectangles gave d = EMPTY with a correct intersection)
+            return aa - alg.area(overlay(a, b, "intersection"))
+        if op == "symdifference" and overlap:
+            return aa + ab - 2.0 * alg.area(overlay(a, b, "intersection"))
+        if op == "union" and overlap and ar >= aa + ab - tol:
+            # union double-counting the overlap region passes the loose
+            # upper bound aa+ab — pin the dual of the difference hazard
+            return aa + ab - alg.area(overlay(a, b, "intersection"))
+        if not overlap:
+            if op == "symdifference" and abs(ar - (aa + ab)) > tol:
+                return aa + ab - 2.0 * alg.area(overlay(a, b, "intersection"))
+            if op == "union" and abs(ar - (aa + ab)) > tol:
+                return aa + ab - alg.area(overlay(a, b, "intersection"))
+            if op == "intersection" and ar > tol:
+                return aa - alg.area(overlay(a, b, "difference"))
+        return None
+    finally:
+        _PIN_DEPTH[0] -= 1
+
+
 def _check_and_retry_overlay(a: Geom, b: Geom, op: str, res: Geom, merge_line_output: bool, ng: bool) -> Geom:
     aa = alg.area(a)
     ab = alg.area(b)
     overlap = _interiors_overlap(a, b)
     tol = 1e-6 * max(aa, ab, 1.0)
-    if op == "symdifference" and overlap:
-        # the loose bounds cannot catch a symdifference that silently kept
-        # the intersection region; pin it with inclusion-exclusion against
-        # the (independently self-healing) intersection result
-        i_area = alg.area(overlay(a, b, "intersection"))
-        expected = aa + ab - 2.0 * i_area
+    ar0 = alg.area(res)
+    expected = _pinned_expected(a, b, op, aa, ab, ar0, overlap, tol)
+    if expected is not None:
 
-        def _sym_ok(ar):
+        def _ok(ar):
             return abs(ar - expected) <= max(tol, 1e-6 * max(expected, 1.0))
 
-        if _sym_ok(alg.area(res)) and _result_valid(res):
+        if _ok(ar0) and _result_valid(res):
             return res
         mx = max(
             (abs(float(v)) for g in (a, b) for arr in g.coords_list() for q in arr for v in q),
@@ -245,11 +286,11 @@ def _check_and_retry_overlay(a: Geom, b: Geom, op: str, res: Geom, merge_line_ou
                 a2 = sa[0] if len(sa) == 1 else Geom(MULTIPOLYGON, [p.data for p in sa])
                 b2 = sb[0] if len(sb) == 1 else Geom(MULTIPOLYGON, [p.data for p in sb])
                 res2 = overlay(a2, b2, op, merge_line_output=merge_line_output, ng=ng, weld=True)
-                if _sym_ok(alg.area(res2)) and _result_valid(res2):
+                if _ok(alg.area(res2)) and _result_valid(res2):
                     return res2
             stol *= 10.0
         return res
-    if _area_invariant_ok(op, aa, ab, alg.area(res), overlap) and _result_valid(res):
+    if _area_invariant_ok(op, aa, ab, ar0, overlap) and _result_valid(res):
         return res
     mx = max(
         (abs(float(v)) for g in (a, b) for arr in g.coords_list() for q in arr for v in q),

@@ -416,3 +416,36 @@ def test_coverage_simplify_partition_preserved(seed, k, tol10):
         total += alg.area(c)
     u = union_all(simp)
     assert abs(alg.area(u) - total) < 1e-9 * max(total, 1.0)
+
+
+def test_overlay_one_ulp_touching_quads_regression():
+    """Regression (found by this suite's fuzz): a square resting exactly on
+    a 1-ulp-rotated square — difference silently returned EMPTY and
+    symdifference ate A before the not-overlap inclusion-exclusion pin."""
+    a = from_wkt("POLYGON ((-1 1, 1 1, 1 3, -1 3, -1 1))")
+    for ang in (1e-14, -1e-14, 1e-13, -1e-13, 5e-15, -5e-15):
+        t = np.deg2rad(ang)
+        R = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+        base = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]])
+        b = Geom.polygon([tuple(p) for p in (base @ R.T)])
+        assert abs(alg.area(overlay(a, b, "difference")) - 4.0) < 1e-5
+        assert abs(alg.area(overlay(b, a, "difference")) - 4.0) < 1e-5
+        assert abs(alg.area(overlay(a, b, "union")) - 8.0) < 1e-5
+        assert abs(alg.area(overlay(a, b, "symdifference")) - 8.0) < 1e-5
+        assert alg.area(overlay(a, b, "intersection")) < 1e-5
+
+
+def test_overlay_one_ulp_overlapping_rect_regression():
+    """Regression: genuine partial overlap with 1-ulp-rotated coincident
+    edges — difference lost its area (returned EMPTY) under the loose
+    lower bound before the unconditional area-loss pin."""
+    a = from_wkt("POLYGON ((1 -1, 3 -1, 3 1, 1 1, 1 -1))")
+    for ang in (1e-14, -1e-14, 5e-15, -5e-15, 2e-14):
+        t = np.deg2rad(ang)
+        R = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+        base = np.array([[-2.5, -1.0], [2.5, -1.0], [2.5, 1.0], [-2.5, 1.0]])
+        b = Geom.polygon([tuple(p) for p in (base @ R.T)])
+        assert abs(alg.area(overlay(a, b, "difference")) - 1.0) < 1e-5
+        assert abs(alg.area(overlay(a, b, "intersection")) - 3.0) < 1e-5
+        assert abs(alg.area(overlay(a, b, "union")) - 11.0) < 1e-5
+        assert abs(alg.area(overlay(a, b, "symdifference")) - 8.0) < 1e-5
