@@ -129,6 +129,30 @@ def _interiors_overlap(a: Geom, b: Geom) -> bool:
                 continue
             if alg.locate_in_geom(float(rep.data[0]), float(rep.data[1]), g2) == I:
                 return True
+    # rep-point tests miss overlaps whose representative points happen to
+    # fall on/outside the other operand (fuzz: offset rectangles with
+    # near-coincident edges).  Probe the envelope-intersection rectangle:
+    # a probe strictly interior to BOTH proves overlap (never a false
+    # positive), catching the common axis-aligned partial-overlap shape.
+    ea, eb = alg.envelope(a), alg.envelope(b)
+    x0, y0 = max(ea[0], eb[0]), max(ea[1], eb[1])
+    x1, y1 = min(ea[2], eb[2]), min(ea[3], eb[3])
+    if x1 <= x0 or y1 <= y0:
+        return False
+    cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+    qx, qy = (x1 - x0) / 4.0, (y1 - y0) / 4.0
+    for px, py in (
+        (cx, cy),
+        (cx - qx, cy - qy),
+        (cx + qx, cy - qy),
+        (cx - qx, cy + qy),
+        (cx + qx, cy + qy),
+    ):
+        if (
+            alg.locate_in_geom(px, py, a) == I
+            and alg.locate_in_geom(px, py, b) == I
+        ):
+            return True
     return False
 
 
@@ -254,43 +278,59 @@ def _pinned_expected(a: Geom, b: Geom, op: str, aa: float, ab: float, ar: float,
         _PIN_DEPTH[0] -= 1
 
 
+def _system_result(a2: Geom, b2: Geom, op: str, merge_line_output: bool, ng: bool, grid=None):
+    """Recompute the requested op on (a2, b2) and accept it only when the
+    FULL inclusion-exclusion system computed from the SAME pair is
+    mutually consistent: aa+ab == u+i, d+i == aa, d'+i == ab, all results
+    valid.  Mutual consistency over one arrangement does not trust any
+    single sibling (the original pair's intersection may itself be
+    silently broken — found by fuzz).  Returns the op result or None."""
+    kw = dict(merge_line_output=merge_line_output, ng=ng, weld=True)
+    u = overlay(a2, b2, "union", grid, **kw)
+    i = overlay(a2, b2, "intersection", grid, **kw)
+    d = overlay(a2, b2, "difference", grid, **kw)
+    dr = overlay(b2, a2, "difference", grid, **kw)
+    aa2, ab2 = alg.area(a2), alg.area(b2)
+    au, ai, ad, adr = alg.area(u), alg.area(i), alg.area(d), alg.area(dr)
+    tol = 1e-6 * max(aa2, ab2, 1.0)
+    if (
+        abs((aa2 + ab2) - (au + ai)) <= tol
+        and abs((ad + ai) - aa2) <= tol
+        and abs((adr + ai) - ab2) <= tol
+        and _result_valid(u)
+        and _result_valid(i)
+        and _result_valid(d)
+        and _result_valid(dr)
+    ):
+        if op == "union":
+            return u
+        if op == "intersection":
+            return i
+        if op == "difference":
+            return d
+        res = overlay(a2, b2, "symdifference", grid, **kw)
+        if abs(alg.area(res) - (au - ai)) <= tol and _result_valid(res):
+            return res
+    return None
+
+
 def _check_and_retry_overlay(a: Geom, b: Geom, op: str, res: Geom, merge_line_output: bool, ng: bool) -> Geom:
     aa = alg.area(a)
     ab = alg.area(b)
     overlap = _interiors_overlap(a, b)
     tol = 1e-6 * max(aa, ab, 1.0)
     ar0 = alg.area(res)
-    expected = _pinned_expected(a, b, op, aa, ab, ar0, overlap, tol)
-    if expected is not None:
-
-        def _ok(ar):
-            return abs(ar - expected) <= max(tol, 1e-6 * max(expected, 1.0))
-
-        if _ok(ar0) and _result_valid(res):
-            return res
-        mx = max(
-            (abs(float(v)) for g in (a, b) for arr in g.coords_list() for q in arr for v in q),
-            default=0.0,
-        )
-        if mx == 0:
-            return res
-        comps_a = [c for c in a.flatten() if c.gtype == POLYGON]
-        comps_b = [c for c in b.flatten() if c.gtype == POLYGON]
-        stol = mx / 1e12
-        for _try in range(5):
-            snapped = _snap_cluster(comps_a + comps_b, stol)
-            if len(snapped) == len(comps_a) + len(comps_b):
-                snapped = _snap_near_vertices_onto_segments(snapped, stol)
-                sa = snapped[: len(comps_a)]
-                sb = snapped[len(comps_a) :]
-                a2 = sa[0] if len(sa) == 1 else Geom(MULTIPOLYGON, [p.data for p in sa])
-                b2 = sb[0] if len(sb) == 1 else Geom(MULTIPOLYGON, [p.data for p in sb])
-                res2 = overlay(a2, b2, op, merge_line_output=merge_line_output, ng=ng, weld=True)
-                if _ok(alg.area(res2)) and _result_valid(res2):
-                    return res2
-            stol *= 10.0
-        return res
-    if _area_invariant_ok(op, aa, ab, ar0, overlap) and _result_valid(res):
+    # suspicion: loose bounds violated, OR (for the holes the loose bounds
+    # cannot see) the inclusion-exclusion pin against the sibling op
+    # disagrees.  A pin mismatch can be a false alarm (the SIBLING may be
+    # the broken one), so it only triggers the retry — acceptance of a
+    # retry candidate never compares against the original pair's siblings.
+    suspicious = not (_area_invariant_ok(op, aa, ab, ar0, overlap) and _result_valid(res))
+    if not suspicious:
+        expected = _pinned_expected(a, b, op, aa, ab, ar0, overlap, tol)
+        if expected is not None and abs(ar0 - expected) > max(tol, 1e-6 * max(expected, 1.0)):
+            suspicious = True
+    if not suspicious:
         return res
     mx = max(
         (abs(float(v)) for g in (a, b) for arr in g.coords_list() for q in arr for v in q),
@@ -300,23 +340,22 @@ def _check_and_retry_overlay(a: Geom, b: Geom, op: str, res: Geom, merge_line_ou
         return res
     comps_a = [c for c in a.flatten() if c.gtype == POLYGON]
     comps_b = [c for c in b.flatten() if c.gtype == POLYGON]
-    tol = mx / 1e12
+    stol = mx / 1e12
     for _try in range(5):
-        snapped = _snap_cluster(comps_a + comps_b, tol)
+        snapped = _snap_cluster(comps_a + comps_b, stol)
         if len(snapped) == len(comps_a) + len(comps_b):
-            snapped = _snap_near_vertices_onto_segments(snapped, tol)
-        sa = snapped[: len(comps_a)] if len(snapped) == len(comps_a) + len(comps_b) else None
-        if sa is not None:
+            snapped = _snap_near_vertices_onto_segments(snapped, stol)
+            sa = snapped[: len(comps_a)]
             sb = snapped[len(comps_a) :]
             a2 = sa[0] if len(sa) == 1 else Geom(MULTIPOLYGON, [p.data for p in sa])
             b2 = sb[0] if len(sb) == 1 else Geom(MULTIPOLYGON, [p.data for p in sb])
-            res2 = overlay(a2, b2, op, merge_line_output=merge_line_output, ng=ng, weld=True)
-            if _area_invariant_ok(op, aa, ab, alg.area(res2), overlap) and _result_valid(res2):
+            res2 = _system_result(a2, b2, op, merge_line_output, ng)
+            if res2 is not None:
                 return res2
-        tol *= 10.0
+        stol *= 10.0
     wtol = 2.0 ** (math.floor(math.log2(mx)) - 40)
-    res3 = overlay(a, b, op, wtol, merge_line_output=merge_line_output, ng=ng, weld=True)
-    if _area_invariant_ok(op, aa, ab, alg.area(res3), overlap) and _result_valid(res3):
+    res3 = _system_result(a, b, op, merge_line_output, ng, grid=wtol)
+    if res3 is not None:
         return res3
     return res
 

@@ -449,3 +449,63 @@ def test_overlay_one_ulp_overlapping_rect_regression():
         assert abs(alg.area(overlay(a, b, "intersection")) - 3.0) < 1e-5
         assert abs(alg.area(overlay(a, b, "union")) - 11.0) < 1e-5
         assert abs(alg.area(overlay(a, b, "symdifference")) - 8.0) < 1e-5
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_overlay_near_coincident_edges_fuzz(seed):
+    """Focused hunt for silent arrangement loss: axis-aligned integer
+    rectangles with every vertex of B perturbed by a few ulps, overlapping
+    or touching A along (near-)coincident edges.  Checks the full
+    inclusion-exclusion system of all four ops."""
+    rng = np.random.default_rng(seed)
+    x0, y0 = rng.integers(-5, 5, 2)
+    w1, h1 = rng.integers(1, 5, 2)
+    a = Geom.polygon([(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1)])
+    # B shares A's edge lattice: pick corners on the same integer grid
+    bx0, by0 = x0 + rng.integers(-2, 3), y0 + rng.integers(-2, 3)
+    w2, h2 = rng.integers(1, 5, 2)
+    ring = np.array(
+        [(bx0, by0), (bx0 + w2, by0), (bx0 + w2, by0 + h2), (bx0, by0 + h2)],
+        dtype=float,
+    )
+    # ulp-scale perturbation of every B vertex
+    ring += (rng.integers(-3, 4, ring.shape)) * np.spacing(np.maximum(np.abs(ring), 1.0))
+    b = Geom.polygon([tuple(p) for p in ring])
+
+    u = overlay(a, b, "union")
+    i = overlay(a, b, "intersection")
+    d = overlay(a, b, "difference")
+    s = overlay(a, b, "symdifference")
+    aa, ab = alg.area(a), alg.area(b)
+    au, ai, ad, asym = alg.area(u), alg.area(i), alg.area(d), alg.area(s)
+    scale = max(aa, ab, 1.0)
+    tol = 1e-6 * scale
+    assert abs((aa + ab) - (au + ai)) < tol
+    assert abs((ad + ai) - aa) < tol
+    assert abs(asym - (au - ai)) < tol
+    # reverse difference closes the system
+    ad2 = alg.area(overlay(b, a, "difference"))
+    assert abs((ad + ad2 + ai) - au) < tol
+
+
+def test_overlay_rep_point_false_negative_regression():
+    """Regression (fuzz seed 570757): offset rectangles whose interior
+    rep points both fall on/outside the other operand — union returned
+    EMPTY and intersection MULTIPOINT until the envelope-probe overlap
+    test + same-pair system-consistency retry."""
+    rng = np.random.default_rng(570757)
+    x0, y0 = rng.integers(-5, 5, 2)
+    w1, h1 = rng.integers(1, 5, 2)
+    a = Geom.polygon([(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1)])
+    bx0, by0 = x0 + rng.integers(-2, 3), y0 + rng.integers(-2, 3)
+    w2, h2 = rng.integers(1, 5, 2)
+    ring = np.array(
+        [(bx0, by0), (bx0 + w2, by0), (bx0 + w2, by0 + h2), (bx0, by0 + h2)],
+        dtype=float,
+    )
+    ring += (rng.integers(-3, 4, ring.shape)) * np.spacing(np.maximum(np.abs(ring), 1.0))
+    b = Geom.polygon([tuple(p) for p in ring])
+    for op, want in (("union", 7.0), ("intersection", 1.0),
+                     ("difference", 1.0), ("symdifference", 6.0)):
+        assert abs(alg.area(overlay(a, b, op)) - want) < 1e-5, op
