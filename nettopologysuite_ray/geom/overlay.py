@@ -225,13 +225,19 @@ def _snap_near_vertices_onto_segments(polys, tol: float):
 
 def _result_valid(res: Geom) -> bool:
     """Polygonal overlay output must be valid (reference: OverlayNG results
-    are guaranteed valid; a ValidatingNoder-style insurance check)."""
+    are guaranteed valid; a ValidatingNoder-style insurance check).
+    Validates the polygons as ONE multipolygon, not one-by-one: fuzz found
+    symdifference emitting two individually-valid polygons sharing an
+    edge (an invalid multipolygon) that per-component checks waved
+    through, so the retry never fired."""
     from .validity import is_valid
 
-    for c in res.flatten():
-        if c.gtype == POLYGON and not is_valid(c):
-            return False
-    return True
+    polys = [c for c in res.flatten() if c.gtype == POLYGON]
+    if not polys:
+        return True
+    if len(polys) == 1:
+        return is_valid(polys[0])
+    return is_valid(Geom(MULTIPOLYGON, [p.data for p in polys]))
 
 
 _PIN_DEPTH = [0]  # reentrancy guard: pins compute a sibling overlay whose
