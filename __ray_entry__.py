@@ -533,9 +533,38 @@ def _q_sample_per_lang(sf_dir: str):
 
 
 def _q_embed_near_dup(sf_dir: str):
+    """IVF-bucketed embedding near-dup (cosine >= tau within each
+    nearest-centroid bucket) — the 100-TB scale path: streaming end to
+    end, one bucket-groupby shuffle, no corpus materialize and no
+    O(blocks^2) task matrix.  Centroids are the first IVF_NC corpus
+    vectors (data seeding, broadcast once) so the DuckDB oracle replays
+    the bucketing exactly; the exact all-pairs variant is kept as the
+    small-corpus opt-in under `embed_near_dup_exact`."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.embed import embed_near_dup_ivf
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vids = np.asarray(emb["vec_id"].to_pylist())
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(vids, kind="stable")
+    cents = vecs[order[:IVF_NC]]
+    dim = vecs.shape[1]
+    cref = ray.put(cents)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embed_near_dup_ivf(
+        ds, threshold=EMBED_DUP_TAU, dim=dim, n_centroids=IVF_NC, centroids_ref=cref
+    )
+
+
+def _q_embed_near_dup_exact(sf_dir: str):
     """Exact all-pairs embedding near-dup (cosine >= tau) via the
-    block-pair matmul decomposition — the embedding-space member of the
-    dedup family (exact / MinHash-LSH / SimHash / embedding-cosine)."""
+    block-pair matmul decomposition — the small-corpus exact opt-in
+    (inherently O(blocks^2); use embed_near_dup's IVF path at scale)."""
     import ray.data as rd
 
     from nettopologysuite_ray.functions.embed import embed_near_dup
@@ -1306,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
         "embed_near_dup": _q_embed_near_dup,
+        "embed_near_dup_exact": _q_embed_near_dup_exact,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "tumbling_window": _q_tumbling_window,
         "hopping_window": _q_hopping_window,
@@ -1747,8 +1777,8 @@ WHERE 2 * i >= (na.n + nb.n - i)
 SELECT epoch_us(ts) // 21600000000 * 21600 AS window_start,
        event_type,
        count(*) AS n_events,
-       sum(CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
-           * CASE WHEN value < 0 THEN -1 ELSE 1 END) AS value_cents
+       CAST(sum(CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
+           * CASE WHEN value < 0 THEN -1 ELSE 1 END) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2
 """,
@@ -1758,8 +1788,8 @@ GROUP BY 1, 2
 SELECT (epoch_us(ts) // 900000000 - off) * 900 AS window_start,
        event_type,
        count(*) AS n_events,
-       sum(CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
-           * CASE WHEN value < 0 THEN -1 ELSE 1 END) AS value_cents
+       CAST(sum(CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
+           * CASE WHEN value < 0 THEN -1 ELSE 1 END) AS BIGINT) AS value_cents
 FROM events, (SELECT unnest(range(0, 4)) AS off) o
 GROUP BY 1, 2
 """,
@@ -1777,13 +1807,13 @@ WITH e AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
-  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                           ROWS UNBOUNDED PRECEDING) - 1 AS sess_idx
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS sess_idx
   FROM e
 )
 SELECT user_id, sess_idx, count(*) AS n_events,
        min(tus) AS ts_start_us, max(tus) AS ts_end_us,
-       sum(vc) AS value_cents
+       CAST(sum(vc) AS BIGINT) AS value_cents
 FROM s
 GROUP BY 1, 2
 """,
@@ -1968,7 +1998,32 @@ FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.p = s.pos
 """,
         # double-precision dot/(|a||b|) exactly as the engine computes it;
         # ROUND is half-away-from-zero, mirrored by floor(x+0.5) (sims>0)
+        # bucketing replayed exactly: nearest data-seeded centroid by
+        # cosine (ties to lower cid — the engine asserts a >1e-12 margin
+        # so the tie-break can never actually fire), then all pairs
+        # WITHIN a bucket
         "embed_near_dup": f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {IVF_NC}),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+eb AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_cosine_similarity(x.embedding, c.ce) DESC, c.cid) AS rn
+    FROM embeddings x CROSS JOIN c) WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS sim_1e4
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+JOIN eb ba ON ba.vec_id = a.vec_id
+JOIN eb bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {EMBED_DUP_TAU}
+""",
+        "embed_near_dup_exact": f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

@@ -96,15 +96,13 @@ def stage_pages(sf_dir: str, rep: int) -> tuple[str, int]:
         return pa.concat_tables(tables)
 
     # ~20k pages per explode output block: high replication factors
-    # otherwise produce multi-100MB blocks that fill the object store
+    # otherwise produce multi-100MB blocks that fill the object store.
+    # Every output block carries bs*rep >= ~17.5k rows (min over rep of
+    # max(8, 20000//rep)*rep), so parquet row groups are never tiny and
+    # no coalescing repartition is needed (it would materialize the whole
+    # staged table — spill storm at 8M pages).
     bs = max(8, 20000 // rep)
     staged = ds.map_batches(explode, batch_format="pyarrow", batch_size=bs)
-    if bs * rep < 8192:
-        # low replication → tiny blocks → 128-row parquet row groups and
-        # ~20x read overhead downstream; coalesce first.  At high rep each
-        # block is already ~20k rows, and the repartition would needlessly
-        # materialize the whole staged table (spill storm at 8M pages).
-        staged = staged.repartition(32)
     staged.write_parquet(path)
     with open(os.path.join(path, "_DONE"), "w") as f:
         f.write("ok")

@@ -390,7 +390,7 @@ def exact_dedup(
 def lsh_dedup(
     sigs,
     id_col: str = "doc_id",
-    rounds: int = 4,
+    rounds: int | None = None,
     shuffle_partitions: int = 32,
 ):
     """Near-dup GROUP assignment (connected components over LSH buckets):
@@ -403,9 +403,11 @@ def lsh_dedup(
     min-label propagation merge chains across buckets.  This is the
     100 TB-safe shape for web-scale boilerplate clusters.
 
-    Output: (id_col, rep_id) — rep_id == min id of the cluster once
-    propagation converges (star-shaped bucket overlaps converge in 2;
-    chains of length L need ~log2(L) rounds).
+    Output: (id_col, rep_id) — rep_id == min id of the cluster.
+    Propagation runs to a FIXED POINT (stops when a round changes no
+    label) with label-to-label shortcutting, so chains of length L
+    converge in O(log L) rounds; `rounds` is only a safety cap
+    (None, the default, means run until converged).
 
     Size shuffle_partitions to the cluster: each hash-join/aggregate
     partition runs an aggregator actor needing a CPU — more partitions
@@ -458,11 +460,35 @@ def lsh_dedup(
     return _min_label_propagation(edges, id_col, rounds, shuffle_partitions)
 
 
-def _min_label_propagation(edges, id_col: str, rounds: int, shuffle_partitions: int):
-    """Connected-component labels by iterative min propagation over an
-    undirected edge Dataset with columns (a, b): every node ends with the
-    min id reachable within `rounds` hops of label flow (distributed hash
-    joins; edges materialized once by the caller)."""
+def _label_checksum(labels) -> int:
+    """Exact Python-int sum of the rep_id column (32-bit split keeps every
+    per-batch partial inside int64; driver sums partials as Python ints).
+    Labels only ever DECREASE under min propagation, so the sum strictly
+    decreases iff any label changed — an O(labels) fixed-point detector
+    with no join."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch["rep_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = int((v & np.int64(0xFFFFFFFF)).sum())
+        hi = int((v >> np.int64(32)).sum())
+        return pa.table({"lo": pa.array([lo]), "hi": pa.array([hi])})
+
+    rows = labels.map_batches(part, batch_format="pyarrow").take_all()
+    return sum(int(r["lo"]) for r in rows) + (sum(int(r["hi"]) for r in rows) << 32)
+
+
+def _min_label_propagation(
+    edges, id_col: str, rounds: int | None, shuffle_partitions: int
+):
+    """Connected-component labels by min propagation over an undirected
+    edge Dataset with columns (a, b), iterated to a FIXED POINT: each
+    round flows labels across graph edges AND across the current
+    (node -> rep) links themselves (pointer doubling / label-to-label
+    shortcutting), so a path of diameter L converges in O(log L) rounds,
+    and the loop stops as soon as a round changes no label.  `rounds` is
+    only a safety cap (None = run to convergence); at the fixed point
+    every edge has equal endpoint labels, so rep_id == the component min.
+    Edges are materialized once by the caller."""
     from ray.data.aggregate import Min
 
     def seed(batch: pa.Table) -> pa.Table:
@@ -482,13 +508,16 @@ def _min_label_propagation(edges, id_col: str, rounds: int, shuffle_partitions: 
         .aggregate(Min("rep_id", alias_name="rep_id"))
         .materialize()
     )
+    prev_sum = _label_checksum(labels)
 
     P = np.uint64(shuffle_partitions)
 
     def _hash_col(v):
         return ((v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % P
 
-    for _ in range(rounds - 1):
+    it = 0
+    while rounds is None or it < rounds:
+        it += 1
         # propagate across BOTH edge directions.  The join is a bucketed
         # sort-merge (hash column + groupby(_h) + vectorized pandas merge
         # per bucket) — Ray's hash-shuffle join spins up aggregator actors
@@ -545,7 +574,16 @@ def _min_label_propagation(edges, id_col: str, rounds: int, shuffle_partitions: 
         def rev(batch: pa.Table) -> pa.Table:
             return pa.table({"a": batch["b"], "b": batch["a"]})
 
-        sym = edges.union(edges.map_batches(rev, batch_format="pyarrow"))
+        # pointer doubling: the current (node -> rep) links are edges of
+        # the same component, so flowing labels across them gives
+        # rep(v) <- rep(rep(v)) each round (O(log diameter) convergence)
+        def label_edges(batch: pa.Table) -> pa.Table:
+            return pa.table({"a": batch[id_col], "b": batch["rep_id"]})
+
+        sym = (
+            edges.union(edges.map_batches(rev, batch_format="pyarrow"))
+            .union(labels.map_batches(label_edges, batch_format="pyarrow"))
+        )
         prop = (
             sym.map_batches(tag_edge, batch_format="pyarrow")
             .union(labels.map_batches(tag_label, batch_format="pyarrow"))
@@ -558,6 +596,10 @@ def _min_label_propagation(edges, id_col: str, rounds: int, shuffle_partitions: 
             .aggregate(Min("rep_id", alias_name="rep_id"))
             .materialize()
         )
+        new_sum = _label_checksum(labels)
+        if new_sum == prev_sum:
+            break  # fixed point: no label changed this round
+        prev_sum = new_sum
     return labels
 
 
@@ -566,13 +608,14 @@ def near_dup_groups(
     id_col: str = "doc_id",
     threshold_num: int = 1,
     threshold_den: int = 2,
-    rounds: int = 4,
+    rounds: int | None = None,
     num_partitions: int = 16,
 ):
     """Connected near-dup clusters over EXACT-Jaccard-verified LSH pairs:
     each doc in a cluster gets the cluster's min doc id.  The verified
     pair graph is output-bounded; labels come from distributed min-label
-    propagation (SQL-oracle-checkable via a recursive CTE)."""
+    propagation run to a fixed point with pointer doubling
+    (SQL-oracle-checkable via a recursive CTE)."""
     pairs = lsh_verified_pairs(
         sigs,
         id_col=id_col,

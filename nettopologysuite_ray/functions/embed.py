@@ -224,15 +224,37 @@ class IvfIndexer:
     Centroids are either explicit data-derived vectors (broadcast ref) or
     seeded from hashed unit directions (no data pass) — at scale you'd
     fit them on a sample; determinism matters more here.
+
+    assign_margin (default on): assert that every vector's best-centroid
+    sim beats the runner-up by > eps — an exact argmax tie is the one
+    case where a different BLAS build could flip the bucket (and break
+    the SQL oracle that replays the assignment), so it fails LOUDLY
+    instead of silently diverging.
     """
 
-    def __init__(self, dim: int, n_centroids: int = 16, seed: int = 42, centroids_ref=None):
+    def __init__(
+        self,
+        dim: int,
+        n_centroids: int = 16,
+        seed: int = 42,
+        centroids_ref=None,
+        assign_margin: float | None = 1e-12,
+    ):
         self.centroids = _resolve_centroids(centroids_ref, dim, n_centroids, seed)
+        self.assign_margin = assign_margin
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
         sims = emb @ self.centroids.T
         bucket = sims.argmax(axis=1).astype(np.int64)
+        if self.assign_margin is not None and sims.shape[1] >= 2 and len(sims):
+            top2 = np.partition(sims, sims.shape[1] - 2, axis=1)[:, -2:]
+            gap = top2[:, 1] - top2[:, 0]
+            if gap.min() <= self.assign_margin:
+                raise AssertionError(
+                    f"IVF bucket assignment tie within {self.assign_margin}: "
+                    "argmax is not BLAS-order-stable for this input"
+                )
         return batch.append_column("ivf_bucket", pa.array(bucket))
 
 
@@ -367,4 +389,121 @@ def embed_near_dup(
 
     return rd.from_items(pair_items).map_batches(
         score, batch_format="pyarrow", batch_size=1, num_cpus=1
+    )
+
+
+def _assert_pair_margins(sims: np.ndarray, threshold: float, eps_thresh: float, eps_round: float):
+    """Oracle-safety margin assertions (fail LOUD, never silently flaky):
+    no computed similarity may sit within eps_thresh of the >= threshold
+    cut, and no KEPT similarity within eps_round of a 1e-4 rounding
+    half-boundary — the two places where BLAS summation order vs the SQL
+    oracle's sequential dot product could flip a row."""
+    if not sims.size:
+        return
+    d = np.abs(sims - threshold)
+    if d.min() < eps_thresh:
+        raise AssertionError(
+            f"cosine within {eps_thresh} of threshold {threshold}: "
+            "result not BLAS-order-stable"
+        )
+    kept = sims[sims >= threshold]
+    if kept.size:
+        f = kept * 10000.0
+        r = np.abs((f - np.floor(f)) - 0.5)
+        if r.min() < eps_round:
+            raise AssertionError(
+                f"kept cosine within {eps_round} of a sim_1e4 rounding "
+                "boundary: result not BLAS-order-stable"
+            )
+
+
+def embed_near_dup_ivf(
+    ds,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 0,
+    n_centroids: int = 16,
+    centroids_ref=None,
+    chunk_rows: int = 2048,
+    eps_thresh: float = 1e-9,
+    eps_round: float = 1e-7,
+):
+    """IVF-bucketed embedding near-dup — the 100-TB scale path: bucket
+    every vector to its nearest centroid (IvfIndexer, broadcast
+    centroids), then emit cosine >= threshold pairs WITHIN each bucket
+    only.  Output: (id_a < id_b, sim_1e4:int64), each candidate pair
+    generated exactly once (argmax bucketing is a partition of the
+    corpus).
+
+    Versus the exact `embed_near_dup`: streaming end-to-end — no
+    `.materialize()` of the corpus and no O(blocks^2) task matrix; the
+    single shuffle is the bucket groupby, and the quadratic work shrinks
+    to sum over buckets of |bucket|^2.  Approximation: cross-bucket pairs
+    are missed by design (raise n_centroids/recall via multi-assignment
+    when that matters); a SQL oracle can replay the bucketing exactly
+    (see __ray_entry__ embed_near_dup), which also makes the trade
+    auditable.
+
+    Partitioning assumption: a bucket is the unit of parallelism — size
+    n_centroids so the largest bucket's rows fit one task (the intra-
+    bucket matmul is chunked to bounded memory, so only the bucket's
+    ROWS must fit, not |bucket|^2).
+
+    Margin assertions (see _assert_pair_margins) make BLAS-order
+    instability a loud failure instead of a flaky oracle mismatch.
+    """
+
+    def pairs_of_bucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(t[emb_col])
+        nrm = np.sqrt((m * m).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        n = len(ids)
+        a_out, b_out, s_out = [], [], []
+        for i0 in range(0, n, chunk_rows):
+            i1 = min(i0 + chunk_rows, n)
+            for j0 in range(i0, n, chunk_rows):
+                j1 = min(j0 + chunk_rows, n)
+                sims = (m[i0:i1] @ m[j0:j1].T) / (nrm[i0:i1, None] * nrm[None, j0:j1])
+                if i0 == j0:
+                    ii, jj = np.triu_indices(i1 - i0, k=1)
+                    flat = sims[ii, jj]
+                    _assert_pair_margins(flat, threshold, eps_thresh, eps_round)
+                    keep = flat >= threshold
+                    ii, jj, sv = ii[keep], jj[keep], flat[keep]
+                else:
+                    _assert_pair_margins(sims.ravel(), threshold, eps_thresh, eps_round)
+                    ii, jj = np.nonzero(sims >= threshold)
+                    sv = sims[ii, jj]
+                ia = ids[i0:i1][ii]
+                ib = ids[j0:j1][jj]
+                a_out.append(np.minimum(ia, ib))
+                b_out.append(np.maximum(ia, ib))
+                s_out.append(np.floor(sv * 10000.0 + 0.5).astype(np.int64))
+        aa = np.concatenate(a_out) if a_out else np.empty(0, dtype=np.int64)
+        bb = np.concatenate(b_out) if b_out else np.empty(0, dtype=np.int64)
+        ss = np.concatenate(s_out) if s_out else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(aa, type=pa.int64()),
+                "id_b": pa.array(bb, type=pa.int64()),
+                "sim_1e4": pa.array(ss, type=pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(
+        IvfIndexer,
+        fn_constructor_kwargs={
+            "dim": dim,
+            "n_centroids": n_centroids,
+            "centroids_ref": centroids_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    return bucketed.groupby("ivf_bucket").map_groups(
+        pairs_of_bucket, batch_format="pyarrow"
     )

@@ -31,6 +31,25 @@ def _tokens(text: str) -> list:
     return [t for t in _WS_ASCII.split(text.lower()) if t]
 
 
+def _token_table(texts):
+    """Vectorized tokenizer over an Arrow string column: lowercase +
+    ASCII-whitespace split + empty-drop, entirely in Arrow kernels.
+
+    Returns (parent_row_indices int32 Array, tokens string Array) — the
+    exploded (row, token) pairs in document order.  The whitespace class
+    is spelled explicitly ('[\\t\\n\\f\\r \\x0b]+') because RE2's \\s
+    excludes \\v; pc.utf8_lower is utf8proc-based, the same lowering
+    DuckDB's lower() applies, so SQL oracles replay this byte-for-byte
+    (parity with the scalar _tokens asserted in tests on the corpus).
+    """
+    low = pc.utf8_lower(texts)
+    lists = pc.split_pattern_regex(low, pattern=r"[\t\n\f\r \x0b]+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, "")
+    return pc.filter(parent, keep), pc.filter(flat, keep)
+
+
 def extract_text(html: bytes) -> str:
     """Deterministic text extraction: text nodes of the HTML, joined by \\n.
 
@@ -111,12 +130,23 @@ def extract_text_batch(batch: pa.Table, html_col: str = "html", out_col: str = "
     mask = delta[:-1].view(bool)
     out = buf[mask]
     dest_len = lengths + not_last
-    # per-row output offsets (int32 fits: output <= input html size)
     row_sizes = np.bincount(rows, weights=dest_len, minlength=n_rows).astype(np.int64)
-    out_offsets = np.concatenate([[0], np.cumsum(row_sizes)]).astype(np.int32)
-    text_arr = pa.StringArray.from_buffers(
-        n_rows, pa.py_buffer(out_offsets.tobytes()), pa.py_buffer(out.tobytes())
-    )
+    out_offsets64 = np.concatenate([[0], np.cumsum(row_sizes)])
+    if out_offsets64[-1] < np.int64(2) ** 31:
+        text_arr = pa.StringArray.from_buffers(
+            n_rows,
+            pa.py_buffer(out_offsets64.astype(np.int32).tobytes()),
+            pa.py_buffer(out.tobytes()),
+        )
+    else:
+        # a batch extracting >= 2 GiB of text needs 64-bit offsets —
+        # from_buffers does not validate, so int32 here would silently
+        # wrap and corrupt the text
+        text_arr = pa.LargeStringArray.from_buffers(
+            n_rows,
+            pa.py_buffer(out_offsets64.tobytes()),
+            pa.py_buffer(out.tobytes()),
+        )
     return batch.append_column(out_col, text_arr)
 
 
@@ -338,14 +368,12 @@ def top_tokens(ds, k: int = 50, text_col: str = "text", id_col: str = "doc_id"):
     from ..stages.relational import top_k
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts: dict = {}
-        for t in batch[text_col].to_pylist():
-            for tok in _tokens(t):
-                counts[tok] = counts.get(tok, 0) + 1
+        _, toks = _token_table(batch[text_col])
+        vc = pc.value_counts(toks)  # one Arrow hash pass, no Python loop
         return pa.table(
             {
-                "token": pa.array(list(counts.keys()), type=pa.string()),
-                "n": pa.array(list(counts.values()), type=pa.int64()),
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 
@@ -379,51 +407,103 @@ def tfidf_top_terms(
 
     Weight = tf / (df + 1), compared exactly via the integer score
     tf * 1e6 // (df + 1) with token-ascending tie-break — no floating
-    log, so ranking is bit-deterministic and SQL-replayable.  Distributed
-    shape: per-doc term frequencies map-side; document frequencies via a
-    vocabulary-bounded groupby; tf joined back to df with a token-hash
-    shuffle join (broadcast df instead when the vocabulary fits memory);
-    per-doc top-k by hash-bucketed vectorized sort.
+    log, so ranking is bit-deterministic and SQL-replayable.
+
+    Distributed shape (100-TB-safe, two streaming passes over the input):
+      1. document frequencies via a map-side partial (one (token,
+         n_docs_in_batch) row per task per distinct token) + a
+         vocabulary-bounded groupby Sum — the shuffle carries partials
+         bounded by |vocab| x |tasks|, never the corpus.
+      2. the small df table is broadcast ONCE via ray.put; an actor pool
+         builds a pandas hash index over it in __init__.
+      3. ONE fused map stage explodes each document into (doc_id, token,
+         tf) rows AND attaches df + the integer score in the same pass —
+         the corpus-sized exploded term table is never materialized and
+         never joined (no Dataset.join: Ray's hash-shuffle join is
+         avoided; it breaks under Acero at high parallelism and would be
+         an all-to-all of corpus-sized rows anyway).
+      4. per-doc top-k via doc-hash-bucketed map_groups.
 
     Output: doc_id, token, tf, df, score_1e6, rank (0-based).
     """
     import pandas as pd
 
-    from ray.data.aggregate import Count
+    import ray
+    from ray.data.aggregate import Sum
 
-    def tf_rows(batch: pa.Table) -> pa.Table:
-        ids, toks, tfs = [], [], []
-        for i, t in zip(
-            batch[id_col].to_numpy(zero_copy_only=False).tolist(),
-            batch[text_col].to_pylist(),
-        ):
-            c: dict = {}
-            for tok in _tokens(t):
-                c[tok] = c.get(tok, 0) + 1
-            ids.extend([i] * len(c))
-            toks.extend(c.keys())
-            tfs.extend(c.values())
+    def df_partial(batch: pa.Table) -> pa.Table:
+        parent, toks = _token_table(batch[text_col])
+        # distinct (doc, token) then count per token = docs-in-batch per token
+        g = (
+            pd.DataFrame(
+                {"i": parent.to_numpy(zero_copy_only=False), "token": toks.to_pandas()}
+            )
+            .drop_duplicates()
+            .groupby("token", sort=False)
+            .size()
+        )
         return pa.table(
             {
-                id_col: pa.array(ids, type=pa.int64()),
-                "token": pa.array(toks, type=pa.string()),
-                "tf": pa.array(tfs, type=pa.int64()),
+                "token": pa.array(g.index, type=pa.string()),
+                "df": pa.array(g.to_numpy(), type=pa.int64()),
             }
         )
 
-    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
-    df_ds = tf.groupby("token").aggregate(Count(alias_name="df"))
-    joined = tf.join(df_ds, "inner", num_partitions, on=("token",))
+    df_small = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # vocabulary-bounded — small by construction
+    )
+    df_ref = ray.put(
+        {
+            "token": df_small["token"].to_numpy(),
+            "df": df_small["df"].to_numpy().astype(np.int64),
+        }
+    )
 
-    def score(batch: pa.Table) -> pa.Table:
-        tfv = batch["tf"].to_numpy(zero_copy_only=False)
-        dfv = batch["df"].to_numpy(zero_copy_only=False)
-        s = tfv * np.int64(1_000_000) // (dfv + np.int64(1))
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        out = batch.append_column("score_1e6", pa.array(s, type=pa.int64()))
-        return out.append_column(
-            "_h", pa.array(ids % np.int64(num_partitions), type=pa.int64())
-        )
+    class TfIdfScorer:
+        """Explode + score in one pass against the broadcast df table
+        (hash index built once per actor)."""
+
+        def __init__(self, ref):
+            state = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.index = pd.Index(state["token"])
+            self.df = state["df"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            parent, toks = _token_table(batch[text_col])
+            ids_row = batch[id_col].to_numpy(zero_copy_only=False)
+            g = (
+                pd.DataFrame(
+                    {
+                        "i": parent.to_numpy(zero_copy_only=False),
+                        "token": toks.to_pandas(),
+                    }
+                )
+                .groupby(["i", "token"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            ids = ids_row[g["i"].to_numpy()]
+            pos = self.index.get_indexer(g["token"])
+            if (pos < 0).any():  # every tf token was seen in the df pass
+                raise AssertionError("token missing from broadcast df table")
+            dfv = self.df[pos]
+            tfv = g["tf"].to_numpy().astype(np.int64)
+            s = tfv * np.int64(1_000_000) // (dfv + np.int64(1))
+            return pa.table(
+                {
+                    id_col: pa.array(ids, type=pa.int64()),
+                    "token": pa.array(g["token"], type=pa.string()),
+                    "tf": pa.array(tfv, type=pa.int64()),
+                    "df": pa.array(dfv, type=pa.int64()),
+                    "score_1e6": pa.array(s, type=pa.int64()),
+                    "_h": pa.array(
+                        ids % np.int64(num_partitions), type=pa.int64()
+                    ),
+                }
+            )
 
     def topk_per_doc(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -436,7 +516,12 @@ def tfidf_top_terms(
         return g.drop(columns=["_h"])
 
     return (
-        joined.map_batches(score, batch_format="pyarrow")
+        ds.map_batches(
+            TfIdfScorer,
+            fn_constructor_args=(df_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
         .groupby("_h")
         .map_groups(topk_per_doc, batch_format="pandas")
     )

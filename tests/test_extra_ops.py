@@ -399,6 +399,31 @@ def test_lsh_dedup_matches_union_find(ray_session):
         assert labels.get(i, i) == find(i)
 
 
+def test_min_label_propagation_long_chain(ray_session):
+    """A path graph of diameter 9 converges to the global min label —
+    the fixed-point + pointer-doubling regression test: the old one-hop
+    propagation capped at 4 rounds mislabels any chain longer than its
+    cap, while doubling reaches diameter 9 in ~4 rounds.  (Kept small:
+    every round is a full shuffle with seconds of fixed Ray overhead.)"""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.dedup import _min_label_propagation
+
+    n = 10  # edges (i, i+1): min-id eccentricity 9 from the far end
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(list(range(n - 1)), type=pa.int64()),
+                "b": pa.array(list(range(1, n)), type=pa.int64()),
+            }
+        )
+    ).materialize()
+    labels = _min_label_propagation(edges, "doc_id", None, 2).to_pandas()
+    assert len(labels) == n
+    assert (labels["rep_id"] == 0).all()
+
+
 def test_buffer_cap_styles():
     """End-cap styles (reference: Operation/Buffer/BufferParameters.cs
     EndCapStyle; tests BufferParameterTest.cs): flat = bare rectangle,

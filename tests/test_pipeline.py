@@ -467,3 +467,24 @@ def test_tokens_ascii_whitespace_only():
 
     assert _tokens("A B c\td") == ["a b", "c", "d"]
     assert _tokens(" x\x0by ") == ["x", "y"]
+
+
+def test_token_table_matches_scalar_tokens(sf_dir):
+    """The vectorized Arrow tokenizer (_token_table) produces exactly the
+    scalar _tokens stream, row by row, over the real documents corpus —
+    the parity contract the tf-idf/top-tokens hot paths rely on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nettopologysuite_ray.functions.text import _token_table, _tokens
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])["text"]
+    col = texts.combine_chunks()
+    parent, toks = _token_table(col)
+    parent = parent.to_pylist()
+    toks = toks.to_pylist()
+    got: dict[int, list] = {}
+    for i, t in zip(parent, toks):
+        got.setdefault(i, []).append(t)
+    for i, t in enumerate(texts.to_pylist()):
+        assert got.get(i, []) == _tokens(t), f"row {i} diverges"

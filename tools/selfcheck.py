@@ -68,8 +68,17 @@ def main():
     only = set(sys.argv[2:])
     import ray
 
+    import os
+
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        # SELFCHECK_CPUS=32 replicates the driver's parallelism level —
+        # parallelism-dependent bugs (e.g. hash-shuffle joins) hide at 8
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("SELFCHECK_CPUS", "8")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
