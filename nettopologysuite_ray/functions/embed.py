@@ -81,22 +81,33 @@ def _topk_merge_factory(k: int, with_rank: bool):
     return merge
 
 
-def topk_tree_merge(local, k: int, fanout: int = 64):
+def topk_tree_merge(local, k: int, fanout: int = 64, expected_blocks: int | None = None):
     """Per-query top-k reduction TREE: each level re-takes min-k per block,
     so no task ever holds more than (blocks_at_level x Q x k) rows — the
     mergeable-aggregate shape that avoids a global sort (top-k per query
-    is mergeable: min-k of min-k partials is exact)."""
-    lvl1 = local.repartition(fanout).map_batches(
-        _topk_merge_factory(k, with_rank=False), batch_format="pyarrow"
-    )
-    return lvl1.repartition(1).map_batches(
+    is mergeable: min-k of min-k partials is exact).
+
+    The intermediate fanout level only pays for itself when the number of
+    local-partial blocks exceeds `fanout` (each level is a repartition
+    barrier with fixed cost, oversized for a handful of k-row partials).
+    Lazy datasets can't report their block count, so callers that fan a
+    large corpus out pass `expected_blocks` (they know input size /
+    batch_size); below the threshold the tree collapses to the single
+    final merge, which is exact either way."""
+    if expected_blocks is not None and expected_blocks > fanout:
+        local = local.repartition(fanout).map_batches(
+            _topk_merge_factory(k, with_rank=False), batch_format="pyarrow"
+        )
+    return local.repartition(1).map_batches(
         _topk_merge_factory(k, with_rank=True), batch_format="pyarrow"
     )
 
 
-def ann_topk(ds, queries_ref, k: int = 5):
+def ann_topk(ds, queries_ref, k: int = 5, expected_blocks: int | None = None):
     """Exact distributed cosine top-k: local top-k per batch, then a
-    per-query mergeable top-k tree (no global sort)."""
+    per-query mergeable top-k tree (no global sort).  Pass
+    `expected_blocks` ≈ corpus_rows / 4096 at scale so the merge tree
+    adds its intermediate level only when there is enough fan-in."""
     local = ds.map_batches(
         CosineTopK,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
@@ -105,7 +116,7 @@ def ann_topk(ds, queries_ref, k: int = 5):
         concurrency=(1, 2),
         num_cpus=1,
     )
-    return topk_tree_merge(local, k)
+    return topk_tree_merge(local, k, expected_blocks=expected_blocks)
 
 
 class IvfTopK:
@@ -174,7 +185,7 @@ class IvfTopK:
 
 def ivf_ann_topk(
     ds, queries_ref, dim: int, k: int = 5, n_centroids: int = 16, nprobe: int = 4,
-    centroids_ref=None,
+    centroids_ref=None, expected_blocks: int | None = None,
 ):
     """End-to-end IVF-bucketed approximate top-k: bucket the corpus with
     IvfIndexer, probe-score per batch, merge with the same top-k tree."""
@@ -203,7 +214,7 @@ def ivf_ann_topk(
         concurrency=(1, 2),
         num_cpus=1,
     )
-    return topk_tree_merge(local, k)
+    return topk_tree_merge(local, k, expected_blocks=expected_blocks)
 
 
 def _resolve_centroids(centroids_ref, dim: int, n_centroids: int, seed: int) -> np.ndarray:

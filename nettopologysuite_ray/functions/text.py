@@ -238,29 +238,54 @@ def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 class LangIdModel:
     """Stopword-profile language-ID heuristic — stateful stage (actor pool):
-    profiles built once per actor in __init__, batches scored in __call__."""
+    profiles built once per actor in __init__, batches scored in __call__.
+
+    Scoring is fully vectorized (the old per-row/per-word Python loop was
+    a 100-TB hot-path smell): ASCII-letter runs are extracted with ONE
+    Arrow regex split over the whole column (splitting BEFORE lowering
+    keeps exact parity with `_WORD.findall` — unicode lowering can mint
+    ASCII letters, e.g. the Kelvin sign), tokens hit the stopword
+    vocabulary via a single `pc.index_in` hash probe, and per-(row, lang)
+    hit counts are np.bincount sums.  Prediction = argmax over langs in
+    sorted order with strict-greater semantics (numpy argmax takes the
+    FIRST max, i.e. the alphabetically-first language — byte-identical
+    to the scalar loop), 'und' when no stopword hit at all."""
 
     def __init__(self):
-        self.word = _WORD
-        self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+        self.langs = sorted(_STOPWORDS)
+        vocab = sorted({w for prof in _STOPWORDS.values() for w in prof})
+        self.vocab = pa.array(vocab, type=pa.string())
+        # membership[lang_idx, vocab_idx]
+        self.member = np.zeros((len(self.langs), len(vocab)), dtype=np.float64)
+        pos = {w: i for i, w in enumerate(vocab)}
+        for li, lang in enumerate(self.langs):
+            for w in _STOPWORDS[lang]:
+                self.member[li, pos[w]] = 1.0
+        self.lang_arr = np.array(self.langs + ["und"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        preds = []
-        for t in texts:
-            words = [w.lower() for w in self.word.findall(t)]
-            if not words:
-                preds.append("und")
-                continue
-            best_lang = "und"
-            best_hits = 0
-            for lang in sorted(self.profiles):
-                prof = self.profiles[lang]
-                hits = sum(1 for w in words if w in prof)
-                if hits > best_hits:
-                    best_hits = hits
-                    best_lang = lang
-            preds.append(best_lang)
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_rows = len(texts)
+        lists = pc.split_pattern_regex(texts, pattern=r"[^A-Za-z]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = pc.filter(flat, keep)
+        parent = pc.filter(parent, keep).to_numpy(zero_copy_only=False)
+        sw = pc.index_in(pc.ascii_lower(flat), value_set=self.vocab)
+        valid = pc.is_valid(sw)
+        swv = pc.filter(sw, valid).to_numpy(zero_copy_only=False).astype(np.int64)
+        pv = parent[valid.to_numpy(zero_copy_only=False)]
+        counts = np.zeros((n_rows, len(self.langs)), dtype=np.int64)
+        for li in range(len(self.langs)):
+            counts[:, li] = np.bincount(
+                pv, weights=self.member[li, swv], minlength=n_rows
+            ).astype(np.int64)
+        best = counts.argmax(axis=1)  # first max == alphabetically-first lang
+        best = np.where(counts.max(axis=1, initial=0) > 0, best, len(self.langs))
+        preds = self.lang_arr[best]
         return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
 
 

@@ -40,7 +40,9 @@ def to_cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
 
 
 def broadcast_join_batch(batch: pa.Table, small_df: pd.DataFrame, key, how: str = "inner"):
-    """Arrow batch ⋈ broadcast pandas dimension table."""
+    """Arrow batch ⋈ broadcast pandas dimension table (slow generic path:
+    full pandas copy per batch; BroadcastJoin uses it only for multi-key
+    or duplicate-key dimension tables)."""
     pdf = batch.to_pandas()
     out = pdf.merge(small_df, on=key, how=how)
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -48,19 +50,50 @@ def broadcast_join_batch(batch: pa.Table, small_df: pd.DataFrame, key, how: str 
 
 class BroadcastJoin:
     """Actor-pool broadcast hash join: dimension table fetched from the
-    object store ONCE per actor (__init__), merged per batch (__call__).
-    The broadcast-join shape of SURVEY.md §2.4 for non-spatial keys."""
+    object store ONCE per actor (__init__), joined per batch (__call__).
+    The broadcast-join shape of SURVEY.md §2.4 for non-spatial keys.
+
+    Hot path is Arrow-native: a single-column key against a UNIQUE-key
+    dimension table is one `pc.index_in` hash probe + `take` of the
+    payload columns — no pandas conversion of the probe batch, probe row
+    order preserved, output columns = batch columns + dimension payload
+    (same layout the pandas merge produced).  Multi-key or duplicate-key
+    dimensions (row-multiplying joins) fall back to the generic pandas
+    merge; both current engine queries take the fast path."""
 
     def __init__(self, small_ref, key, how: str = "inner"):
         small = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
-        if isinstance(small, pa.Table):
-            small = small.to_pandas()
-        self.small = small
         self.key = key
         self.how = how
+        single = isinstance(key, str)
+        tbl = small if isinstance(small, pa.Table) else pa.Table.from_pandas(
+            small, preserve_index=False
+        )
+        keys_unique = False
+        if single and how in ("inner", "left"):
+            kc = tbl[key].combine_chunks()
+            keys_unique = pc.count_distinct(kc).as_py() == len(tbl) and kc.null_count == 0
+        if keys_unique:
+            self.build_keys = kc
+            self.payload = tbl.drop_columns([key]).combine_chunks()
+            self.small = None
+        else:
+            self.build_keys = None
+            self.small = tbl.to_pandas() if not isinstance(small, pd.DataFrame) else small
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return broadcast_join_batch(batch, self.small, self.key, self.how)
+        if self.build_keys is None:
+            return broadcast_join_batch(batch, self.small, self.key, self.how)
+        idx = pc.index_in(batch[self.key], value_set=self.build_keys)
+        if self.how == "inner":
+            keep = pc.is_valid(idx)
+            if not pc.all(keep).as_py():
+                batch = batch.filter(keep)
+                idx = pc.filter(idx, keep)
+        taken = self.payload.take(idx)  # null idx → null payload row (left join)
+        for name in taken.column_names:
+            batch = batch.append_column(name, taken[name])
+        return batch
 
 
 def grouped_sum(ds, keys, sum_cols, count_alias: str | None = None, small_result: bool = True):

@@ -77,8 +77,8 @@ BUFFER_OPS = {"buffer", "bufferMitredJoin"}
 
 def test_buffer_tolerance_match():
     """Buffer results match the reference's BufferResultMatcher tolerances
-    (area + boundary Hausdorff) on >= 30 of the 34 corpus cases; the
-    remaining ones are documented near-degenerate robustness stress cases."""
+    (area + boundary Hausdorff) on ALL 34 corpus buffer cases — the gate
+    is exact so a robustness regression cannot hide behind slack."""
     from nettopologysuite_ray.stages.geometry import compare_buffer
 
     t = load_cases().to_pandas()
@@ -93,7 +93,7 @@ def test_buffer_tolerance_match():
                 n_ok += 1
         except Exception:  # noqa: BLE001
             pass
-    assert n_ok >= 30, n_ok
+    assert n_ok == len(sub) == 34, (n_ok, len(sub))
 
 
 def test_unary_union_floating_snap_fallback():

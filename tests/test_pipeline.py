@@ -488,3 +488,44 @@ def test_token_table_matches_scalar_tokens(sf_dir):
         got.setdefault(i, []).append(t)
     for i, t in enumerate(texts.to_pylist()):
         assert got.get(i, []) == _tokens(t), f"row {i} diverges"
+
+
+def test_broadcast_join_arrow_fast_path_matches_pandas_merge():
+    """The Arrow index_in/take hot path of BroadcastJoin produces exactly
+    the pandas-merge result (inner + left, unique keys), and duplicate or
+    multi-key dimensions transparently fall back to the generic merge."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from nettopologysuite_ray.stages.relational import BroadcastJoin
+
+    batch = pa.table(
+        {
+            "k": pa.array([3, 1, 2, 9, 1], type=pa.int64()),
+            "x": pa.array([30, 10, 20, 90, 11], type=pa.int64()),
+        }
+    )
+    dim = pd.DataFrame({"k": [1, 2, 3], "name": ["one", "two", "three"]})
+
+    inner = BroadcastJoin(dim, "k", "inner")
+    assert inner.build_keys is not None  # fast path engaged
+    got = inner(batch).to_pandas()
+    exp = batch.to_pandas().merge(dim, on="k", how="inner")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+    left = BroadcastJoin(dim, "k", "left")
+    got = left(batch).to_pandas()
+    exp = batch.to_pandas().merge(dim, on="k", how="left")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # duplicate build keys -> row-multiplying join must use the fallback
+    dup = pd.DataFrame({"k": [1, 1, 2], "name": ["a", "b", "c"]})
+    bj = BroadcastJoin(dup, "k", "inner")
+    assert bj.build_keys is None
+    got = bj(batch).to_pandas()
+    exp = batch.to_pandas().merge(dup, on="k", how="inner")
+    assert sorted(map(tuple, got.to_numpy().tolist())) == sorted(
+        map(tuple, exp.to_numpy().tolist())
+    )
