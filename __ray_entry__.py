@@ -762,6 +762,64 @@ def _q_affine_entities(sf_dir: str):
     return staged.map_batches(extract, batch_format="pyarrow")
 
 
+def _q_affine_z(sf_dir: str):
+    """Z ordinate carry-through under the hash gate: entities become
+    POINT Z geometries (z = integer doc/entity arithmetic), run through
+    the SAME affine stage as affine_entities — x/y transformed, Z
+    untouched through the full WKB -> stage -> WKB path (reference keeps
+    CoordinateZ.Z under AffineTransformation,
+    Geometries/Utilities/AffineTransformation.cs:71)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nettopologysuite_ray.geom.types import Geom
+    from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
+    from nettopologysuite_ray.stages.geometry import affine_stage
+
+    ents = _entities(sf_dir)
+
+    def to_points_z(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        eix = b["entity_idx"].to_numpy(zero_copy_only=False)
+        zs = (ids * 31 + eix * 17) % 100000
+        wkbs = [
+            to_wkb(
+                Geom(
+                    "Point",
+                    np.array([float(x), float(y)]),
+                    extra={"dims": "Z", "ords": np.array([float(z)])},
+                )
+            )
+            for x, y, z in zip(
+                b["lon_1e2"].to_pylist(), b["lat_1e2"].to_pylist(), zs.tolist()
+            )
+        ]
+        return b.select(["doc_id", "entity_idx"]).append_column(
+            "wkb", pa.array(wkbs, type=pa.binary())
+        )
+
+    staged = ents.map_batches(to_points_z, batch_format="pyarrow").map_batches(
+        affine_stage(a=2.0, b=3.0, c=7.0, d=0.0, e=-1.0, f=11.0),
+        batch_format="pyarrow",
+    )
+
+    def extract(b: pa.Table) -> pa.Table:
+        gs = [from_wkb(x) for x in b["affine_wkb"].to_pylist()]
+        for g in gs:
+            assert g.extra is not None and g.extra["dims"] == "Z"
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "entity_idx": b["entity_idx"],
+                "tx_1e2": pa.array([int(g.data[0]) for g in gs], type=pa.int64()),
+                "ty_1e2": pa.array([int(g.data[1]) for g in gs], type=pa.int64()),
+                "z_1e2": pa.array([int(g.extra["ords"][0]) for g in gs], type=pa.int64()),
+            }
+        )
+
+    return staged.map_batches(extract, batch_format="pyarrow")
+
+
 def _q_within_distance_join(sf_dir: str):
     import ray.data as rd
 
@@ -1319,6 +1377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_top_docs": _q_tile_top_docs,
         "geom_stats": _q_geom_stats,
         "affine_entities": _q_affine_entities,
+        "affine_z": _q_affine_z,
         "within_distance_join": _q_within_distance_join,
         "geo_extract": _q_geo_extract,
         "spatial_join_assign": _q_spatial_join_assign,
@@ -1459,6 +1518,16 @@ FROM g
 SELECT doc_id, entity_idx,
   CAST(2 * lon_1e2 + 3 * lat_1e2 + 7 AS BIGINT) AS tx_1e2,
   CAST(-lat_1e2 + 11 AS BIGINT) AS ty_1e2
+FROM e2
+""",
+        # z = (doc_id*31 + entity_idx*17) % 100000 rides along untouched
+        # (all operands non-negative, so DuckDB % == Python %)
+        "affine_z": _ENTS_CTE
+        + """
+SELECT doc_id, entity_idx,
+  CAST(2 * lon_1e2 + 3 * lat_1e2 + 7 AS BIGINT) AS tx_1e2,
+  CAST(-lat_1e2 + 11 AS BIGINT) AS ty_1e2,
+  CAST((doc_id * 31 + entity_idx * 17) % 100000 AS BIGINT) AS z_1e2
 FROM e2
 """,
         "within_distance_join": _ENTS_CTE

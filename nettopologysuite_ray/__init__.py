@@ -46,6 +46,10 @@ _EXPORTS = {
     "overlaps": "geom.predicates",
     "touches": "geom.predicates",
     "equals_topo": "geom.predicates",
+    # structural rewrite hooks
+    "GeometryTransformer": "geom.transformer",
+    "AffineTransformer": "geom.transformer",
+    "transform_geometry": "geom.transformer",
     # overlay / union / precision
     "overlay": "geom.overlay",
     "union_all": "geom.overlay",

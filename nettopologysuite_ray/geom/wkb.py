@@ -50,11 +50,10 @@ class _Reader:
         self.pos += 4
         if code & _EWKB_SRID:
             self.pos += 4  # skip SRID
-        ndim = 2
-        if code & _EWKB_Z:
-            ndim += 1
-        if code & _EWKB_M:
-            ndim += 1
+        # dims from EWKB flag bits OR ISO code range — never both, and
+        # ndim derives from the RESOLVED dims exactly once (an earlier
+        # version double-counted the EWKB flags, over-reading every
+        # flagged coordinate sequence)
         dims = ""
         if code & _EWKB_Z:
             dims += "Z"
@@ -69,7 +68,7 @@ class _Reader:
             dims = "M"
         elif iso == 3:
             dims = "ZM"
-        ndim += len(dims)
+        ndim = 2 + len(dims)
         base = base % 1000
         name = WKB_NAME.get(base)
         if name is None:

@@ -81,7 +81,14 @@ def envelope_stage():
 def affine_stage(a=1.0, b=0.0, c=0.0, d=0.0, e=1.0, f=0.0, in_col: str = "wkb", out_col: str = "affine_wkb"):
     """Affine transformation x' = a x + b y + c; y' = d x + e y + f, applied
     to flat coordinate arrays (reference: Geometries/Utilities/
-    AffineTransformation.cs:71) — a zero-copy-friendly numpy kernel."""
+    AffineTransformation.cs:71) — a zero-copy-friendly numpy kernel.
+
+    Structure is preserved EXACTLY (no component pruning/unwrapping, so
+    WKB output stays bit-stable for the oracle); out-of-band Z/M
+    ordinates (`Geom.extra`) carry through untouched, matching the
+    reference transforming CoordinateZ sequences (x/y rewritten, z
+    kept).  For the reference's full structural-repair semantics use
+    geom/transformer.py AffineTransformer."""
     import numpy as np
 
     def tx(arr):
@@ -95,17 +102,17 @@ def affine_stage(a=1.0, b=0.0, c=0.0, d=0.0, e=1.0, f=0.0, in_col: str = "wkb", 
 
         t = g.gtype
         if t == "Point":
-            return Geom(t, tx(g.data.reshape(1, 2))[0]) if g.data.size else g
+            return Geom(t, tx(g.data.reshape(1, 2))[0], extra=g.extra) if g.data.size else g
         if t == "LineString":
-            return Geom(t, tx(g.data), tag=g.tag)
+            return Geom(t, tx(g.data), tag=g.tag, extra=g.extra)
         if t == "Polygon":
-            return Geom(t, [tx(r) for r in g.data])
+            return Geom(t, [tx(r) for r in g.data], extra=g.extra)
         if t == "MultiPoint":
-            return Geom(t, [tx(p.reshape(1, 2))[0] for p in g.data])
+            return Geom(t, [tx(p.reshape(1, 2))[0] for p in g.data], extra=g.extra)
         if t == "MultiLineString":
-            return Geom(t, [tx(ls) for ls in g.data])
+            return Geom(t, [tx(ls) for ls in g.data], extra=g.extra)
         if t == "MultiPolygon":
-            return Geom(t, [[tx(r) for r in rings] for rings in g.data])
+            return Geom(t, [[tx(r) for r in rings] for rings in g.data], extra=g.extra)
         return Geom(t, [apply(c2) for c2 in g.data])
 
     return geometry_stage(apply, in_col=in_col, out_col=out_col)

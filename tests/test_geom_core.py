@@ -240,3 +240,171 @@ def test_zm_roundtrip_wkt_wkb():
     from nettopologysuite_ray.geom import algorithms as alg
 
     assert alg.area(from_wkt("POLYGON Z ((0 0 5, 2 0 5, 2 2 5, 0 0 5))")) == 2.0
+
+
+# Reference Spatialite EWKB vectors (test/NetTopologySuite.Tests.NUnit/
+# IO/WKBReaderTest.cs:110-185 TestSpatialiteWKB_Z / _M / _ZM): hex WKB
+# with SRID + Z/M flags → expected geometry.  The reference's
+# "MultiPointM" row is skipped: its hex carries the Z flag (a quirk its
+# 2-D comparison cannot see).
+_SPATIALITE_VECTORS = [
+    ("01010000A0E6100000000000000000F03F00000000000000400000000000000840",
+     "POINT Z (1 2 3)"),
+    ("01020000A0E610000002000000000000000000F03F00000000000000400000000000000840000000000000104000000000000014400000000000001840",
+     "LINESTRING Z (1 2 3, 4 5 6)"),
+    ("01040000A0E61000000200000001010000800000000000000000000000000000F03F00000000000000400101000080000000000000084000000000000010400000000000001440",
+     "MULTIPOINT Z ((0 1 2), (3 4 5))"),
+    ("01050000A0E6100000020000000102000080020000000000000000000000000000000000F03F000000000000004000000000000008400000000000001040000000000000144001020000800200000000000000000018400000000000001C400000000000002040000000000000224000000000000024400000000000002640",
+     "MULTILINESTRING Z ((0 1 2, 3 4 5), (6 7 8, 9 10 11))"),
+    ("0101000060E6100000000000000000F03F00000000000000400000000000000840",
+     "POINT M (1 2 3)"),
+    ("0102000060E610000002000000000000000000F03F00000000000000400000000000000840000000000000104000000000000014400000000000001840",
+     "LINESTRING M (1 2 3, 4 5 6)"),
+    ("0105000060E6100000020000000102000040020000000000000000000000000000000000F03F00000000000000400000000000000840000000000000104000000000000014400102000040" "0200000000000000000018400000000000001C40000000000000204000000000000022400000000000002440" "0000000000002640",
+     "MULTILINESTRING M ((0 1 2, 3 4 5), (6 7 8, 9 10 11))"),
+    ("01010000E0E6100000000000000000F03F000000000000004000000000000008400000000000006940",
+     "POINT ZM (1 2 3 200)"),
+    ("01020000E0E610000002000000000000000000F03F0000000000000040000000000000084000000000000069400000000000001040000000000000144000000000000018400000000000006940",
+     "LINESTRING ZM (1 2 3 200, 4 5 6 200)"),
+    ("01040000E0E61000000200000001010000C00000000000000000000000000000F03F0000000000000040000000000000694001010000C00000000000000840000000000000104000000000000014400000000000006940",
+     "MULTIPOINT ZM ((0 1 2 200), (3 4 5 200))"),
+]
+
+
+def test_reference_spatialite_zm_wkb_vectors():
+    """The reference's own Z/M/ZM-bearing EWKB test vectors decode with
+    ordinates intact, and re-encoding (ISO codes) round-trips them."""
+    from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
+    from nettopologysuite_ray.geom.wkt import to_wkt
+
+    for hexs, wkt in _SPATIALITE_VECTORS:
+        g = from_wkb(bytes.fromhex(hexs))
+        assert to_wkt(g) == wkt, hexs
+        assert to_wkt(from_wkb(to_wkb(g))) == wkt
+
+
+def test_geometry_transformer_contract():
+    """GeometryTransformer structural semantics (reference:
+    Geometries/Utilities/GeometryTransformer.cs:46): identity deep-copy,
+    ring collapse -> LineString, polygon degrade -> linework collection,
+    empty pruning with single-survivor unwrap, GC type preserved."""
+    import numpy as np
+
+    from nettopologysuite_ray.geom.transformer import (
+        AffineTransformer,
+        GeometryTransformer,
+        transform_geometry,
+    )
+    from nettopologysuite_ray.geom.wkt import from_wkt, to_wkt
+
+    # identity: same text out, new coordinate arrays.  A 1-part Multi*
+    # unwraps to its component — GeometryFactory.BuildGeometry semantics
+    # (the reference's TransformMultiPolygon ends in BuildGeometry).
+    for w, exp in [
+        ("POINT (1 2)", None),
+        ("LINESTRING (0 0, 1 1)", None),
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 2 1, 2 2, 1 1))", None),
+        ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))", "POLYGON ((0 0, 1 0, 1 1, 0 0))"),
+        ("MULTIPOINT ((1 1), (2 2))", None),
+        ("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))", None),
+    ]:
+        g = from_wkt(w)
+        out = GeometryTransformer().transform(g)
+        assert to_wkt(out) == (exp or w)
+        if out.gtype == "LineString":
+            assert out.data is not g.data  # deep copy down to coordinates
+
+    # ring collapse -> LineString (drop vertices 3..n-1 of each ring)
+    class Collapse(GeometryTransformer):
+        def transform_coordinates(self, coords, parent):
+            return coords[:3]
+
+    out = Collapse().transform(from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+    assert out.gtype == "LineString" and len(out.data) == 3
+
+    # polygon with surviving shell + degenerate hole -> mixed linework
+    class DropSmallRings(GeometryTransformer):
+        def transform_coordinates(self, coords, parent):
+            return coords if len(coords) >= 5 else coords[:0]
+
+    g = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 2 1, 2 2, 1 1))")
+    out = DropSmallRings().transform(g)  # hole dropped, shell survives
+    assert out.gtype == "Polygon" and len(out.data) == 1
+
+    # multi: drop everything -> empty; drop all but one -> unwrapped part
+    class DropAll(GeometryTransformer):
+        def transform_coordinates(self, coords, parent):
+            return None
+
+    assert DropAll().transform(from_wkt("MULTIPOINT ((1 1), (2 2))")).is_empty
+
+    class KeepFirstPointOnly(GeometryTransformer):
+        def transform_coordinates(self, coords, parent):
+            return coords if coords[0, 0] == 1.0 else None
+
+    out = KeepFirstPointOnly().transform(from_wkt("MULTIPOINT ((1 1), (2 2))"))
+    assert to_wkt(out) == "POINT (1 1)"  # BuildGeometry single-survivor unwrap
+
+    # GC stays GC even when homogeneous
+    out = GeometryTransformer().transform(
+        from_wkt("GEOMETRYCOLLECTION (POINT (1 2), POINT (3 4))")
+    )
+    assert out.gtype == "GeometryCollection"
+
+    # functional hook
+    out = transform_geometry(from_wkt("LINESTRING (0 0, 1 1)"), lambda c: c * 2.0)
+    assert to_wkt(out) == "LINESTRING (0 0, 2 2)"
+
+    # affine transformer: translate
+    out = AffineTransformer(c=10.0, f=20.0).transform(from_wkt("POINT (1 2)"))
+    assert to_wkt(out) == "POINT (11 22)"
+
+
+def test_transformer_and_affine_stage_carry_z():
+    """Z/M ordinates survive vertex-count-preserving transforms
+    (reference keeps CoordinateZ.Z under AffineTransformation) and are
+    conservatively DROPPED when vertices are added/removed."""
+    import pyarrow as pa
+
+    from nettopologysuite_ray.geom.transformer import AffineTransformer, GeometryTransformer
+    from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
+    from nettopologysuite_ray.geom.wkt import from_wkt, to_wkt
+    from nettopologysuite_ray.stages.geometry import affine_stage
+
+    cases = {
+        "POINT Z (1 2 3)": "POINT Z (11 22 3)",
+        "LINESTRING ZM (0 0 1 10, 1 1 2 20)": "LINESTRING ZM (10 20 1 10, 11 21 2 20)",
+        "POLYGON Z ((0 0 1, 1 0 2, 1 1 3, 0 0 1))": "POLYGON Z ((10 20 1, 11 20 2, 11 21 3, 10 20 1))",
+        "MULTIPOINT M ((5 5 7), (6 6 8))": "MULTIPOINT M ((15 25 7), (16 26 8))",
+        "MULTILINESTRING Z ((0 0 1, 1 1 2), (2 2 3, 3 3 4))":
+            "MULTILINESTRING Z ((10 20 1, 11 21 2), (12 22 3, 13 23 4))",
+        # 1-part multi unwraps (BuildGeometry) — Z still carried
+        "MULTIPOLYGON Z (((0 0 1, 1 0 2, 1 1 3, 0 0 1)))":
+            "POLYGON Z ((10 20 1, 11 20 2, 11 21 3, 10 20 1))",
+    }
+    tr = AffineTransformer(c=10.0, f=20.0)
+    for src, exp in cases.items():
+        assert to_wkt(tr.transform(from_wkt(src))) == exp
+
+    # vertex-dropping transform must NOT carry Z (no silently wrong Z)
+    class DropLast(GeometryTransformer):
+        def transform_coordinates(self, coords, parent):
+            return coords[:-1]
+
+    out = DropLast().transform(from_wkt("LINESTRING Z (0 0 1, 1 1 2, 2 2 3)"))
+    assert to_wkt(out) == "LINESTRING (0 0, 1 1)"
+
+    # the dataset stage carries Z through WKB end to end (and, unlike
+    # the transformer, preserves the exact input structure: a 1-part
+    # MULTIPOLYGON stays a MULTIPOLYGON for WKB bit-stability)
+    stage_exp = {
+        **cases,
+        "MULTIPOLYGON Z (((0 0 1, 1 0 2, 1 1 3, 0 0 1)))":
+            "MULTIPOLYGON Z (((10 20 1, 11 20 2, 11 21 3, 10 20 1)))",
+    }
+    stage = affine_stage(a=1.0, e=1.0, c=10.0, f=20.0, in_col="wkb", out_col="out")
+    wkbs = [to_wkb(from_wkt(w)) for w in stage_exp]
+    batch = pa.table({"wkb": pa.array(wkbs, type=pa.binary())})
+    got = stage(batch)["out"].to_pylist()
+    for got_wkb, exp in zip(got, stage_exp.values()):
+        assert to_wkt(from_wkb(got_wkb)) == exp
