@@ -1382,14 +1382,15 @@ def _point_resultants(a, b, ea, eb, pa, pb, op, touch_a=None, touch_b=None):
 # ring assembly
 
 
-def _assemble_polygons(directed_edges, degenerate_out=None):
-    """Directed edges (interior on LEFT) → polygons (rings lists).
-    Zero-area rings (collapsed slivers, out-and-back walks) are appended to
-    degenerate_out when provided — the SR pipeline degrades them to lines."""
-    if not directed_edges:
-        return []
-    # dedup identical directed edges
-    directed_edges = list({(e[0], e[1]) for e in directed_edges})
+def _trace_rings(directed_edges, ring_edges_out=None):
+    """Maximal-ring walks over DEDUPLICATED directed edges (interior on
+    LEFT, sharpest left turn, spur double-back only as last resort),
+    split at repeated nodes into minimal rings — the shared face-walk
+    kernel of overlay assembly, polygonize, and the distributed
+    polygonize stages.  Returns closed (N,2) float arrays.  When
+    ring_edges_out is given, one list of directed-edge INDICES per
+    returned ring is appended to it (the half-edges that ring consumed —
+    the accounting hook tile-distributed polygonize needs)."""
     out_by_node: dict = {}
     for idx, (p0, p1) in enumerate(directed_edges):
         out_by_node.setdefault(p0, []).append(idx)
@@ -1399,6 +1400,7 @@ def _assemble_polygons(directed_edges, degenerate_out=None):
         if used[start]:
             continue
         ring = []
+        walk_edges = []
         cur = start
         guard = 0
         ok = True
@@ -1408,6 +1410,7 @@ def _assemble_polygons(directed_edges, degenerate_out=None):
                 ok = False
                 break
             used[cur] = True
+            walk_edges.append(cur)
             p0, p1 = directed_edges[cur]
             ring.append(p0)
             if p1 == directed_edges[start][0] and len(ring) >= 2:
@@ -1446,8 +1449,22 @@ def _assemble_polygons(directed_edges, degenerate_out=None):
             ring.append(ring[0])
             # maximal ring → minimal rings: split at repeated nodes
             # (reference: Operation/Overlay/MaximalEdgeRing → MinimalEdgeRing)
-            for sub in _split_minimal_rings(ring):
-                rings.append(np.array(sub, dtype=np.float64))
+            for sub_v, sub_e in _split_minimal_rings_indexed(ring, walk_edges):
+                rings.append(np.array(sub_v, dtype=np.float64))
+                if ring_edges_out is not None:
+                    ring_edges_out.append(sub_e)
+    return rings
+
+
+def _assemble_polygons(directed_edges, degenerate_out=None):
+    """Directed edges (interior on LEFT) → polygons (rings lists).
+    Zero-area rings (collapsed slivers, out-and-back walks) are appended to
+    degenerate_out when provided — the SR pipeline degrades them to lines."""
+    if not directed_edges:
+        return []
+    # dedup identical directed edges
+    directed_edges = list({(e[0], e[1]) for e in directed_edges})
+    rings = _trace_rings(directed_edges)
     # shells CCW (interior left), holes CW
     shells = []
     holes = []
@@ -1539,24 +1556,52 @@ def _split_touching_holes(polygons):
 def _split_minimal_rings(ring):
     """Split a closed vertex list (first == last) at repeated nodes into
     minimal simple rings."""
+    return [sv for sv, _se in _split_minimal_rings_indexed(ring, None)]
+
+
+def _split_minimal_rings_indexed(ring, walk_edges):
+    """Split a closed vertex list (first == last) at repeated nodes into
+    minimal simple rings, attributing the walk's edges to the minimal
+    ring each lands in.  ``walk_edges`` is the parallel list of edge ids
+    (edge k connects ring[k] → ring[k+1]; len == len(ring) - 1), or None
+    to skip attribution.  Returns [(vertices_closed, edge_ids|None)].
+
+    Each stack entry carries the edge that ENTERED its vertex; popping a
+    sub-ring takes the entering edges of its interior vertices plus the
+    closing edge, and the re-pushed cut vertex keeps the edge that first
+    reached it (that edge belongs to the outer ring)."""
     body = ring[:-1]
+    n = len(body)
     out = []
     stack_pos: dict = {}
-    cur = []
-    for v in body:
+    cur = []  # (vertex, id of the edge that entered it)
+    for bi, v in enumerate(body):
+        in_e = None if walk_edges is None else (walk_edges[bi - 1] if bi > 0 else None)
         if v in stack_pos:
             i7 = stack_pos[v]
-            sub = cur[i7:] + [v]
-            if len(sub) >= 3:
-                out.append(sub)  # len-3 closed = out-and-back spike; callers
-                # classify by area and degrade zero-area subs to linework
-            for w in cur[i7:]:
+            sub_v = [w for w, _e in cur[i7:]] + [v]
+            if len(sub_v) >= 3:
+                sub_e = (
+                    None
+                    if walk_edges is None
+                    else [e for _w, e in cur[i7 + 1 :]] + [in_e]
+                )
+                out.append((sub_v, sub_e))  # len-3 closed = out-and-back
+                # spike; callers classify by area and degrade zero-area
+                # subs to linework
+            first_in = cur[i7][1]
+            for w, _e in cur[i7:]:
                 stack_pos.pop(w, None)
             cur = cur[:i7]
+            in_e = first_in
         stack_pos[v] = len(cur)
-        cur.append(v)
+        cur.append((v, in_e))
     if len(cur) >= 2:
-        out.append(cur + [cur[0]])  # len-2 remainder = collapsed out-and-back
+        sub_v = [w for w, _e in cur] + [cur[0][0]]
+        sub_e = (
+            None if walk_edges is None else [e for _w, e in cur[1:]] + [walk_edges[n - 1]]
+        )
+        out.append((sub_v, sub_e))  # len-2 remainder = collapsed out-and-back
     return out
 
 
