@@ -820,6 +820,156 @@ def _q_affine_z(sf_dir: str):
     return staged.map_batches(extract, batch_format="pyarrow")
 
 
+def _grid_dims(sf_dir: str) -> int:
+    """Road-grid line count for polygonize_grid: nx = ny =
+    max(8, ceil(sqrt(#documents))) — scales with sf, replayed in SQL."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return max(8, math.ceil(math.sqrt(n_docs)))
+
+
+_GRID_C = 300.0  # street spacing (integer units)
+
+
+def _grid_in_region(i: int, j: int, nx: int, ny: int) -> bool:
+    """Block (i,j) belongs to a 2x2 superblock whose anchor is at
+    (a,b), a%6==4, b%6==4, region fully inside the block range."""
+    if i % 6 not in (4, 5) or j % 6 not in (4, 5):
+        return False
+    if i % 6 == 4 and not (i + 1 <= nx - 2):
+        return False
+    if j % 6 == 4 and not (j + 1 <= ny - 2):
+        return False
+    return True
+
+
+def _grid_segments_for_node(i: int, j: int, nx: int, ny: int):
+    """Street segments owned by grid node (i,j): its rightward and upward
+    unit streets (minus superblock interior removals), the block diagonal,
+    and the floating island ring when (i,j) is a superblock anchor."""
+    C = _GRID_C
+    segs = []
+    x, y = i * C, j * C
+    # horizontal street (i,j)-(i+1,j): removed when it is an interior
+    # street of a valid superblock (j on the region's middle line)
+    if i + 1 <= nx - 1:
+        rm = (
+            j % 6 == 5
+            and i % 6 in (4, 5)
+            and ((i + 1 <= nx - 2) if i % 6 == 4 else (i <= nx - 2))
+            and (j - 1) % 6 == 4
+            and (j <= ny - 2)
+        )
+        if not rm:
+            segs.append(((x, y), (x + C, y)))
+    # vertical street (i,j)-(i,j+1)
+    if j + 1 <= ny - 1:
+        rm = (
+            i % 6 == 5
+            and j % 6 in (4, 5)
+            and ((j + 1 <= ny - 2) if j % 6 == 4 else (j <= ny - 2))
+            and (i - 1) % 6 == 4
+            and (i <= nx - 2)
+        )
+        if not rm:
+            segs.append(((x, y), (x, y + C)))
+    # diagonal splitting block (i,j) in two triangles
+    if (
+        i <= nx - 2
+        and j <= ny - 2
+        and not _grid_in_region(i, j, nx, ny)
+        and (i * 31 + j * 17) % 5 == 0
+    ):
+        segs.append(((x, y), (x + C, y + C)))
+    # island ring inside the superblock anchored here
+    if i % 6 == 4 and j % 6 == 4 and i + 1 <= nx - 2 and j + 1 <= ny - 2:
+        xc, yc = (i + 1) * C, (j + 1) * C
+        pts = [
+            (xc - 50, yc - 50),
+            (xc + 50, yc - 50),
+            (xc + 50, yc + 50),
+            (xc - 50, yc + 50),
+        ]
+        for k in range(4):
+            segs.append((pts[k], pts[(k + 1) % 4]))
+    return segs
+
+
+def _q_polygonize_grid(sf_dir: str):
+    """Distributed polygonize with tile-boundary stitching
+    (stages/polygonize.py; reference role:
+    Operation/Polygonize/Polygonizer.cs:35 run layer-wide): a synthetic
+    road grid — unit blocks, diagonal-split blocks, 2x2 superblocks with
+    a floating island ring (the island's outer traversal must become the
+    superblock's hole) — is polygonized with tile cells that CUT through
+    every block (cell = 2.5 blocks), so faces routinely cross tile
+    boundaries.  Faces are classified back to integer rows the SQL
+    oracle recomputes from the same rules."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from nettopologysuite_ray.geom.types import Geom
+    from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.stages.polygonize import distributed_polygonize
+
+    nx = ny = _grid_dims(sf_dir)
+    C = _GRID_C
+
+    def build(batch) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        wkbs = []
+        for idx in ids.tolist():
+            i, j = idx % nx, idx // nx
+            for p0, p1 in _grid_segments_for_node(i, j, nx, ny):
+                wkbs.append(to_wkb(Geom("LineString", np.array([p0, p1], dtype=np.float64))))
+        return pa.table({"wkb": pa.array(wkbs, type=pa.binary())})
+
+    lines = rd.range(nx * ny, override_num_blocks=8).map_batches(
+        build, batch_format="pyarrow"
+    )
+    faces = distributed_polygonize(lines, cell=C * 2.5, num_partitions=8)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        bxs, bys, parts, areas = [], [], [], []
+        for w in batch["face_wkb"].to_pylist():
+            g = from_wkb(w)
+            shell = g.data[0]
+            n_holes = len(g.data) - 1
+            area = int(round(alg.area(g)))
+            minx, miny = float(shell[:, 0].min()), float(shell[:, 1].min())
+            bx, by = int(minx // C), int(miny // C)
+            if n_holes == 1:
+                part = 3
+            elif area == 10000:
+                part = 4
+            elif area == int(C * C):
+                part = 0
+            else:  # triangle: part 1 holds the block's top-left corner
+                tl = (bx * C, (by + 1) * C)
+                verts = {(float(p[0]), float(p[1])) for p in shell[:-1]}
+                part = 1 if tl in verts else 2
+            bxs.append(bx)
+            bys.append(by)
+            parts.append(part)
+            areas.append(area)
+        return pa.table(
+            {
+                "bx": pa.array(bxs, type=pa.int64()),
+                "by": pa.array(bys, type=pa.int64()),
+                "part": pa.array(parts, type=pa.int64()),
+                "area": pa.array(areas, type=pa.int64()),
+            }
+        )
+
+    return faces.map_batches(classify, batch_format="pyarrow")
+
+
 def _q_within_distance_join(sf_dir: str):
     import ray.data as rd
 
@@ -1378,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_stats": _q_geom_stats,
         "affine_entities": _q_affine_entities,
         "affine_z": _q_affine_z,
+        "polygonize_grid": _q_polygonize_grid,
         "within_distance_join": _q_within_distance_join,
         "geo_extract": _q_geo_extract,
         "spatial_join_assign": _q_spatial_join_assign,
@@ -1519,6 +1670,37 @@ SELECT doc_id, entity_idx,
   CAST(2 * lon_1e2 + 3 * lat_1e2 + 7 AS BIGINT) AS tx_1e2,
   CAST(-lat_1e2 + 11 AS BIGINT) AS ty_1e2
 FROM e2
+""",
+        # the road-grid face inventory: every face the distributed
+        # polygonize (tile walk + boundary stitch + hole assignment) must
+        # produce, recomputed from the grid construction rules alone —
+        # unit blocks 300x300, diagonal-split blocks (two triangles),
+        # 2x2 superblocks (interior streets removed; area minus the
+        # 100x100 island hole) and the island faces themselves
+        "polygonize_grid": """
+WITH d AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nx FROM documents),
+r AS (SELECT t.range AS v FROM range(0, 4096) t WHERE t.range < (SELECT nx - 1 FROM d)),
+b AS (SELECT i1.v AS i, j1.v AS j, d.nx AS nx, d.nx AS ny
+      FROM d, r i1, r j1),
+c AS (SELECT i, j, nx, ny,
+        (i % 6 IN (4, 5)) AND (j % 6 IN (4, 5))
+        AND (CASE WHEN i % 6 = 4 THEN i + 1 <= nx - 2 ELSE TRUE END)
+        AND (CASE WHEN j % 6 = 4 THEN j + 1 <= ny - 2 ELSE TRUE END) AS in_region
+      FROM b)
+SELECT i AS bx, j AS by, CAST(0 AS BIGINT) AS part, CAST(90000 AS BIGINT) AS area
+FROM c WHERE NOT in_region AND (i * 31 + j * 17) % 5 != 0
+UNION ALL
+SELECT i, j, CAST(1 AS BIGINT), CAST(45000 AS BIGINT)
+FROM c WHERE NOT in_region AND (i * 31 + j * 17) % 5 = 0
+UNION ALL
+SELECT i, j, CAST(2 AS BIGINT), CAST(45000 AS BIGINT)
+FROM c WHERE NOT in_region AND (i * 31 + j * 17) % 5 = 0
+UNION ALL
+SELECT i, j, CAST(3 AS BIGINT), CAST(350000 AS BIGINT)
+FROM c WHERE i % 6 = 4 AND j % 6 = 4 AND i + 1 <= nx - 2 AND j + 1 <= ny - 2
+UNION ALL
+SELECT i, j, CAST(4 AS BIGINT), CAST(10000 AS BIGINT)
+FROM c WHERE i % 6 = 4 AND j % 6 = 4 AND i + 1 <= nx - 2 AND j + 1 <= ny - 2
 """,
         # z = (doc_id*31 + entity_idx*17) % 100000 rides along untouched
         # (all operands non-negative, so DuckDB % == Python %)

@@ -594,6 +594,11 @@ def _min_label_propagation(
             labels.union(prop)
             .groupby(id_col)
             .aggregate(Min("rep_id", alias_name="rep_id"))
+            # bound the block count: groupby output blocks ≈ input blocks,
+            # and the per-round union would otherwise compound ~3× per
+            # round (1→5→17→53→…), turning scheduling overhead into the
+            # dominant cost on long-diameter graphs
+            .repartition(shuffle_partitions)
             .materialize()
         )
         new_sum = _label_checksum(labels)
