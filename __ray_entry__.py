@@ -970,6 +970,76 @@ def _q_polygonize_grid(sf_dir: str):
     return faces.map_batches(classify, batch_format="pyarrow")
 
 
+def _q_dissolve_chains(sf_dir: str):
+    """Distributed line dissolve/merge with tile-boundary stitching
+    (stages/linemerge.py; reference roles: Dissolve/LineDissolver.cs:29,
+    Operation/Linemerge/LineMerger.cs:25 run layer-wide): per document a
+    horizontal unit-segment chain at y=2*doc_id+1 from x=a..b with
+    degree-3 tick junctions at interior multiples of 7 (they split the
+    chain), plus duplicated linework re-emitted by every third document
+    (dissolve dedups it).  Tiles (cell=4) cut chains mid-way, so merging
+    routinely stitches across cells.  Output: per merged line its min
+    endpoint, vertex count and integer length — all recomputed by the
+    SQL oracle from the construction rules."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from nettopologysuite_ray.geom.types import Geom
+    from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
+    from nettopologysuite_ray.stages.linemerge import distributed_line_dissolve
+
+    def build(batch: pa.Table) -> pa.Table:
+        wkbs = []
+
+        def row_lines(i: int):
+            a = (i * 7) % 20
+            b = a + 15 + (i % 5)
+            y = 2 * i + 1
+            out = [np.array([(x, y) for x in range(a, b + 1)], dtype=np.float64)]
+            for x in range(a + 1, b):
+                if x % 7 == 0:
+                    out.append(np.array([(x, y), (x, y + 1)], dtype=np.float64))
+            return out
+
+        for i in batch["doc_id"].to_pylist():
+            for arr in row_lines(i):
+                wkbs.append(to_wkb(Geom("LineString", arr)))
+            if i % 3 == 0 and i > 0:
+                # duplicate the previous doc's chain start: dissolve drops it
+                ap = ((i - 1) * 7) % 20
+                yp = 2 * (i - 1) + 1
+                arr = np.array([(x, yp) for x in range(ap, ap + 4)], dtype=np.float64)
+                wkbs.append(to_wkb(Geom("LineString", arr)))
+        return pa.table({"wkb": pa.array(wkbs, type=pa.binary())})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    lines = distributed_line_dissolve(
+        docs.map_batches(build, batch_format="pyarrow"), cell=4.0
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        mxs, mys, npts, lens = [], [], [], []
+        for w in batch["line_wkb"].to_pylist():
+            arr = from_wkb(w).data
+            mxs.append(int(round(float(arr[:, 0].min()))))
+            mys.append(int(round(float(arr[:, 1].min()))))
+            npts.append(len(arr))
+            seg = np.abs(np.diff(arr, axis=0)).sum()
+            lens.append(int(round(float(seg))))
+        return pa.table(
+            {
+                "mx": pa.array(mxs, type=pa.int64()),
+                "my": pa.array(mys, type=pa.int64()),
+                "npts": pa.array(npts, type=pa.int64()),
+                "len": pa.array(lens, type=pa.int64()),
+            }
+        )
+
+    return lines.map_batches(classify, batch_format="pyarrow")
+
+
 def _q_within_distance_join(sf_dir: str):
     import ray.data as rd
 
@@ -1529,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "affine_entities": _q_affine_entities,
         "affine_z": _q_affine_z,
         "polygonize_grid": _q_polygonize_grid,
+        "dissolve_chains": _q_dissolve_chains,
         "within_distance_join": _q_within_distance_join,
         "geo_extract": _q_geo_extract,
         "spatial_join_assign": _q_spatial_join_assign,
@@ -1701,6 +1772,28 @@ FROM c WHERE i % 6 = 4 AND j % 6 = 4 AND i + 1 <= nx - 2 AND j + 1 <= ny - 2
 UNION ALL
 SELECT i, j, CAST(4 AS BIGINT), CAST(10000 AS BIGINT)
 FROM c WHERE i % 6 = 4 AND j % 6 = 4 AND i + 1 <= nx - 2 AND j + 1 <= ny - 2
+""",
+        # the merged-line inventory the distributed dissolve must produce:
+        # per doc a horizontal chain x=a..b at y=2*doc_id+1 split at the
+        # interior tick junctions (x % 7 == 0), plus the ticks themselves
+        # (unit verticals); duplicated linework contributes nothing
+        "dissolve_chains": """
+WITH p AS (SELECT doc_id AS i, (doc_id*7) % 20 AS a,
+                  (doc_id*7) % 20 + 15 + (doc_id % 5) AS b
+           FROM documents),
+t AS (SELECT p.i, r.range*7 AS x FROM p, range(0, 100) r
+      WHERE r.range*7 > p.a AND r.range*7 < p.b),
+cuts AS (SELECT i, a AS x FROM p
+         UNION ALL SELECT i, b FROM p
+         UNION ALL SELECT i, x FROM t),
+seq AS (SELECT i, x, lead(x) OVER (PARTITION BY i ORDER BY x) AS nx FROM cuts)
+SELECT CAST(x AS BIGINT) AS mx, CAST(2*i + 1 AS BIGINT) AS my,
+       CAST(nx - x + 1 AS BIGINT) AS npts, CAST(nx - x AS BIGINT) AS len
+FROM seq WHERE nx IS NOT NULL
+UNION ALL
+SELECT CAST(x AS BIGINT), CAST(2*i + 1 AS BIGINT),
+       CAST(2 AS BIGINT), CAST(1 AS BIGINT)
+FROM t
 """,
         # z = (doc_id*31 + entity_idx*17) % 100000 rides along untouched
         # (all operands non-negative, so DuckDB % == Python %)
