@@ -46,6 +46,15 @@ _EXPORTS = {
     "overlaps": "geom.predicates",
     "touches": "geom.predicates",
     "equals_topo": "geom.predicates",
+    # scalar math kernels (reference: Algorithm/Angle.cs, Geometries/
+    # Triangle.cs, Mathematics/Vector2D.cs, Algorithm/HCoordinate.cs)
+    "Triangle": "geom.mathutil",
+    "Vector2D": "geom.mathutil",
+    "HCoordinate": "geom.mathutil",
+    "line_intersection": "geom.mathutil",
+    # multi-row graph stages
+    "distributed_polygonize": "stages.polygonize",
+    "distributed_line_dissolve": "stages.linemerge",
     # structural rewrite hooks
     "GeometryTransformer": "geom.transformer",
     "AffineTransformer": "geom.transformer",
@@ -54,6 +63,8 @@ _EXPORTS = {
     "overlay": "geom.overlay",
     "union_all": "geom.overlay",
     "snap_to_grid": "geom.overlay",
+    "snapping_noder": "geom.overlay",
+    "segment_extracting_noder": "geom.overlay",
     "buffer": "geom.buffer",
     # dataset stages — joins, tiles, windows
     "prepare_admin_state": "stages.spatial_join",

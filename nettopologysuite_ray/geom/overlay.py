@@ -50,13 +50,21 @@ def _snap_arr(arr, grid: float):
     return np.floor(np.asarray(arr, dtype=np.float64) / grid + 0.5) * grid
 
 
-def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_line_output: bool = True, ng: bool = False, weld: bool = False) -> Geom:
+def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_line_output: bool = True, ng: bool = False, weld: bool = False, noder=None) -> Geom:
     """merge_line_output: legacy OverlayOp merges lineal resultants into
     maximal linestrings; OverlayNG emits the noded edges unmerged.
     weld: grid is a robustness weld (buffer piece unions), not a precision
-    model - vertex snapping only, no node rounding / collapse semantics."""
+    model - vertex snapping only, no node rounding / collapse semantics.
+    noder: optional pre-noder hook (reference: OverlayNG.cs:416 Noder
+    property) — a ``Geom -> Geom`` callable applied to each input before
+    the built-in exact noding, letting callers trade robustness for
+    speed the way the reference's SnappingNoder / SegmentExtractingNoder
+    injections do (see ``snapping_noder`` / ``segment_extracting_noder``)."""
     if op not in _OPS:
         raise ValueError(op)
+    if noder is not None:
+        a = noder(a)
+        b = noder(b)
     dim_a, dim_b = a.dimension, b.dimension
     orig_a, orig_b = a, b
     if grid_size:
@@ -1833,11 +1841,53 @@ def _snap_cluster(polys, tol: float):
     return out
 
 
-def union_all(geoms, grid_size: float | None = None, weld: bool = False) -> Geom:
+def snapping_noder(tolerance: float):
+    """Pre-noder that snaps every vertex to a grid of the given size
+    before overlay (reference role: Noding/Snap/SnappingNoder.cs injected
+    via OverlayNG.Noder).  Trades exactness for robustness/speed."""
+
+    def _noder(g: Geom) -> Geom:
+        return snap_to_grid(g, tolerance)
+
+    return _noder
+
+
+def segment_extracting_noder():
+    """Pre-noder that splits lineal inputs into their individual segments
+    (reference role: Noding/SegmentExtractingNoder.cs — the fast path for
+    already-noded coverage linework, which needs no intersection search).
+    Areal/puntal inputs pass through unchanged."""
+
+    def _noder(g: Geom) -> Geom:
+        segs = []
+        other = []
+        for comp in g.flatten():
+            if comp.gtype == LINESTRING:
+                arr = comp.data
+                for i in range(len(arr) - 1):
+                    if tuple(arr[i]) != tuple(arr[i + 1]):
+                        segs.append(np.asarray(arr[i : i + 2], dtype=np.float64))
+            else:
+                other.append(comp)
+        if not segs:
+            return g
+        line = Geom(MULTILINESTRING, segs)
+        if not other:
+            return line
+        return Geom(GEOMETRYCOLLECTION, other + [line])
+
+    return _noder
+
+
+def union_all(geoms, grid_size: float | None = None, weld: bool = False, strategy=None) -> Geom:
     """Unary union (reference: Operation/Union/UnaryUnionOp.cs:46): fold
     polygonal components through binary union (cascaded semantics,
     CascadedPolygonUnion.cs:37); node lineal components among themselves
-    and keep what the area union does not cover; dedup points."""
+    and keep what the area union does not cover; dedup points.
+    strategy: optional ``(Geom, Geom) -> Geom`` pairwise union injection
+    (reference: Operation/Union/UnionStrategy.cs consumed by
+    CascadedPolygonUnion).  A custom strategy owns its own robustness:
+    the built-in snap/weld retry ladder is bypassed."""
     polys = []
     lines = []
     points = []
@@ -1859,8 +1909,13 @@ def union_all(geoms, grid_size: float | None = None, weld: bool = False) -> Geom
                 points.append((float(comp.data[0]), float(comp.data[1])))
     acc = None
     for p in polys:
-        acc = p if acc is None else overlay(acc, p, "union", grid_size, weld=weld)
-    if grid_size is None and acc is not None and len(polys) > 1:
+        if acc is None:
+            acc = p
+        elif strategy is not None:
+            acc = strategy(acc, p)
+        else:
+            acc = overlay(acc, p, "union", grid_size, weld=weld)
+    if strategy is None and grid_size is None and acc is not None and len(polys) > 1:
         # robust-union fallback (reference: UnaryUnionOp -> OverlayNGRobust
         # snap retries, OverlayNGRobust.cs:178): float noise between
         # nearly-coincident boundaries can leave abutting components
