@@ -970,6 +970,40 @@ def _q_polygonize_grid(sf_dir: str):
     return faces.map_batches(classify, batch_format="pyarrow")
 
 
+def _q_distance3d_docs(sf_dir: str):
+    """3D point-to-segment distance (geom/distance3d.py; reference:
+    Algorithm/CGAlgorithms3D.cs DistancePointSegment,
+    Operation/Distance3D/Distance3DOp.cs): per document a Z-bearing point
+    against a Z-bearing segment, both derived from doc_id; the SQL oracle
+    replays the clamped-projection formula and compares the distance at
+    micro precision."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from nettopologysuite_ray.geom.distance3d import distance3d
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    def compute(batch: pa.Table) -> pa.Table:
+        ids, dists = [], []
+        for i in batch["doc_id"].to_pylist():
+            px, py, pz = i % 17, (i * 3) % 23, (i * 7) % 11
+            ax = i % 13
+            p = from_wkt(f"POINT ({px} {py} {pz})")
+            seg = from_wkt(f"LINESTRING ({ax} 0 0, {ax + 10} 5 2)")
+            ids.append(i)
+            dists.append(int(round(distance3d(p, seg) * 1_000_000)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "dist_1e6": pa.array(dists, type=pa.int64()),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(compute, batch_format="pyarrow")
+
+
 def _q_dissolve_chains(sf_dir: str):
     """Distributed line dissolve/merge with tile-boundary stitching
     (stages/linemerge.py; reference roles: Dissolve/LineDissolver.cs:29,
@@ -1600,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "affine_z": _q_affine_z,
         "polygonize_grid": _q_polygonize_grid,
         "dissolve_chains": _q_dissolve_chains,
+        "distance3d_docs": _q_distance3d_docs,
         "within_distance_join": _q_within_distance_join,
         "geo_extract": _q_geo_extract,
         "spatial_join_assign": _q_spatial_join_assign,
@@ -1794,6 +1829,30 @@ UNION ALL
 SELECT CAST(x AS BIGINT), CAST(2*i + 1 AS BIGINT),
        CAST(2 AS BIGINT), CAST(1 AS BIGINT)
 FROM t
+""",
+        # replay of CGAlgorithms3D.DistancePointSegment: project the point
+        # onto the segment, clamp to [0,1], euclidean distance in 3D
+        "distance3d_docs": """
+WITH g AS (
+  SELECT doc_id,
+         CAST(doc_id % 17 AS DOUBLE) AS px,
+         CAST((doc_id*3) % 23 AS DOUBLE) AS py,
+         CAST((doc_id*7) % 11 AS DOUBLE) AS pz,
+         CAST(doc_id % 13 AS DOUBLE) AS ax
+  FROM documents),
+r AS (
+  SELECT doc_id, px, py, pz, ax,
+         ((px - ax)*10.0 + py*5.0 + pz*2.0) / 129.0 AS rr
+  FROM g),
+c AS (
+  SELECT doc_id, px, py, pz,
+         ax + greatest(0.0, least(1.0, rr))*10.0 AS qx,
+         greatest(0.0, least(1.0, rr))*5.0 AS qy,
+         greatest(0.0, least(1.0, rr))*2.0 AS qz
+  FROM r)
+SELECT doc_id,
+       CAST(round(sqrt((px-qx)*(px-qx) + (py-qy)*(py-qy) + (pz-qz)*(pz-qz)) * 1000000) AS BIGINT) AS dist_1e6
+FROM c
 """,
         # z = (doc_id*31 + entity_idx*17) % 100000 rides along untouched
         # (all operands non-negative, so DuckDB % == Python %)

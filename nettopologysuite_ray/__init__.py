@@ -52,6 +52,10 @@ _EXPORTS = {
     "Vector2D": "geom.mathutil",
     "HCoordinate": "geom.mathutil",
     "line_intersection": "geom.mathutil",
+    # 3D distance ops
+    "distance3d": "geom.distance3d",
+    "nearest_points3d": "geom.distance3d",
+    "is_within_distance3d": "geom.distance3d",
     # multi-row graph stages
     "distributed_polygonize": "stages.polygonize",
     "distributed_line_dissolve": "stages.linemerge",
