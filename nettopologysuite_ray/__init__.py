@@ -69,6 +69,8 @@ _EXPORTS = {
     "snap_to_grid": "geom.overlay",
     "snapping_noder": "geom.overlay",
     "segment_extracting_noder": "geom.overlay",
+    "ElevationModel": "geom.elevation",
+    "overlay_z": "geom.elevation",
     "buffer": "geom.buffer",
     # dataset stages — joins, tiles, windows
     "prepare_admin_state": "stages.spatial_join",
