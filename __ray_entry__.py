@@ -970,6 +970,61 @@ def _q_polygonize_grid(sf_dir: str):
     return faces.map_batches(classify, batch_format="pyarrow")
 
 
+def _q_node_grid(sf_dir: str):
+    """Distributed bulk noding (stages/noding.py; reference role:
+    Noding/MCIndexNoder.cs:21 run layer-wide): per document a horizontal
+    line crossed by up to ten long verticals; every crossing must split
+    both lines, with no boundary-stitch pass (any intersecting pair
+    shares a replication cell).  The SQL oracle regenerates the noded
+    sub-segment inventory from the construction rules."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from nettopologysuite_ray.geom.types import Geom
+    from nettopologysuite_ray.geom.wkb import to_wkb
+    from nettopologysuite_ray.stages.noding import distributed_node
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def build(batch: pa.Table) -> pa.Table:
+        wkbs = []
+        for i in batch["doc_id"].to_pylist():
+            wkbs.append(
+                to_wkb(Geom("LineString", np.array([(0, i), (100, i)], dtype=np.float64)))
+            )
+            if i % 50 == 0 and i < 500:
+                x = 3 + 7 * (i // 50)
+                wkbs.append(
+                    to_wkb(
+                        Geom(
+                            "LineString",
+                            np.array([(x, -1), (x, n_docs)], dtype=np.float64),
+                        )
+                    )
+                )
+        return pa.table({"wkb": pa.array(wkbs, type=pa.binary())})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    noded = distributed_node(
+        docs.map_batches(build, batch_format="pyarrow"), cell=25.0, as_wkb=False
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                c: pc.cast(pc.round(batch[c]), pa.int64())
+                for c in ("x0", "y0", "x1", "y1")
+            }
+        )
+
+    return noded.map_batches(to_int, batch_format="pyarrow")
+
+
 def _q_distance3d_docs(sf_dir: str):
     """3D point-to-segment distance (geom/distance3d.py; reference:
     Algorithm/CGAlgorithms3D.cs DistancePointSegment,
@@ -1635,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_grid": _q_polygonize_grid,
         "dissolve_chains": _q_dissolve_chains,
         "distance3d_docs": _q_distance3d_docs,
+        "node_grid": _q_node_grid,
         "within_distance_join": _q_within_distance_join,
         "geo_extract": _q_geo_extract,
         "spatial_join_assign": _q_spatial_join_assign,
@@ -1829,6 +1885,33 @@ UNION ALL
 SELECT CAST(x AS BIGINT), CAST(2*i + 1 AS BIGINT),
        CAST(2 AS BIGINT), CAST(1 AS BIGINT)
 FROM t
+""",
+        # the noded sub-segment inventory: horizontals split at every
+        # vertical x, verticals split at every horizontal row (endpoints
+        # -1 and max_id+1 cap the vertical runs)
+        "node_grid": """
+WITH m AS (SELECT max(doc_id) AS mid FROM documents),
+v AS (SELECT 3 + 7*(doc_id/50) AS x FROM documents
+      WHERE doc_id % 50 = 0 AND doc_id < 500),
+hcut AS (
+  SELECT d.doc_id AS i, c.x
+  FROM documents d,
+       (SELECT 0 AS x UNION ALL SELECT 100 UNION ALL SELECT x FROM v) c),
+hseq AS (SELECT i, x, lead(x) OVER (PARTITION BY i ORDER BY x) AS nx FROM hcut),
+vcut AS (
+  SELECT v.x AS x, c.y
+  FROM v,
+       (SELECT -1 AS y
+        UNION ALL SELECT doc_id FROM documents
+        UNION ALL SELECT mid + 1 FROM m) c),
+vseq AS (SELECT x, y, lead(y) OVER (PARTITION BY x ORDER BY y) AS ny FROM vcut)
+SELECT CAST(x AS BIGINT) AS x0, CAST(i AS BIGINT) AS y0,
+       CAST(nx AS BIGINT) AS x1, CAST(i AS BIGINT) AS y1
+FROM hseq WHERE nx IS NOT NULL
+UNION ALL
+SELECT CAST(x AS BIGINT), CAST(y AS BIGINT),
+       CAST(x AS BIGINT), CAST(ny AS BIGINT)
+FROM vseq WHERE ny IS NOT NULL
 """,
         # replay of CGAlgorithms3D.DistancePointSegment: project the point
         # onto the segment, clamp to [0,1], euclidean distance in 3D

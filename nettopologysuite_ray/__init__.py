@@ -59,6 +59,7 @@ _EXPORTS = {
     # multi-row graph stages
     "distributed_polygonize": "stages.polygonize",
     "distributed_line_dissolve": "stages.linemerge",
+    "distributed_node": "stages.noding",
     # structural rewrite hooks
     "GeometryTransformer": "geom.transformer",
     "AffineTransformer": "geom.transformer",
