@@ -48,6 +48,7 @@ _EXPORTS = {
     "equals_topo": "geom.predicates",
     # scalar math kernels (reference: Algorithm/Angle.cs, Geometries/
     # Triangle.cs, Mathematics/Vector2D.cs, Algorithm/HCoordinate.cs)
+    "LineSegment": "geom.segment",
     "Triangle": "geom.mathutil",
     "Vector2D": "geom.mathutil",
     "HCoordinate": "geom.mathutil",

@@ -169,9 +169,24 @@ class HCoordinate:
 
 
 def line_intersection(p1, p2, q1, q2):
-    """Infinite-line intersection via homogeneous coordinates
-    (reference: HCoordinate.cs intersection constructor).  Raises
-    ValueError for parallel lines."""
+    """Infinite-line intersection via homogeneous coordinates, with the
+    reference's ordinate conditioning — subtract the midpoint of the
+    envelope-intersection "kernel" before the unrolled computation, add
+    it back after (reference: Algorithm/IntersectionComputer.cs; keeps
+    large-ordinate nearly-parallel cases accurate).  Raises ValueError
+    for parallel lines."""
+    midx = (
+        max(min(p1[0], p2[0]), min(q1[0], q2[0]))
+        + min(max(p1[0], p2[0]), max(q1[0], q2[0]))
+    ) / 2.0
+    midy = (
+        max(min(p1[1], p2[1]), min(q1[1], q2[1]))
+        + min(max(p1[1], p2[1]), max(q1[1], q2[1]))
+    ) / 2.0
+    p1 = (p1[0] - midx, p1[1] - midy)
+    p2 = (p2[0] - midx, p2[1] - midy)
+    q1 = (q1[0] - midx, q1[1] - midy)
+    q2 = (q2[0] - midx, q2[1] - midy)
     px = p1[1] - p2[1]
     py = p2[0] - p1[0]
     pw = p1[0] * p2[1] - p2[0] * p1[1]
@@ -186,7 +201,7 @@ def line_intersection(p1, p2, q1, q2):
     xr, yr = x / w, y / w
     if not (math.isfinite(xr) and math.isfinite(yr)):
         raise ValueError("lines are parallel")
-    return (xr, yr)
+    return (xr + midx, yr + midy)
 
 
 # ---------------------------------------------------------------------------
