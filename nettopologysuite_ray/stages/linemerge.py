@@ -210,6 +210,8 @@ def distributed_line_dissolve(
                     ),
                     batch_format="pyarrow",
                 )
+                # bound block growth through the filter/union branches
+                .repartition(16)
                 .materialize()
             )
             lines = lines.union(routed.filter(expr="kind == 0"))

@@ -498,6 +498,10 @@ def distributed_polygonize(
                     ),
                     batch_format="pyarrow",
                 )
+                # block count would otherwise double per level through the
+                # filter/union branches, making every later exchange pay
+                # O(blocks²)
+                .repartition(max(1, int(num_partitions)))
                 .materialize()  # residue-scale; feeds two branches
             )
             ring_src = ring_src.union(routed.filter(expr="kind == 0 or kind == 1"))
@@ -539,6 +543,11 @@ def distributed_polygonize(
                                 "key": key,
                                 "wkb": w,
                                 "area": area,
+                                # exactly one replica (the min-corner cell)
+                                # represents the shell in the output — marked
+                                # HERE so downstream never re-decodes wkb to
+                                # recompute the owner per replica
+                                "own": cxx == cx0 and cyy == cy0,
                             }
                         )
             else:
@@ -551,6 +560,7 @@ def distributed_polygonize(
                         "key": key,
                         "wkb": w,
                         "area": 0.0,
+                        "own": True,
                     }
                 )
         schema = pa.schema(
@@ -560,11 +570,20 @@ def distributed_polygonize(
                 ("key", pa.string()),
                 ("wkb", pa.binary()),
                 ("area", pa.float64()),
+                ("own", pa.bool_()),
             ]
         )
         return pa.Table.from_pylist(rows, schema=schema) if rows else schema.empty_table()
 
-    ringed = ring_src.map_batches(keyed_rings, batch_format="pyarrow").materialize()
+    ringed = (
+        ring_src.map_batches(keyed_rings, batch_format="pyarrow")
+        # ring_src is a union of per-level branches — hundreds of tiny
+        # blocks; a groupby-sort over B blocks does an O(B²) exchange,
+        # so bound B first (same pathology as unbounded label-propagation
+        # rounds)
+        .repartition(max(1, int(num_partitions)))
+        .materialize()
+    )
 
     def cell_candidates(g: pa.Table) -> pa.Table:
         kinds = g["kind"].to_pylist()
@@ -600,33 +619,43 @@ def distributed_polygonize(
 
     cands = ringed.groupby("cell").map_groups(cell_candidates, batch_format="pyarrow")
 
-    def pick_min(g: pa.Table) -> pa.Table:
-        order = sorted(
-            range(len(g)),
-            key=lambda i: (g["area"][i].as_py(), g["skey"][i].as_py()),
+    # one-row-per-group map_groups is pathological in Ray Data (one
+    # Python call + table slice per group); bucket by key hash and do a
+    # vectorized per-bucket reduction instead
+    P = max(1, int(num_partitions))
+
+    def _hash_key_col(t: pa.Table, col: str) -> pa.Table:
+        h = np.array(
+            [int(k[:15], 16) % P for k in t[col].to_pylist()], dtype=np.int64
         )
-        i = order[0]
+        return t.append_column("_h", pa.array(h))
+
+    def pick_min_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas().sort_values(["hkey", "area", "skey"], kind="mergesort")
+        first = df.groupby("hkey", sort=False).head(1)
         return pa.table(
             {
-                "skey": pa.array([g["skey"][i].as_py()], type=pa.string()),
-                "hwkb": pa.array([g["hwkb"][i].as_py()], type=pa.binary()),
+                "skey": pa.array(first["skey"].tolist(), type=pa.string()),
+                "hwkb": pa.array(first["hwkb"].tolist(), type=pa.binary()),
             }
         )
 
-    assigned = cands.groupby("hkey").map_groups(pick_min, batch_format="pyarrow")
+    assigned = (
+        cands.map_batches(lambda t: _hash_key_col(t, "hkey"), batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(pick_min_bucket, batch_format="pyarrow")
+    )
 
     def shell_rows(batch: pa.Table) -> pa.Table:
-        m = pa.compute.equal(batch["kind"], KIND_SHELL)
-        b = batch.filter(m)
-        # one row per shell (dedup the per-cell replicas by emitting only
-        # the replica in the shell's own min-corner cell)
-        keep = []
-        for i in range(len(b)):
-            ring = from_wkb(b["wkb"][i].as_py()).data
-            cxx = int(np.floor((float(ring[:, 0].min()) - ox) / cell))
-            cyy = int(np.floor((float(ring[:, 1].min()) - oy) / cell))
-            keep.append(int(b["cell"][i].as_py()) == int(_pack_cell(np.int64(cxx), np.int64(cyy))))
-        b = b.filter(pa.array(keep, type=pa.bool_())) if len(b) else b
+        # one row per shell: the min-corner replica was marked `own`
+        # at replication time (no wkb re-decode here)
+        b = batch.filter(
+            pa.compute.and_(
+                pa.compute.equal(batch["kind"], KIND_SHELL), batch["own"]
+            )
+        )
         return pa.table(
             {
                 "skey": b["key"],
@@ -648,20 +677,26 @@ def distributed_polygonize(
         assigned.map_batches(hole_rows, batch_format="pyarrow")
     )
 
-    def build_faces(g: pa.Table) -> pa.Table:
-        parts = g["part"].to_pylist()
-        shell = None
-        holes = []
-        for i, p in enumerate(parts):
-            w = g["wkb"][i].as_py()
+    def build_faces_bucket(g: pa.Table) -> pa.Table:
+        shells: dict = {}
+        holes: dict = {}
+        for k, p, w in zip(
+            g["skey"].to_pylist(), g["part"].to_pylist(), g["wkb"].to_pylist()
+        ):
             if p == 0:
-                shell = from_wkb(w).data
+                shells[k] = w
             else:
-                holes.append((w, from_wkb(w).data))
-        if shell is None:
-            return pa.table({"face_wkb": pa.array([], type=pa.binary())})
-        holes.sort(key=lambda t2: t2[0])
-        face = Geom(POLYGON, [shell] + [h for _w, h in holes])
-        return pa.table({"face_wkb": pa.array([to_wkb(face)], type=pa.binary())})
+                holes.setdefault(k, []).append(w)
+        faces = []
+        for k in sorted(shells):
+            shell = from_wkb(shells[k]).data
+            hs = sorted(holes.get(k, []))
+            face = Geom(POLYGON, [shell] + [from_wkb(w).data for w in hs])
+            faces.append(to_wkb(face))
+        return pa.table({"face_wkb": pa.array(faces, type=pa.binary())})
 
-    return merged.groupby("skey").map_groups(build_faces, batch_format="pyarrow")
+    return (
+        merged.map_batches(lambda t: _hash_key_col(t, "skey"), batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(build_faces_bucket, batch_format="pyarrow")
+    )
