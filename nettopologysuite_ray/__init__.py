@@ -51,6 +51,7 @@ _EXPORTS = {
     "LineSegment": "geom.segment",
     "Triangle": "geom.mathutil",
     "Vector2D": "geom.mathutil",
+    "Vector3D": "geom.mathutil",
     "HCoordinate": "geom.mathutil",
     "line_intersection": "geom.mathutil",
     # 3D distance ops

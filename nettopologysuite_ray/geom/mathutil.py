@@ -517,3 +517,81 @@ class Vector2D:
 
     def __repr__(self) -> str:
         return f"[{self.x}, {self.y}]"
+
+
+# ---------------------------------------------------------------------------
+# Vector3D (reference: Mathematics/Vector3D.cs)
+
+class Vector3D:
+    __slots__ = ("x", "y", "z")
+
+    def __init__(self, x: float = 0.0, y: float = 0.0, z: float = 0.0):
+        self.x, self.y, self.z = float(x), float(y), float(z)
+
+    @classmethod
+    def create(cls, x, y=None, z=None) -> "Vector3D":
+        if y is None:
+            return cls(x[0], x[1], x[2])
+        return cls(x, y, z)
+
+    @classmethod
+    def from_points(cls, a, b) -> "Vector3D":
+        return cls(b[0] - a[0], b[1] - a[1], b[2] - a[2])
+
+    @staticmethod
+    def dot4(a, b, c, d) -> float:
+        """Dot of vectors ab and cd given as point pairs (reference
+        Vector3D.Dot(A, B, C, D))."""
+        return (
+            (b[0] - a[0]) * (d[0] - c[0])
+            + (b[1] - a[1]) * (d[1] - c[1])
+            + (b[2] - a[2]) * (d[2] - c[2])
+        )
+
+    def add(self, v: "Vector3D") -> "Vector3D":
+        return Vector3D(self.x + v.x, self.y + v.y, self.z + v.z)
+
+    def subtract(self, v: "Vector3D") -> "Vector3D":
+        return Vector3D(self.x - v.x, self.y - v.y, self.z - v.z)
+
+    def divide(self, d: float) -> "Vector3D":
+        return Vector3D(self.x / d, self.y / d, self.z / d)
+
+    def dot(self, v: "Vector3D") -> float:
+        return self.x * v.x + self.y * v.y + self.z * v.z
+
+    def cross(self, v: "Vector3D") -> "Vector3D":
+        return Vector3D(
+            self.y * v.z - self.z * v.y,
+            self.z * v.x - self.x * v.z,
+            self.x * v.y - self.y * v.x,
+        )
+
+    def length(self) -> float:
+        return math.sqrt(self.x * self.x + self.y * self.y + self.z * self.z)
+
+    def normalize(self) -> "Vector3D":
+        ln = self.length()
+        if ln > 0.0:
+            return self.divide(ln)
+        return Vector3D(0.0, 0.0, 0.0)
+
+    def __add__(self, other: "Vector3D") -> "Vector3D":
+        return self.add(other)
+
+    def __sub__(self, other: "Vector3D") -> "Vector3D":
+        return self.subtract(other)
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Vector3D)
+            and self.x == other.x
+            and self.y == other.y
+            and self.z == other.z
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.x, self.y, self.z))
+
+    def __repr__(self) -> str:
+        return f"[{self.x}, {self.y}, {self.z}]"

@@ -137,7 +137,14 @@ class KnnJoin:
 
     CHUNK = 512
 
-    def __init__(self, centers_ref, k: int = 3, lon_col: str = "lon", lat_col: str = "lat"):
+    def __init__(
+        self,
+        centers_ref,
+        k: int = 3,
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        item_distance=None,
+    ):
         state = ray.get(centers_ref) if isinstance(centers_ref, ray.ObjectRef) else centers_ref
         order = np.argsort(state["ids"], kind="stable")  # argmin tie == lowest id
         self.cx = np.ascontiguousarray(state["cx"][order])
@@ -146,6 +153,11 @@ class KnnJoin:
         self.k = k
         self.lon_col = lon_col
         self.lat_col = lat_col
+        # distance UDF hook (reference: Index/Strtree/IItemDistance.cs,
+        # GeometryItemDistance.cs): vectorized (lon_chunk, lat_chunk,
+        # cx, cy) -> (chunk, N) score matrix; None = squared euclid.
+        # Lower score = nearer; ties still break by ascending id.
+        self.item_distance = item_distance
         self._d2 = None
         self._tmp = None
 
@@ -155,7 +167,13 @@ class KnnJoin:
         n = len(lon)
         N = len(self.cx)
         k = min(self.k, N)
-        dt = np.result_type(lon, self.cx)
+        # a distance UDF scores in float64; the default squared-euclid
+        # stays in the input coord dtype (int64-exact for integer cents)
+        dt = (
+            np.dtype(np.float64)
+            if self.item_distance is not None
+            else np.result_type(lon, self.cx)
+        )
         if n == 0:
             out = batch
             for name, typ in (("rank", pa.int64()), ("admin_id", pa.int64()),
@@ -172,13 +190,19 @@ class KnnJoin:
         for s in range(0, n, self.CHUNK):
             e = min(n, s + self.CHUNK)
             m = e - s
-            d2 = self._d2[:m]
-            t = self._tmp[:m]
-            np.subtract(lon[s:e, None], self.cx[None, :], out=d2)
-            np.multiply(d2, d2, out=d2)
-            np.subtract(lat[s:e, None], self.cy[None, :], out=t)
-            np.multiply(t, t, out=t)
-            np.add(d2, t, out=d2)
+            if self.item_distance is not None:
+                d2 = np.asarray(
+                    self.item_distance(lon[s:e], lat[s:e], self.cx, self.cy),
+                    dtype=dt,
+                )
+            else:
+                d2 = self._d2[:m]
+                t = self._tmp[:m]
+                np.subtract(lon[s:e, None], self.cx[None, :], out=d2)
+                np.multiply(d2, d2, out=d2)
+                np.subtract(lat[s:e, None], self.cy[None, :], out=t)
+                np.multiply(t, t, out=t)
+                np.add(d2, t, out=d2)
             r = rr[:m]
             for j in range(k):
                 am = np.argmin(d2, axis=1)

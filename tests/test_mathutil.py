@@ -253,3 +253,23 @@ def test_vector2d_rotate():
         math.pi / 2
     )
     assert Vector2D.create(1, 2).translate((10, 20)) == pytest.approx((11, 22))
+
+
+# -- Vector3D (reference: Mathematics/Vector3DTest.cs) -----------------------
+
+def test_vector3d_ops():
+    from nettopologysuite_ray.geom.mathutil import Vector3D
+
+    assert Vector3D.create(1, 2, 2).length() == pytest.approx(3)
+    assert Vector3D.create((3, 4, 12)).length() == pytest.approx(13)
+    assert (Vector3D(1, 2, 3) + Vector3D(4, 5, 6)) == Vector3D(5, 7, 9)
+    assert (Vector3D(5, 7, 9) - Vector3D(4, 5, 6)) == Vector3D(1, 2, 3)
+    assert Vector3D(1, 2, 3).dot(Vector3D(4, 5, 6)) == pytest.approx(32)
+    c = Vector3D(1, 0, 0).cross(Vector3D(0, 1, 0))
+    assert c == Vector3D(0, 0, 1)
+    n = Vector3D(0, 3, 4).normalize()
+    assert n.length() == pytest.approx(1)
+    assert n == Vector3D(0, 0.6, 0.8)
+    assert Vector3D.from_points((1, 1, 1), (2, 3, 4)) == Vector3D(1, 2, 3)
+    assert Vector3D.dot4((0, 0, 0), (1, 0, 0), (0, 0, 0), (0, 1, 0)) == 0
+    assert Vector3D.dot4((0, 0, 0), (1, 2, 3), (0, 0, 0), (4, 5, 6)) == 32
