@@ -970,6 +970,58 @@ def _q_polygonize_grid(sf_dir: str):
     return faces.map_batches(classify, batch_format="pyarrow")
 
 
+def _q_overlay_z_docs(sf_dir: str):
+    """Z-populated overlay (geom/elevation.py; reference:
+    Operation/OverlayNG/ElevationModel.cs consumed at
+    OverlayNG.cs:437-459): per document, intersect two Z-bearing squares;
+    surviving input vertices carry their Z exactly, the two new corners
+    are filled from the 3x3 averaged elevation model — whose cell
+    arithmetic the SQL oracle replays.  Z doubled to stay integer."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from nettopologysuite_ray.geom.elevation import overlay_z
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    def compute(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "x": [], "y": [], "z2": []}
+        for i in batch["doc_id"].to_pylist():
+            zi = i % 7
+            wi = i % 5 + 10
+            a = from_wkt(
+                f"POLYGON Z ((0 0 {zi}, 10 0 {zi}, 10 10 {zi}, 0 10 {zi}, 0 0 {zi}))"
+            )
+            b = from_wkt(
+                f"POLYGON Z ((5 5 {wi}, 15 5 {wi}, 15 15 {wi}, 5 15 {wi}, 5 5 {wi}))"
+            )
+            res = overlay_z(a, b, "intersection")
+            ring = res.data[0]
+            zs = np.asarray(res.extra["ords"][0], dtype=np.float64).reshape(-1)
+            seen = set()
+            for (x, y), z in zip(ring, zs):
+                key = (float(x), float(y))
+                if key in seen:
+                    continue
+                seen.add(key)
+                out["doc_id"].append(i)
+                out["x"].append(int(round(key[0])))
+                out["y"].append(int(round(key[1])))
+                out["z2"].append(int(round(2 * float(z))))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "x": pa.array(out["x"], type=pa.int64()),
+                "y": pa.array(out["y"], type=pa.int64()),
+                "z2": pa.array(out["z2"], type=pa.int64()),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(compute, batch_format="pyarrow")
+
+
 def _q_node_grid(sf_dir: str):
     """Distributed bulk noding (stages/noding.py; reference role:
     Noding/MCIndexNoder.cs:21 run layer-wide): per document a horizontal
@@ -1691,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dissolve_chains": _q_dissolve_chains,
         "distance3d_docs": _q_distance3d_docs,
         "node_grid": _q_node_grid,
+        "overlay_z_docs": _q_overlay_z_docs,
         "within_distance_join": _q_within_distance_join,
         "geo_extract": _q_geo_extract,
         "spatial_join_assign": _q_spatial_join_assign,
@@ -1885,6 +1938,22 @@ UNION ALL
 SELECT CAST(x AS BIGINT), CAST(2*i + 1 AS BIGINT),
        CAST(2 AS BIGINT), CAST(1 AS BIGINT)
 FROM t
+""",
+        # the Z the elevation model must assign: surviving input corners
+        # carry their own Z ((5,5) from b, (10,10) from a); the two new
+        # corners fall in 3x3-model cells populated only by b's vertices
+        "overlay_z_docs": """
+SELECT doc_id, CAST(5 AS BIGINT) AS x, CAST(5 AS BIGINT) AS y,
+       CAST(2*(doc_id % 5 + 10) AS BIGINT) AS z2 FROM documents
+UNION ALL
+SELECT doc_id, CAST(5 AS BIGINT), CAST(10 AS BIGINT),
+       CAST(2*(doc_id % 5 + 10) AS BIGINT) FROM documents
+UNION ALL
+SELECT doc_id, CAST(10 AS BIGINT), CAST(5 AS BIGINT),
+       CAST(2*(doc_id % 5 + 10) AS BIGINT) FROM documents
+UNION ALL
+SELECT doc_id, CAST(10 AS BIGINT), CAST(10 AS BIGINT),
+       CAST(2*(doc_id % 7) AS BIGINT) FROM documents
 """,
         # the noded sub-segment inventory: horizontals split at every
         # vertical x, verticals split at every horizontal row (endpoints
