@@ -1487,12 +1487,20 @@ def _assemble_polygons(directed_edges, degenerate_out=None):
             if alg.ring_signed_area(r) == 0.0 and len(r) >= 3:
                 degenerate_out.append(r)
     polys = [[s] for s in shells]
+    shell_edges = [_ring_edge_set(s) for s in shells]
     for h in holes:
         # assign to the smallest shell containing a point ON the hole ring
         # (an interior point of the hole's enclosed region may lie inside an
-        # unrelated smaller shell sitting inside the hole)
+        # unrelated smaller shell sitting inside the hole).  A hole never
+        # shares an EDGE with its containing shell (faces touch holes at
+        # most at vertices) — without this exclusion, a float-rounded
+        # edge-midpoint probe of a CW ring can land a ULP inside its own
+        # CCW twin and nest a face into itself
+        hedges = _ring_edge_set(h)
         best = None
         for pi2, poly in enumerate(polys):
+            if hedges & shell_edges[pi2]:
+                continue
             probe = _ring_probe_not_on(h, poly[0])
             if probe is None:
                 continue
@@ -1503,6 +1511,15 @@ def _assemble_polygons(directed_edges, degenerate_out=None):
         if best is not None:
             polys[best[1]].append(h)
     return polys
+
+
+def _ring_edge_set(ring) -> set:
+    out = set()
+    for i9 in range(len(ring) - 1):
+        a = (float(ring[i9, 0]), float(ring[i9, 1]))
+        b = (float(ring[i9 + 1, 0]), float(ring[i9 + 1, 1]))
+        out.add((min(a, b), max(a, b)))
+    return out
 
 
 def _drop_collinear(ring: np.ndarray) -> np.ndarray:

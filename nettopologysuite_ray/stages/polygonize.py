@@ -191,47 +191,62 @@ def _succ_orbits(directed_edges):
     into an all-interior zero-area sub-ring and consume it wrongly).
     Returns a list of edge-index cycles; edges not on a cycle (open
     chains into a dead end) appear in no orbit."""
+    # rotation system: CCW-sorted outgoing edges per vertex; the
+    # successor of incoming e is the cyclic PREDECESSOR of rev(e) in
+    # that ring (= sharpest left turn).  Computed this way the successor
+    # is a BIJECTION by construction — the per-incoming "max turn angle"
+    # formulation can rank two candidates equal at atan2 rounding
+    # boundaries (1-ULP-separated vertices), making succ non-injective,
+    # leaving rho-tail edges on no orbit, and silently dropping faces.
+    import bisect
+
     out_by_node: dict = {}
     for idx, (p0, p1) in enumerate(directed_edges):
         out_by_node.setdefault(p0, []).append(idx)
+    rings: dict = {}
+    for v, out_idx in out_by_node.items():
+        ring = sorted(
+            (
+                math.atan2(
+                    directed_edges[i3][1][1] - v[1],
+                    directed_edges[i3][1][0] - v[0],
+                ),
+                i3,
+            )
+            for i3 in out_idx
+        )
+        rings[v] = ([a for a, _ in ring], [i3 for _, i3 in ring])
     n = len(directed_edges)
     succ = np.full(n, -1, dtype=np.int64)
     for idx, (p0, p1) in enumerate(directed_edges):
-        cands = out_by_node.get(p1, [])
-        nonrev = [i3 for i3 in cands if directed_edges[i3][1] != p0]
-        pool = nonrev if nonrev else cands  # reversal only as last resort
-        if not pool:
-            continue
-        if len(pool) == 1:
-            succ[idx] = pool[0]
-        else:
-            din = math.atan2(p1[1] - p0[1], p1[0] - p0[0])
-            best = None
-            for i3 in pool:
-                q0, q1 = directed_edges[i3]
-                dout = math.atan2(q1[1] - q0[1], q1[0] - q0[0])
-                # CCW turn angle from incoming to outgoing in (-pi, pi]
-                ang = (dout - din + math.pi) % (2 * math.pi) - math.pi
-                if best is None or ang > best[0]:
-                    best = (ang, i3)
-            succ[idx] = best[1]
-    # cycle decomposition of the functional graph
+        entry = rings.get(p1)
+        if entry is None:
+            continue  # dead end: no outgoing at head (pruned dangle tip)
+        angles, ids = entry
+        # angle of rev(e) computed exactly as the outgoing angles are
+        # (atan2 of other-end minus vertex), so when rev(e) is present
+        # the bisect lands on its exact slot; the cyclic predecessor is
+        # the sharpest left turn either way
+        a_rev = math.atan2(p0[1] - p1[1], p0[0] - p1[0])
+        k = bisect.bisect_left(angles, a_rev)
+        succ[idx] = ids[k - 1]  # k-1 == -1 wraps to the last slot
+    # orbit decomposition of the permutation (edges whose reversal is
+    # absent — open linework ends — keep succ == -1 and sit on no orbit)
     state = np.zeros(n, dtype=np.int8)  # 0 unseen, 1 on path, 2 done
     orbits = []
     for e0 in range(n):
         if state[e0]:
             continue
         path = []
-        pos: dict = {}
+        pos2: dict = {}
         e = e0
         while e != -1 and state[e] == 0:
             state[e] = 1
-            pos[e] = len(path)
+            pos2[e] = len(path)
             path.append(e)
             e = int(succ[e])
-        if e != -1 and state[e] == 1 and e in pos:
-            orbits.append(path[pos[e]:])  # the cycle part; the tail
-            # (rho stem) is an open approach, not a face
+        if e != -1 and state[e] == 1 and e in pos2:
+            orbits.append(path[pos2[e]:])
         for p in path:
             state[p] = 2
     return orbits
@@ -585,13 +600,28 @@ def distributed_polygonize(
         .materialize()
     )
 
+    def _ring_edges_set(ring) -> set:
+        out = set()
+        for i in range(len(ring) - 1):
+            a = (float(ring[i, 0]), float(ring[i, 1]))
+            b = (float(ring[i + 1, 0]), float(ring[i + 1, 1]))
+            out.add((min(a, b), max(a, b)))
+        return out
+
     def cell_candidates(g: pa.Table) -> pa.Table:
         kinds = g["kind"].to_pylist()
-        shells = [
-            (g["key"][i].as_py(), from_wkb(g["wkb"][i].as_py()).data, g["area"][i].as_py())
-            for i in range(len(g))
-            if kinds[i] == KIND_SHELL
-        ]
+        shells = []
+        for i in range(len(g)):
+            if kinds[i] == KIND_SHELL:
+                sring = from_wkb(g["wkb"][i].as_py()).data
+                shells.append(
+                    (
+                        g["key"][i].as_py(),
+                        sring,
+                        g["area"][i].as_py(),
+                        _ring_edges_set(sring),
+                    )
+                )
         rows = []
         for i in range(len(g)):
             if kinds[i] != KIND_HOLE:
@@ -599,7 +629,16 @@ def distributed_polygonize(
             hkey = g["key"][i].as_py()
             hw = g["wkb"][i].as_py()
             hring = from_wkb(hw).data
-            for skey, sring, sarea in shells:
+            hedges = _ring_edges_set(hring)
+            for skey, sring, sarea, sedges in shells:
+                if hedges & sedges:
+                    # a hole never shares an EDGE with its containing
+                    # shell (minimal rings touch at most at vertices) —
+                    # sharing means adjacency, and in particular a CW
+                    # ring must not land inside its own CCW twin via a
+                    # float-rounded edge-midpoint probe that falls a ULP
+                    # interior
+                    continue
                 probe = _ring_probe_not_on(hring, sring)
                 if probe is None:
                     continue
