@@ -1390,77 +1390,111 @@ def _point_resultants(a, b, ea, eb, pa, pb, op, touch_a=None, touch_b=None):
 # ring assembly
 
 
-def _trace_rings(directed_edges, ring_edges_out=None):
-    """Maximal-ring walks over DEDUPLICATED directed edges (interior on
-    LEFT, sharpest left turn, spur double-back only as last resort),
-    split at repeated nodes into minimal rings — the shared face-walk
-    kernel of overlay assembly, polygonize, and the distributed
-    polygonize stages.  Returns closed (N,2) float arrays.  When
-    ring_edges_out is given, one list of directed-edge INDICES per
-    returned ring is appended to it (the half-edges that ring consumed —
-    the accounting hook tile-distributed polygonize needs)."""
+def _succ_orbits(directed_edges):
+    """Sharpest-left successor permutation over deduplicated directed
+    edges, decomposed into cycles — the shared face-walk kernel of
+    overlay assembly, polygonize, and the tile-distributed polygonize
+    stages.  Unlike a stateful used-marks walk, the permutation has no
+    traversal state, so its orbits are well-defined objects: an orbit
+    whose vertices all have complete stars IS the global orbit — the
+    atomicity the tile split needs.
+
+    Formulation: rotation system.  Outgoing edges at each vertex are
+    CCW-sorted by the key (atan2 angle, TARGET VERTEX) — not angle
+    alone: at ULP tangles two outgoing edges can have EXACTLY equal
+    atan2 (targets 1 ULP apart on one axis), and an angle-only match
+    sends both reversals to the same slot, collapsing succ into a
+    non-injective map whose rho-tail edges silently drop from every
+    orbit.  The successor of e is the cyclic PREDECESSOR of rev(e)'s
+    key slot (= sharpest left turn; immediate double-back only when
+    rev(e) is the sole outgoing edge).  When rev(e) is absent (overlay
+    emits one-directional half-edges; stitch levels see residual
+    subsets) the bisect lands where rev(e) WOULD sit, and the entry
+    before that slot is still the global successor — the open interval
+    between an edge's global successor and its reversal is empty
+    globally, hence empty in any subset containing the successor.
+
+    Returns a list of edge-index cycles; edges not on a cycle (open
+    chains into a dead end) appear in no orbit."""
+    import bisect
+
     out_by_node: dict = {}
     for idx, (p0, p1) in enumerate(directed_edges):
         out_by_node.setdefault(p0, []).append(idx)
-    used = [False] * len(directed_edges)
-    rings = []
-    for start in range(len(directed_edges)):
-        if used[start]:
+    rings: dict = {}
+    for v, out_idx in out_by_node.items():
+        ring = sorted(
+            (
+                (
+                    math.atan2(
+                        directed_edges[i3][1][1] - v[1],
+                        directed_edges[i3][1][0] - v[0],
+                    ),
+                    directed_edges[i3][1],
+                ),
+                i3,
+            )
+            for i3 in out_idx
+        )
+        rings[v] = ([key for key, _ in ring], [i3 for _, i3 in ring])
+    n = len(directed_edges)
+    succ = np.full(n, -1, dtype=np.int64)
+    for idx, (p0, p1) in enumerate(directed_edges):
+        entry = rings.get(p1)
+        if entry is None:
+            continue  # dead end: no outgoing at head (pruned dangle tip)
+        keys, ids = entry
+        a_rev = math.atan2(p0[1] - p1[1], p0[0] - p1[0])
+        k = bisect.bisect_left(keys, (a_rev, p0))
+        succ[idx] = ids[k - 1]  # k-1 == -1 wraps to the last slot
+    # orbit decomposition (edges whose head has no outgoing keep
+    # succ == -1 and sit on no orbit; rho tails are consumed unsaved)
+    state = np.zeros(n, dtype=np.int8)  # 0 unseen, 1 on path, 2 done
+    orbits = []
+    for e0 in range(n):
+        if state[e0]:
             continue
-        ring = []
-        walk_edges = []
-        cur = start
-        guard = 0
-        ok = True
-        while True:
-            guard += 1
-            if guard > len(directed_edges) + 2:
-                ok = False
-                break
-            used[cur] = True
-            walk_edges.append(cur)
-            p0, p1 = directed_edges[cur]
-            ring.append(p0)
-            if p1 == directed_edges[start][0] and len(ring) >= 2:
-                break  # 2-edge out-and-back rings close too: they carry
-                # zero area and surface via degenerate_out
-            cands = [i3 for i3 in out_by_node.get(p1, []) if not used[i3]]
-            if not cands:
-                ok = False
-                break
-            if len(cands) > 1:
-                # the exact reverse edge is only a correct continuation when
-                # no other edge remains (immediate double-back = spur); it
-                # must also never win the angle comparison below — its true
-                # turn is -pi, but atan2 rounding can flip -pi to +pi-eps
-                nonrev = [
-                    i3 for i3 in cands if directed_edges[i3][1] != p0
-                ]
-                if nonrev:
-                    cands = nonrev
-            if len(cands) == 1:
-                cur = cands[0]
-            else:
-                # choose the edge making the sharpest LEFT turn (interior on
-                # left → face traversal turns left-most / max CCW angle)
-                din = math.atan2(p1[1] - p0[1], p1[0] - p0[0])
-                best = None
-                for i3 in cands:
-                    q0, q1 = directed_edges[i3]
-                    dout = math.atan2(q1[1] - q0[1], q1[0] - q0[0])
-                    # CCW turn angle from incoming to outgoing in (-pi, pi]
-                    ang = (dout - din + math.pi) % (2 * math.pi) - math.pi
-                    if best is None or ang > best[0]:
-                        best = (ang, i3)
-                cur = best[1]
-        if ok and len(ring) >= 2:
-            ring.append(ring[0])
-            # maximal ring → minimal rings: split at repeated nodes
-            # (reference: Operation/Overlay/MaximalEdgeRing → MinimalEdgeRing)
-            for sub_v, sub_e in _split_minimal_rings_indexed(ring, walk_edges):
-                rings.append(np.array(sub_v, dtype=np.float64))
-                if ring_edges_out is not None:
-                    ring_edges_out.append(sub_e)
+        path = []
+        pos2: dict = {}
+        e = e0
+        while e != -1 and state[e] == 0:
+            state[e] = 1
+            pos2[e] = len(path)
+            path.append(e)
+            e = int(succ[e])
+        if e != -1 and state[e] == 1 and e in pos2:
+            cyc = path[pos2[e]:]
+            # canonical rotation: start each cycle at its minimal
+            # directed-edge tuple.  The minimal-ring split of a cycle
+            # with INTERLEAVED repeated vertices (A..B..A..B pinch
+            # chains) regroups differently per rotation; pinning the
+            # rotation to a value-only key makes the decomposition a
+            # function of the edge SET, independent of enumeration
+            # order (kernel iterates a hash-ordered dedup set, the
+            # tile stages a sorted list — they must split alike)
+            k0 = min(range(len(cyc)), key=lambda i9: directed_edges[cyc[i9]])
+            orbits.append(cyc[k0:] + cyc[:k0])
+        for p in path:
+            state[p] = 2
+    return orbits
+
+
+def _trace_rings(directed_edges, ring_edges_out=None):
+    """Face rings over DEDUPLICATED directed edges (interior on LEFT):
+    the `_succ_orbits` cycles, each split at repeated nodes into minimal
+    rings (reference: Operation/Overlay/MaximalEdgeRing →
+    MinimalEdgeRing).  Returns closed (N,2) float arrays.  When
+    ring_edges_out is given, one list of directed-edge INDICES per
+    returned ring is appended to it (the half-edges that ring consumed —
+    the accounting hook tile-distributed polygonize needs)."""
+    rings = []
+    for orbit in _succ_orbits(directed_edges):
+        verts = [directed_edges[e][0] for e in orbit]
+        ring = verts + [verts[0]]
+        for sub_v, sub_e in _split_minimal_rings_indexed(ring, list(orbit)):
+            rings.append(np.array(sub_v, dtype=np.float64))
+            if ring_edges_out is not None:
+                ring_edges_out.append(sub_e)
     return rings
 
 

@@ -68,10 +68,13 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-import math
 
 from ..geom import algorithms as alg
-from ..geom.overlay import _ring_probe_not_on, _split_minimal_rings_indexed
+from ..geom.overlay import (
+    _ring_probe_not_on,
+    _split_minimal_rings_indexed,
+    _succ_orbits,
+)
 from ..geom.types import Geom, LINESTRING, POLYGON
 from ..geom.wkb import from_wkb, to_wkb
 
@@ -178,78 +181,6 @@ def _rows_table(rows) -> pa.Table:
         ],
         schema=_OUT_SCHEMA,
     ) if rows else _OUT_SCHEMA.empty_table()
-
-
-def _succ_orbits(directed_edges):
-    """Pure sharpest-left successor permutation over deduplicated
-    directed edges, decomposed into cycles.  Unlike the stateful walk in
-    `overlay._trace_rings` (used-marks + early closure at the start
-    vertex), the permutation has no traversal state, so its orbits are
-    well-defined objects: an orbit whose vertices all have complete
-    stars IS the global orbit — the atomicity the tile split needs
-    (a stateful walk can leak a boundary vertex's forced double-back
-    into an all-interior zero-area sub-ring and consume it wrongly).
-    Returns a list of edge-index cycles; edges not on a cycle (open
-    chains into a dead end) appear in no orbit."""
-    # rotation system: CCW-sorted outgoing edges per vertex; the
-    # successor of incoming e is the cyclic PREDECESSOR of rev(e) in
-    # that ring (= sharpest left turn).  Computed this way the successor
-    # is a BIJECTION by construction — the per-incoming "max turn angle"
-    # formulation can rank two candidates equal at atan2 rounding
-    # boundaries (1-ULP-separated vertices), making succ non-injective,
-    # leaving rho-tail edges on no orbit, and silently dropping faces.
-    import bisect
-
-    out_by_node: dict = {}
-    for idx, (p0, p1) in enumerate(directed_edges):
-        out_by_node.setdefault(p0, []).append(idx)
-    rings: dict = {}
-    for v, out_idx in out_by_node.items():
-        ring = sorted(
-            (
-                math.atan2(
-                    directed_edges[i3][1][1] - v[1],
-                    directed_edges[i3][1][0] - v[0],
-                ),
-                i3,
-            )
-            for i3 in out_idx
-        )
-        rings[v] = ([a for a, _ in ring], [i3 for _, i3 in ring])
-    n = len(directed_edges)
-    succ = np.full(n, -1, dtype=np.int64)
-    for idx, (p0, p1) in enumerate(directed_edges):
-        entry = rings.get(p1)
-        if entry is None:
-            continue  # dead end: no outgoing at head (pruned dangle tip)
-        angles, ids = entry
-        # angle of rev(e) computed exactly as the outgoing angles are
-        # (atan2 of other-end minus vertex), so when rev(e) is present
-        # the bisect lands on its exact slot; the cyclic predecessor is
-        # the sharpest left turn either way
-        a_rev = math.atan2(p0[1] - p1[1], p0[0] - p1[0])
-        k = bisect.bisect_left(angles, a_rev)
-        succ[idx] = ids[k - 1]  # k-1 == -1 wraps to the last slot
-    # orbit decomposition of the permutation (edges whose reversal is
-    # absent — open linework ends — keep succ == -1 and sit on no orbit)
-    state = np.zeros(n, dtype=np.int8)  # 0 unseen, 1 on path, 2 done
-    orbits = []
-    for e0 in range(n):
-        if state[e0]:
-            continue
-        path = []
-        pos2: dict = {}
-        e = e0
-        while e != -1 and state[e] == 0:
-            state[e] = 1
-            pos2[e] = len(path)
-            path.append(e)
-            e = int(succ[e])
-        if e != -1 and state[e] == 1 and e in pos2:
-            orbits.append(path[pos2[e]:])
-        for p in path:
-            state[p] = 2
-    return orbits
 
 
 def _walk_group(directed, anchors, interior, final, emit_residue):
