@@ -1295,6 +1295,68 @@ def _q_gml_kml_roundtrip(sf_dir: str):
     return partial.repartition(1).map_batches(merge, batch_format="pyarrow")
 
 
+def _q_gml_kml_coords(sf_dir: str):
+    """SQL-oracle-checked GML2/GML3/KML round-trip: per document build a
+    3-point LineString and a CCW rectangle from integer-cent arithmetic,
+    encode -> parse through each format, and emit the PARSED vertex
+    coordinates back as integer cents.  Any precision loss or vertex
+    reordering in the XML writers/readers (reference IO surface:
+    IO/GML2/GMLWriter.cs, IO/KML/KMLReader.cs) breaks the hash match.
+    Map-only: scales as a pure per-batch transform."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def roundtrip(batch):
+        import numpy as np
+        import pyarrow as pa2
+
+        from nettopologysuite_ray.geom.gml import from_gml, to_gml2, to_gml3
+        from nettopologysuite_ray.geom.kml import from_kml, to_kml
+        from nettopologysuite_ray.geom.types import Geom
+
+        out_id, out_kind, out_fmt, out_idx, out_x, out_y = [], [], [], [], [], []
+        for did in batch["doc_id"].to_pylist():
+            did = int(did)
+            xs = [((did * 7919 + i * 131) % 36000 - 18000) / 100.0 for i in range(3)]
+            ys = [((did * 104729 + i * 173) % 18000 - 9000) / 100.0 for i in range(3)]
+            w = ((did % 37) + 1) / 100.0
+            h = ((did % 53) + 1) / 100.0
+            x0, y0 = xs[0], ys[0]
+            geoms = (
+                ("line", Geom.linestring(np.column_stack([xs, ys])), 3),
+                ("poly", Geom.polygon(np.array(
+                    [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]
+                )), 4),
+            )
+            for fmt, enc, dec in (
+                ("gml2", to_gml2, from_gml),
+                ("gml3", to_gml3, from_gml),
+                ("kml", to_kml, from_kml),
+            ):
+                for kind, g, nv in geoms:
+                    c = dec(enc(g)).all_coords()
+                    for i in range(nv):  # skip the closing ring vertex
+                        out_id.append(did)
+                        out_kind.append(kind)
+                        out_fmt.append(fmt)
+                        out_idx.append(i)
+                        out_x.append(int(round(c[i, 0] * 100)))
+                        out_y.append(int(round(c[i, 1] * 100)))
+        return pa2.table(
+            {
+                "doc_id": pa2.array(out_id, type=pa2.int64()),
+                "kind": pa2.array(out_kind, type=pa2.string()),
+                "fmt": pa2.array(out_fmt, type=pa2.string()),
+                "idx": pa2.array(out_idx, type=pa2.int64()),
+                "x_1e2": pa2.array(out_x, type=pa2.int64()),
+                "y_1e2": pa2.array(out_y, type=pa2.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow", batch_size=512)
+
+
 def _q_cluster_hulls(sf_dir: str):
     """Per-cluster concave hull as a map_groups stage (reference:
     Algorithm/Hull/ConcaveHull.cs:57).  Fixture points: 4 forced box
@@ -1777,6 +1839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
         "gml_kml_roundtrip": _q_gml_kml_roundtrip,
+        "gml_kml_coords": _q_gml_kml_coords,
         "coverage_simplify": _q_coverage_simplify,
         "cluster_hulls": _q_cluster_hulls,
         "triangulate_events": _q_triangulate_events,
@@ -1867,6 +1930,25 @@ def oracle_sql() -> dict[str, str]:
         "distributed_union": """
 WITH g AS (SELECT unnest(range(36)) AS band)
 SELECT band, 1800.0 AS band_area, CAST(1 AS BIGINT) AS n_parts FROM g
+""",
+        # replay of the deterministic vertex arithmetic the engine pushes
+        # through encode->parse for each of GML2/GML3/KML; hash match
+        # proves the XML IO preserves every vertex exactly in order
+        "gml_kml_coords": """
+WITH li AS (SELECT doc_id, 'line' AS kind, unnest(range(3)) AS idx FROM documents),
+lc AS (SELECT doc_id, kind, idx,
+         (doc_id*7919 + idx*131) % 36000 - 18000 AS x_1e2,
+         (doc_id*104729 + idx*173) % 18000 - 9000 AS y_1e2 FROM li),
+pi AS (SELECT doc_id, 'poly' AS kind, unnest(range(4)) AS idx FROM documents),
+pc AS (SELECT doc_id, kind, idx,
+         (doc_id*7919) % 36000 - 18000
+           + CASE WHEN idx IN (1,2) THEN (doc_id % 37) + 1 ELSE 0 END AS x_1e2,
+         (doc_id*104729) % 18000 - 9000
+           + CASE WHEN idx IN (2,3) THEN (doc_id % 53) + 1 ELSE 0 END AS y_1e2 FROM pi),
+f AS (SELECT unnest(['gml2','gml3','kml']) AS fmt)
+SELECT doc_id, kind, f.fmt, CAST(idx AS BIGINT) AS idx,
+       CAST(x_1e2 AS BIGINT) AS x_1e2, CAST(y_1e2 AS BIGINT) AS y_1e2
+FROM (SELECT * FROM lc UNION ALL SELECT * FROM pc) c CROSS JOIN f
 """,
         "geom_stats": """
 WITH g AS (SELECT unnest(range(648)) AS admin_id)
