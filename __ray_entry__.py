@@ -1295,6 +1295,98 @@ def _q_gml_kml_roundtrip(sf_dir: str):
     return partial.repartition(1).map_batches(merge, batch_format="pyarrow")
 
 
+def _q_coverage_simplify_grid(sf_dir: str):
+    """SQL-oracle-checked distributed coverage simplification (reference:
+    Coverage/CoverageSimplifier.cs:48).  Fixture: a 24x20 irregular
+    rectangular coverage with every edge densified by 3 exact collinear
+    points (integer coordinates, segment lengths divisible by 4 so the
+    subdivision points are exactly representable).  Column bands are
+    simplified edge-consistently in independent map_groups tasks; each
+    cell must come back as exactly its 4-corner rectangle with integer
+    area/perimeter — any dropped corner, kept collinear vertex, or
+    cross-cell edge inconsistency breaks the hash match."""
+    import ray.data as rd
+
+    NX, NY = 24, 20
+
+    ds = rd.range(NX * NY, override_num_blocks=8)
+
+    def keys(b):
+        import pyarrow as pa2
+
+        ids = b["id"].to_numpy()
+        i = ids // NY
+        return pa2.table(
+            {
+                "i": pa2.array(i, type=pa2.int64()),
+                "j": pa2.array(ids % NY, type=pa2.int64()),
+                "band": pa2.array(i // 4, type=pa2.int64()),
+            }
+        )
+
+    def simplify_band(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd2
+
+        from nettopologysuite_ray.geom import algorithms as alg
+        from nettopologysuite_ray.geom.coverage_simplify import coverage_simplify
+        from nettopologysuite_ray.geom.types import Geom
+
+        def w_of(i):
+            return 4 * ((i * 13) % 50 + 25)
+
+        def h_of(j):
+            return 4 * ((j * 17) % 50 + 25)
+
+        xc = np.concatenate([[0], np.cumsum([w_of(i) for i in range(NX)])]).astype(float)
+        yc = np.concatenate([[0], np.cumsum([h_of(j) for j in range(NY)])]).astype(float)
+
+        def densify_ring(r, k=3):
+            pts = [r[0]]
+            for a, b in zip(r[:-1], r[1:]):
+                for s in range(1, k + 1):
+                    pts.append(a + (b - a) * (s / (k + 1)))
+                pts.append(b)
+            return np.array(pts)
+
+        ii = g["i"].to_numpy()
+        jj = g["j"].to_numpy()
+        geoms = []
+        for i, j in zip(ii, jj):
+            ring = np.array(
+                [
+                    [xc[i], yc[j]],
+                    [xc[i + 1], yc[j]],
+                    [xc[i + 1], yc[j + 1]],
+                    [xc[i], yc[j + 1]],
+                    [xc[i], yc[j]],
+                ]
+            )
+            geoms.append(Geom("Polygon", [densify_ring(ring)]))
+        out = coverage_simplify(geoms, tol=0.5)
+        return pd2.DataFrame(
+            {
+                "i": ii.astype("int64"),
+                "j": jj.astype("int64"),
+                "n_vertices": np.array(
+                    [len(p.data[0]) - 1 for p in out], dtype="int64"
+                ),
+                "area": np.array(
+                    [int(round(alg.area(p))) for p in out], dtype="int64"
+                ),
+                "perim_div4": np.array(
+                    [int(round(alg.length(p) / 4)) for p in out], dtype="int64"
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(simplify_band, batch_format="pandas")
+    )
+
+
 def _q_gml_kml_coords(sf_dir: str):
     """SQL-oracle-checked GML2/GML3/KML round-trip: per document build a
     3-point LineString and a CCW rectangle from integer-cent arithmetic,
@@ -1841,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gml_kml_roundtrip": _q_gml_kml_roundtrip,
         "gml_kml_coords": _q_gml_kml_coords,
         "coverage_simplify": _q_coverage_simplify,
+        "coverage_simplify_grid": _q_coverage_simplify_grid,
         "cluster_hulls": _q_cluster_hulls,
         "triangulate_events": _q_triangulate_events,
         "voronoi_cells": _q_voronoi_cells,
@@ -1930,6 +2023,16 @@ def oracle_sql() -> dict[str, str]:
         "distributed_union": """
 WITH g AS (SELECT unnest(range(36)) AS band)
 SELECT band, 1800.0 AS band_area, CAST(1 AS BIGINT) AS n_parts FROM g
+""",
+        # the simplified coverage must be exactly the generating rectangles:
+        # 4 corners, integer area w*h and quarter-perimeter (w+h)/2
+        "coverage_simplify_grid": """
+WITH ci AS (SELECT unnest(range(24)) AS i), cj AS (SELECT unnest(range(20)) AS j),
+d AS (SELECT i, j, 4*((i*13)%50+25) AS w, 4*((j*17)%50+25) AS h FROM ci CROSS JOIN cj)
+SELECT i, j, CAST(4 AS BIGINT) AS n_vertices,
+       CAST(w*h AS BIGINT) AS area,
+       CAST((w+h)/2 AS BIGINT) AS perim_div4
+FROM d
 """,
         # replay of the deterministic vertex arithmetic the engine pushes
         # through encode->parse for each of GML2/GML3/KML; hash match
