@@ -2,7 +2,7 @@
 (node → polygonize / dissolve vs the in-process kernels on brute-noded
 input).  One Ray session, many seeds; prints one JSON summary line.
 
-Usage: python tools/fuzz_topo.py [n_seeds] [num_cpus]
+Usage: python tools/fuzz_topo.py [n_seeds] [num_cpus] [seed_base]
 """
 
 from __future__ import annotations
@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     num_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    seed_base = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     import ray
 
     if not ray.is_initialized():
@@ -45,7 +46,7 @@ def main() -> None:
 
     t0 = time.time()
     fails = []
-    for seed in range(1, n_seeds + 1):
+    for seed in range(seed_base + 1, seed_base + n_seeds + 1):
         rng = random.Random(seed * 7919)
         lines = _random_lines(rng, n=rng.randint(8, 22), extent=rng.choice([12, 20, 35]))
         cell = rng.choice([2.0, 3.0, 5.0, 7.5, 11.0])
