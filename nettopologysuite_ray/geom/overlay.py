@@ -147,15 +147,16 @@ def _interiors_overlap(a: Geom, b: Geom) -> bool:
     x1, y1 = min(ea[2], eb[2]), min(ea[3], eb[3])
     if x1 <= x0 or y1 <= y0:
         return False
-    cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
-    qx, qy = (x1 - x0) / 4.0, (y1 - y0) / 4.0
-    for px, py in (
-        (cx, cy),
-        (cx - qx, cy - qy),
-        (cx + qx, cy - qy),
-        (cx - qx, cy + qy),
-        (cx + qx, cy + qy),
-    ):
+    # centre + a 4x4 grid at odd-eighths fractions: catches any overlap
+    # pocket spanning >= 1/4 of the envelope-intersection in each axis
+    # (fuzz: an L-shape ∩ ulp-shifted rect whose true overlap strip sat
+    # exactly between the old quarter probes, with a probe ON a boundary)
+    dx, dy = x1 - x0, y1 - y0
+    probes = [((x0 + x1) / 2.0, (y0 + y1) / 2.0)]
+    for fx in (1, 3, 5, 7):
+        for fy in (1, 3, 5, 7):
+            probes.append((x0 + dx * fx / 8.0, y0 + dy * fy / 8.0))
+    for px, py in probes:
         if (
             alg.locate_in_geom(px, py, a) == I
             and alg.locate_in_geom(px, py, b) == I
@@ -253,6 +254,10 @@ _PIN_DEPTH = [0]  # reentrancy guard: pins compute a sibling overlay whose
 # results could recurse forever
 
 
+def _has_holes(g: Geom) -> bool:
+    return any(len(c.data) > 1 for c in g.flatten() if c.gtype == POLYGON)
+
+
 def _pinned_expected(a: Geom, b: Geom, op: str, aa: float, ab: float, ar: float, overlap: bool, tol: float):
     """Inclusion-exclusion pin for the cases the loose bounds cannot
     catch.  With overlapping interiors, only symdifference needs it (the
@@ -268,18 +273,30 @@ def _pinned_expected(a: Geom, b: Geom, op: str, aa: float, ab: float, ar: float,
         return None
     _PIN_DEPTH[0] += 1
     try:
-        if op == "difference" and ar < aa - tol:
+        holes = _has_holes(a) or _has_holes(b)
+        if op == "difference" and (ar < aa - tol or (overlap and holes)):
             # any reported area loss is pinned exactly: the loose lower
             # bound max(0, aa-ab) admits a difference that silently lost
             # area whenever ab is large (fuzz: 1-ulp-rotated overlapping
-            # rectangles gave d = EMPTY with a correct intersection)
+            # rectangles gave d = EMPTY with a correct intersection).
+            # Holed overlapping pairs are pinned unconditionally — a
+            # filled hole inflates d invisibly within the loose bounds
             return aa - alg.area(overlay(a, b, "intersection"))
         if op == "symdifference" and overlap:
             return aa + ab - 2.0 * alg.area(overlay(a, b, "intersection"))
-        if op == "union" and overlap and ar >= aa + ab - tol:
+        if op == "union" and overlap and (ar >= aa + ab - tol or holes):
             # union double-counting the overlap region passes the loose
-            # upper bound aa+ab — pin the dual of the difference hazard
+            # upper bound aa+ab — pin the dual of the difference hazard.
+            # Holed inputs pinned unconditionally: a partially-covered
+            # hole silently filled lands strictly between max(aa,ab) and
+            # aa+ab (fuzz: donut ∪ 1-ulp rect filled the uncovered strip)
             return aa + ab - alg.area(overlay(a, b, "intersection"))
+        if op == "intersection" and overlap and (ar <= tol or holes):
+            # interiors provably overlap but the reported intersection is
+            # (near-)empty — the arrangement silently dropped the overlap
+            # region (fuzz: L-shape ∩ 1-ulp-shifted rect collapsed to
+            # MULTIPOINT); holed pairs pinned for the hole fill/drop duals
+            return aa - alg.area(overlay(a, b, "difference"))
         if not overlap:
             if op == "symdifference" and abs(ar - (aa + ab)) > tol:
                 return aa + ab - 2.0 * alg.area(overlay(a, b, "intersection"))
@@ -290,6 +307,69 @@ def _pinned_expected(a: Geom, b: Geom, op: str, aa: float, ab: float, ar: float,
         return None
     finally:
         _PIN_DEPTH[0] -= 1
+
+
+def _hole_witnesses(g: Geom, other: Geom | None = None):
+    """Probe points strictly inside each interior ring of ``g``: the
+    interior point of the hole-as-polygon plus the quarter probes of its
+    envelope that land strictly inside it.  Holes are where arrangement
+    failures hide from area bounds — a hole-blind result can lie
+    CONSISTENTLY across sibling ops (fuzz: difference and intersection
+    both off by the same hole area, so every single-sibling pin cancels),
+    but it cannot lie about exact point membership.
+
+    With ``other`` given, also probe the centres of the hole-envelope
+    slabs that lie BEYOND the other operand's envelope: when the other
+    geometry slices a hole near its edge, the thin uncovered strip is
+    exactly where a filled hole escapes the fixed quarter grid (fuzz:
+    donut ∪ rect whose top edge cuts the hole at 5/6 height)."""
+    pts = []
+    oenv = alg.envelope(other) if other is not None and not other.is_empty else None
+    for comp in g.flatten():
+        if comp.gtype != POLYGON:
+            continue
+        for ring in comp.data[1:]:
+            hp = Geom(POLYGON, [np.asarray(ring, dtype=np.float64)])
+            rep = alg.interior_point(hp)
+            if not rep.is_empty:
+                pts.append((float(rep.data[0]), float(rep.data[1])))
+            x0, y0, x1, y1 = alg.envelope(hp)
+            cand = [
+                (x0 + (x1 - x0) * fx / 4.0, y0 + (y1 - y0) * fy / 4.0)
+                for fx, fy in ((1, 1), (3, 1), (1, 3), (3, 3), (2, 2))
+            ]
+            if oenv is not None:
+                ox0, oy0, ox1, oy1 = oenv
+                cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+                if oy1 < y1:  # uncovered top slab
+                    cand += [(cx, (max(oy1, y0) + y1) / 2.0)]
+                if oy0 > y0:  # bottom
+                    cand += [(cx, (y0 + min(oy0, y1)) / 2.0)]
+                if ox1 < x1:  # right
+                    cand += [((max(ox1, x0) + x1) / 2.0, cy)]
+                if ox0 > x0:  # left
+                    cand += [((x0 + min(ox0, x1)) / 2.0, cy)]
+            for px, py in cand:
+                if alg.locate_in_geom(px, py, hp) == I:
+                    pts.append((px, py))
+    return pts
+
+
+def _witnesses_ok(a: Geom, b: Geom, op: str, res: Geom, wits) -> bool:
+    """Exact pointwise membership check: for every witness point located
+    unambiguously (not on a boundary) in both operands and the result,
+    the result must contain it iff ``_member(locA, locB, op)`` says so."""
+    for px, py in wits:
+        locA = alg.locate_in_geom(px, py, a)
+        locB = alg.locate_in_geom(px, py, b)
+        if locA == B or locB == B:
+            continue
+        locR = alg.locate_in_geom(px, py, res)
+        if locR == B:
+            continue
+        if (locR == I) != _member(locA, locB, op):
+            return False
+    return True
 
 
 def _system_result(a2: Geom, b2: Geom, op: str, merge_line_output: bool, ng: bool, grid=None):
@@ -307,6 +387,7 @@ def _system_result(a2: Geom, b2: Geom, op: str, merge_line_output: bool, ng: boo
     aa2, ab2 = alg.area(a2), alg.area(b2)
     au, ai, ad, adr = alg.area(u), alg.area(i), alg.area(d), alg.area(dr)
     tol = 1e-6 * max(aa2, ab2, 1.0)
+    wits = _hole_witnesses(a2, b2) + _hole_witnesses(b2, a2)
     if (
         abs((aa2 + ab2) - (au + ai)) <= tol
         and abs((ad + ai) - aa2) <= tol
@@ -315,6 +396,15 @@ def _system_result(a2: Geom, b2: Geom, op: str, merge_line_output: bool, ng: boo
         and _result_valid(i)
         and _result_valid(d)
         and _result_valid(dr)
+        and (
+            not wits
+            or (
+                _witnesses_ok(a2, b2, "union", u, wits)
+                and _witnesses_ok(a2, b2, "intersection", i, wits)
+                and _witnesses_ok(a2, b2, "difference", d, wits)
+                and _witnesses_ok(b2, a2, "difference", dr, wits)
+            )
+        )
     ):
         if op == "union":
             return u
@@ -344,6 +434,12 @@ def _check_and_retry_overlay(a: Geom, b: Geom, op: str, res: Geom, merge_line_ou
         expected = _pinned_expected(a, b, op, aa, ab, ar0, overlap, tol)
         if expected is not None and abs(ar0 - expected) > max(tol, 1e-6 * max(expected, 1.0)):
             suspicious = True
+    wits = _hole_witnesses(a, b) + _hole_witnesses(b, a)
+    if not suspicious and wits and not _witnesses_ok(a, b, op, res, wits):
+        # correlated hole-blind lies cancel in every area identity (fuzz:
+        # d' and i both shifted by the full hole area); exact pointwise
+        # membership at hole-interior witnesses is immune to cancellation
+        suspicious = True
     if not suspicious:
         return res
     mx = max(

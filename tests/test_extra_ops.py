@@ -848,3 +848,50 @@ def test_pii_redactor_patterns():
     assert got[3] == "<EMAIL> <EMAIL>"
     assert out["n_emails"].to_pylist() == [1, 0, 0, 2]
     assert out["n_ips"].to_pylist() == [1, 0, 2, 0]
+
+
+def test_coverage_simplify_exact_rectangle_recovery():
+    """Kernel of the coverage_simplify_grid gate query: an irregular
+    rectangular coverage whose edges are densified with exactly
+    representable collinear points must simplify back to the exact
+    4-corner rectangles (integer area and perimeter preserved)."""
+    import numpy as np
+
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.coverage_simplify import coverage_simplify
+    from nettopologysuite_ray.geom.types import Geom
+
+    NX, NY = 6, 5
+    wx = [4 * ((i * 13) % 50 + 25) for i in range(NX)]
+    hy = [4 * ((j * 17) % 50 + 25) for j in range(NY)]
+    xc = np.concatenate([[0], np.cumsum(wx)]).astype(float)
+    yc = np.concatenate([[0], np.cumsum(hy)]).astype(float)
+
+    def densify_ring(r, k=3):
+        pts = [r[0]]
+        for a, b in zip(r[:-1], r[1:]):
+            for s in range(1, k + 1):
+                pts.append(a + (b - a) * (s / (k + 1)))
+            pts.append(b)
+        return np.array(pts)
+
+    geoms, exp = [], []
+    for i in range(NX):
+        for j in range(NY):
+            ring = np.array(
+                [
+                    [xc[i], yc[j]],
+                    [xc[i + 1], yc[j]],
+                    [xc[i + 1], yc[j + 1]],
+                    [xc[i], yc[j + 1]],
+                    [xc[i], yc[j]],
+                ]
+            )
+            geoms.append(Geom("Polygon", [densify_ring(ring)]))
+            exp.append((wx[i] * hy[j], 2 * (wx[i] + hy[j])))
+
+    out = coverage_simplify(geoms, tol=0.5)
+    for g, (a, p) in zip(out, exp):
+        assert len(g.data[0]) - 1 == 4
+        assert int(round(alg.area(g))) == a
+        assert int(round(alg.length(g))) == p

@@ -509,3 +509,68 @@ def test_overlay_rep_point_false_negative_regression():
     for op, want in (("union", 7.0), ("intersection", 1.0),
                      ("difference", 1.0), ("symdifference", 6.0)):
         assert abs(alg.area(overlay(a, b, op)) - want) < 1e-5, op
+
+
+def test_overlay_holed_and_lshape_ulp_regressions():
+    """Regressions (found by the donut/L-shape fuzz families): (1) union
+    silently filled the un-covered half of A's hole; (2) an L-shape ∩
+    1-ulp-shifted rect collapsed to MULTIPOINT (rep-point AND quarter-grid
+    probes all missed the overlap strip); (3) difference and intersection
+    lied CONSISTENTLY by the same hole area, cancelling in every area
+    identity — only the pointwise hole-witness check sees it."""
+    cases = [
+        (  # (3) correlated hole-blind lies
+            "POLYGON ((4 4, 8 4, 8 5, 4 5, 4 4), (5 4.25, 7 4.25, 7 4.75, 5 4.75, 5 4.25))",
+            "POLYGON ((2.9999999999999996 1.9999999999999987, 7.000000000000002 2, "
+            "6.999999999999999 5.999999999999998, 2.9999999999999987 6, "
+            "2.9999999999999996 1.9999999999999987))",
+        ),
+        (  # (1) partially-covered hole filled by union
+            "POLYGON ((-5 -3, -3 -3, -3 -2, -5 -2, -5 -3), "
+            "(-4.5 -2.75, -3.5 -2.75, -3.5 -2.25, -4.5 -2.25, -4.5 -2.75))",
+            "POLYGON ((-6.499999999999998 -3.500000000000004, -3.4999999999999987 -3.499999999999996, "
+            "-3.5000000000000013 -2.499999999999996, -6.500000000000002 -2.500000000000004, "
+            "-6.499999999999998 -3.500000000000004))",
+        ),
+        (  # (2) L-shape intersection collapse
+            "POLYGON ((3 4, 6 4, 6 5, 4.5 5, 4.5 6, 3 6, 3 4))",
+            "POLYGON ((4.000000000000003 4.999999999999998, 8.000000000000004 5, "
+            "8.000000000000005 7.000000000000001, 4.000000000000003 7.000000000000002, "
+            "4.000000000000003 4.999999999999998))",
+        ),
+    ]
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    for aw, bw in cases:
+        a, b = from_wkt(aw), from_wkt(bw)
+        aa, ab = alg.area(a), alg.area(b)
+        u = overlay(a, b, "union")
+        i = overlay(a, b, "intersection")
+        d = overlay(a, b, "difference")
+        dr = overlay(b, a, "difference")
+        s = overlay(a, b, "symdifference")
+        au, ai, ad, adr, asym = (alg.area(g) for g in (u, i, d, dr, s))
+        tol = 1e-6 * max(aa, ab, 1.0)
+        assert abs((aa + ab) - (au + ai)) <= tol
+        assert abs((ad + ai) - aa) <= tol
+        assert abs((adr + ai) - ab) <= tol
+        assert abs(asym - (au - ai)) <= tol
+        assert all(is_valid(g) for g in (u, i, d, dr, s))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_overlay_donut_lshape_families_fuzz(seed):
+    """The tools/fuzz_overlay.py generator families (plain/donut/L-shape ×
+    ulp-perturbed/ulp-rotated/hole-coincident) under the full 5-op
+    inclusion-exclusion system — the families that found the hole-fill
+    and correlated hole-blind arrangement bugs."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import fuzz_overlay
+
+    rng = np.random.default_rng(seed)
+    a, b = fuzz_overlay.make_pair(rng)
+    assert fuzz_overlay.check(a, b) == []

@@ -35,8 +35,47 @@ from nettopologysuite_ray.geom.wkt import to_wkt
 def make_pair(rng):
     x0, y0 = rng.integers(-5, 5, 2)
     w1, h1 = rng.integers(1, 5, 2)
-    a = Geom.polygon([(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1)])
-    if rng.random() < 0.5:
+    hole = None
+    kind = rng.random()
+    if kind < 0.25:
+        # donut: hole at exact quarter-lattice offsets (strictly interior)
+        hole = np.array(
+            [
+                (x0 + 0.25 * w1, y0 + 0.25 * h1),
+                (x0 + 0.75 * w1, y0 + 0.25 * h1),
+                (x0 + 0.75 * w1, y0 + 0.75 * h1),
+                (x0 + 0.25 * w1, y0 + 0.75 * h1),
+                (x0 + 0.25 * w1, y0 + 0.25 * h1),
+            ],
+            dtype=float,
+        )
+        shell = np.array(
+            [(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1), (x0, y0)],
+            dtype=float,
+        )
+        a = Geom("Polygon", [shell, hole])
+    elif kind < 0.45:
+        # rectilinear L: cut the NE quadrant out of the rectangle
+        cx, cy = x0 + 0.5 * w1, y0 + 0.5 * h1
+        a = Geom.polygon(
+            [
+                (x0, y0),
+                (x0 + w1, y0),
+                (x0 + w1, cy),
+                (cx, cy),
+                (cx, y0 + h1),
+                (x0, y0 + h1),
+            ]
+        )
+    else:
+        a = Geom.polygon(
+            [(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1)]
+        )
+    r = rng.random()
+    if hole is not None and r < 0.3:
+        # B exactly coincident with A's hole ring (shared-boundary stress)
+        return a, Geom.polygon([tuple(p) for p in hole[:-1]])
+    if r < 0.5:
         # lattice-aligned B, every vertex perturbed by a few ulps
         bx0, by0 = x0 + rng.integers(-2, 3), y0 + rng.integers(-2, 3)
         w2, h2 = rng.integers(1, 5, 2)
