@@ -72,10 +72,37 @@ def make_pair(rng):
             [(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1)]
         )
     r = rng.random()
-    if hole is not None and r < 0.3:
+    if hole is not None and r < 0.2:
         # B exactly coincident with A's hole ring (shared-boundary stress)
         return a, Geom.polygon([tuple(p) for p in hole[:-1]])
-    if r < 0.5:
+    if hole is not None and r < 0.35:
+        # B = island strictly inside A's hole, every vertex ulp-perturbed
+        hx0, hy0 = x0 + 0.25 * w1, y0 + 0.25 * h1
+        hw, hh = 0.5 * w1, 0.5 * h1
+        ring = np.array(
+            [
+                (hx0 + 0.25 * hw, hy0 + 0.25 * hh),
+                (hx0 + 0.75 * hw, hy0 + 0.25 * hh),
+                (hx0 + 0.75 * hw, hy0 + 0.75 * hh),
+                (hx0 + 0.25 * hw, hy0 + 0.75 * hh),
+            ],
+            dtype=float,
+        )
+        ring += rng.integers(-3, 4, ring.shape) * np.spacing(np.maximum(np.abs(ring), 1.0))
+        return a, Geom.polygon([tuple(p) for p in ring])
+    if hole is not None and r < 0.5:
+        # B = another donut offset by a ulp-perturbed lattice shift:
+        # hole-against-hole and hole-against-shell interactions
+        dx = float(rng.integers(-2, 3))
+        dy = float(rng.integers(-2, 3))
+        sh = a.data[0] + [dx, dy]
+        ho = a.data[1] + [dx, dy]
+        sh = sh + rng.integers(-3, 4, sh.shape) * np.spacing(np.maximum(np.abs(sh), 1.0))
+        ho = ho + rng.integers(-3, 4, ho.shape) * np.spacing(np.maximum(np.abs(ho), 1.0))
+        sh[-1] = sh[0]
+        ho[-1] = ho[0]
+        return a, Geom("Polygon", [sh, ho])
+    if r < 0.55:
         # lattice-aligned B, every vertex perturbed by a few ulps
         bx0, by0 = x0 + rng.integers(-2, 3), y0 + rng.integers(-2, 3)
         w2, h2 = rng.integers(1, 5, 2)
