@@ -57,10 +57,39 @@ def main() -> None:
     n_segs = lines.count()
     out = {"nx": nx, "segments": n_segs, "num_cpus": num_cpus}
 
+    def expected_faces() -> int:
+        """Closed-form face inventory of the road grid (verified against
+        the in-process polygonize kernel at 6 grid sizes): unit blocks,
+        minus superblock-merged blocks, plus diagonal splits, plus 2 faces
+        (holed superblock + island) per valid superblock anchor."""
+        def in_region(i, j):
+            if i % 6 not in (4, 5) or j % 6 not in (4, 5):
+                return False
+            ai = i if i % 6 == 4 else i - 1
+            aj = j if j % 6 == 4 else j - 1
+            return ai % 6 == 4 and aj % 6 == 4 and ai + 1 <= nx - 2 and aj + 1 <= ny - 2
+
+        n_super = sum(
+            1
+            for i in range(nx - 1)
+            for j in range(ny - 1)
+            if i % 6 == 4 and j % 6 == 4 and i + 1 <= nx - 2 and j + 1 <= ny - 2
+        )
+        n_region = sum(1 for i in range(nx - 1) for j in range(ny - 1) if in_region(i, j))
+        n_diag = sum(
+            1
+            for i in range(nx - 1)
+            for j in range(ny - 1)
+            if not in_region(i, j) and (i * 31 + j * 17) % 5 == 0
+        )
+        return (nx - 1) * (ny - 1) - n_region + n_diag + 2 * n_super
+
     t0 = time.time()
     faces = distributed_polygonize(lines, cell=C * 2.5, num_partitions=num_cpus)
     out["polygonize_faces"] = faces.count()
     out["polygonize_sec"] = round(time.time() - t0, 2)
+    out["polygonize_expected"] = expected_faces()
+    assert out["polygonize_faces"] == out["polygonize_expected"], out
 
     t0 = time.time()
     noded = distributed_node(lines, cell=C * 2.5, as_wkb=False)
