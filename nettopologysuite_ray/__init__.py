@@ -66,6 +66,8 @@ _EXPORTS = {
     "GeometryTransformer": "geom.transformer",
     "AffineTransformer": "geom.transformer",
     "transform_geometry": "geom.transformer",
+    "GeometryEditor": "geom.transformer",
+    "coordinate_operation": "geom.transformer",
     # overlay / union / precision
     "overlay": "geom.overlay",
     "union_all": "geom.overlay",

@@ -283,3 +283,102 @@ def transform_geometry(g: Geom, coord_fn) -> Geom:
             return coord_fn(coords)
 
     return _Fn().transform(g)
+
+
+class GeometryEditor:
+    """Structure-PRESERVING editor (reference:
+    Geometries/Utilities/GeometryEditor.cs:62).
+
+    Where GeometryTransformer may change the type structure, the editor
+    keeps the component tree fixed: ``operation(component) -> Geom |
+    None`` is applied to every Point/LineString component (polygon rings
+    are passed as closed LineStrings) and to whole
+    polygons/multis/collections before their members.  Returning None or
+    an empty geometry deletes the component, and deletions propagate up
+    exactly as the reference does: a deleted hole disappears, a deleted
+    shell empties the whole polygon (GeometryEditor.cs:146), deleted
+    members are dropped from Multi*/collections which KEEP their
+    collection type (GeometryEditor.cs:160-186)."""
+
+    def __init__(self, operation):
+        self.operation = operation
+
+    def edit(self, g: Geom) -> Geom:
+        out = self._edit(g)
+        return out if out is not None else Geom.empty(g.gtype)
+
+    # ------------------------------------------------------------------
+    def _edit(self, g: Geom):
+        t = g.gtype
+        if t in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+            return self._edit_collection(g)
+        if t == POLYGON:
+            return self._edit_polygon(g)
+        res = self.operation(g)
+        return None if res is None or res.is_empty else res
+
+    def _edit_polygon(self, g: Geom):
+        res = self.operation(g)
+        if res is None or res.is_empty:
+            return None
+        shell = self._edit_ring(res.data[0])
+        if shell is None:
+            return None
+        holes = []
+        for ring in res.data[1:]:
+            h = self._edit_ring(ring)
+            if h is not None:
+                holes.append(h)
+        return Geom(POLYGON, [shell] + holes)
+
+    def _edit_ring(self, ring):
+        res = self.operation(Geom(LINESTRING, np.asarray(ring, dtype=np.float64)))
+        if res is None or res.is_empty:
+            return None
+        arr = np.asarray(res.data, dtype=np.float64)
+        if not _ring_closed(arr):
+            raise ValueError(
+                "GeometryEditor operation broke ring consistency "
+                "(a LinearRing needs >= 4 coords with first == last); "
+                "use GeometryTransformer for structure-changing rewrites"
+            )
+        return arr
+
+    def _edit_collection(self, g: Geom):
+        res = self.operation(g)
+        if res is None:
+            return None
+        members = [self._edit(c) for c in res.geoms()]
+        members = [m for m in members if m is not None]
+        if g.gtype == GEOMETRYCOLLECTION:
+            return Geom(GEOMETRYCOLLECTION, members)
+        return Geom(g.gtype, [m.data for m in members])
+
+
+def coordinate_operation(fn):
+    """Adapter for GeometryEditor mirroring the reference
+    CoordinateOperation (GeometryEditor.cs:228): ``fn(coords (N,2)
+    ndarray, parent Geom) -> (M,2) ndarray`` is applied to the coordinate
+    list of every Point/LineString/ring; other components pass through
+    for the editor's own traversal.  Out-of-band Z/M ordinates
+    (``Geom.extra``) carry through when the vertex count is preserved —
+    the same conservative rule GeometryTransformer uses."""
+
+    def op(g: Geom):
+        if g.gtype == POINT:
+            new = np.asarray(fn(g.data.reshape(1, 2), g), dtype=np.float64)
+            if len(new) == 0:
+                return None
+            out = Geom(POINT, new[0].copy())
+        elif g.gtype == LINESTRING:
+            new = np.asarray(fn(g.data, g), dtype=np.float64)
+            if len(new) == 0:
+                return None
+            out = Geom(LINESTRING, new)
+        else:
+            return g
+        if g.extra is not None and g.num_points == out.num_points:
+            out = Geom(out.gtype, out.data, extra=g.extra)
+        return out
+
+    return op

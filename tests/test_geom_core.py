@@ -408,3 +408,74 @@ def test_transformer_and_affine_stage_carry_z():
     got = stage(batch)["out"].to_pylist()
     for got_wkb, exp in zip(got, stage_exp.values()):
         assert to_wkt(from_wkb(got_wkb)) == exp
+
+
+def test_geometry_editor_structure_preserving():
+    """GeometryEditor semantics (reference:
+    Geometries/Utilities/GeometryEditor.cs:62): structure-preserving
+    edit; None/empty deletes with reference deletion propagation."""
+    import numpy as np
+    import pytest
+
+    from nettopologysuite_ray.geom.transformer import (
+        GeometryEditor,
+        coordinate_operation,
+    )
+    from nettopologysuite_ray.geom.types import Geom
+    from nettopologysuite_ray.geom.wkt import from_wkt, to_wkt
+
+    donut = from_wkt(
+        "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    )
+
+    # coordinate edit preserves full ring structure
+    shifted = GeometryEditor(coordinate_operation(lambda c, g: c + [10.0, 0.0])).edit(donut)
+    assert to_wkt(shifted) == (
+        "POLYGON ((10 0, 15 0, 15 5, 10 5, 10 0), (11 1, 12 1, 12 2, 11 2, 11 1))"
+    )
+
+    # deleting a hole: the polygon survives without it
+    def drop_unit_rings(g):
+        if g.gtype == "LineString" and len(g.data) == 5:
+            w = g.data[:, 0].max() - g.data[:, 0].min()
+            if w < 2.0:
+                return None
+        return g
+
+    assert to_wkt(GeometryEditor(drop_unit_rings).edit(donut)) == (
+        "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"
+    )
+
+    # deleting the shell empties the whole polygon (GeometryEditor.cs:146)
+    def drop_big_rings(g):
+        if g.gtype == "LineString" and (g.data[:, 0].max() - g.data[:, 0].min()) > 2:
+            return None
+        return g
+
+    assert GeometryEditor(drop_big_rings).edit(donut).is_empty
+
+    # member deletion keeps the Multi* collection type
+    mp = from_wkt("MULTIPOINT ((0 0), (3 4))")
+
+    def drop_origin(g):
+        if g.gtype == "Point" and g.data[0] == 0 and g.data[1] == 0:
+            return None
+        return g
+
+    out = GeometryEditor(drop_origin).edit(mp)
+    assert out.gtype == "MultiPoint" and to_wkt(out) == "MULTIPOINT ((3 4))"
+
+    # structure-breaking ring edits raise (use GeometryTransformer instead)
+    def truncate(g):
+        if g.gtype == "LineString":
+            return Geom("LineString", g.data[:3])
+        return g
+
+    with pytest.raises(ValueError):
+        GeometryEditor(truncate).edit(donut)
+
+    # Z carry through a vertex-preserving coordinate edit
+    ls = from_wkt("LINESTRING Z (0 0 7, 1 0 8)")
+    out = GeometryEditor(coordinate_operation(lambda c, g: c * 2.0)).edit(ls)
+    assert out.extra is not None and list(out.extra["ords"][:, 0]) == [7.0, 8.0]
+    assert to_wkt(out).startswith("LINESTRING Z (0 0 7, 2 0 8)")
