@@ -68,6 +68,8 @@ _EXPORTS = {
     "transform_geometry": "geom.transformer",
     "GeometryEditor": "geom.transformer",
     "coordinate_operation": "geom.transformer",
+    "geometry_map": "geom.transformer",
+    "geometry_flat_map": "geom.transformer",
     # overlay / union / precision
     "overlay": "geom.overlay",
     "union_all": "geom.overlay",

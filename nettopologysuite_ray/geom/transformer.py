@@ -382,3 +382,36 @@ def coordinate_operation(fn):
         return out
 
     return op
+
+
+def geometry_map(g: Geom, op) -> Geom:
+    """GeometryMapper.Map (reference:
+    Geometries/Utilities/GeometryMapper.cs:26): apply ``op`` to each
+    FIRST-LEVEL member of ``g`` (atomic geometry = itself), skip None
+    results, and rebuild with BuildGeometry semantics."""
+    members = list(g.geoms()) if g.gtype == GEOMETRYCOLLECTION else (
+        [Geom(g.gtype[5:], d) for d in g.data]  # Multi* -> components
+        if g.gtype in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON)
+        else [g]
+    )
+    mapped = [r for r in (op(m) for m in members) if r is not None]
+    return build_geometry(mapped)
+
+
+def geometry_flat_map(g: Geom, op, empty_dim: int = 2) -> Geom:
+    """GeometryMapper.FlatMap (GeometryMapper.cs:86): apply ``op`` to
+    every ATOMIC component (recursing through nested collections), drop
+    None/empty results, and rebuild; an all-dropped result is the empty
+    geometry of ``empty_dim`` (0=point, 1=line, 2=polygon)."""
+    mapped: list[Geom] = []
+
+    def walk(x: Geom):
+        for c in x.flatten():
+            r = op(c)
+            if r is not None and not r.is_empty:
+                mapped.append(r)
+
+    walk(g)
+    if not mapped:
+        return Geom.empty({0: POINT, 1: LINESTRING, 2: POLYGON}[empty_dim])
+    return build_geometry(mapped)

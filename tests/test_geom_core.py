@@ -479,3 +479,34 @@ def test_geometry_editor_structure_preserving():
     out = GeometryEditor(coordinate_operation(lambda c, g: c * 2.0)).edit(ls)
     assert out.extra is not None and list(out.extra["ords"][:, 0]) == [7.0, 8.0]
     assert to_wkt(out).startswith("LINESTRING Z (0 0 7, 2 0 8)")
+
+
+def test_geometry_mapper():
+    """GeometryMapper.Map / FlatMap (reference:
+    Geometries/Utilities/GeometryMapper.cs:26,86): first-level member map
+    with None-skip + BuildGeometry; flat map recurses nested collections
+    and an all-dropped result is empty of the requested dimension."""
+    import numpy as np
+
+    from nettopologysuite_ray.geom.transformer import geometry_flat_map, geometry_map
+    from nettopologysuite_ray.geom.wkt import from_wkt, to_wkt
+
+    g = from_wkt("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3), (9 9, 9 9.1))")
+
+    def drop_short(m):
+        return m if np.hypot(*(m.data[-1] - m.data[0])) > 0.5 else None
+
+    assert to_wkt(geometry_map(g, drop_short)) == (
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"
+    )
+    # single survivor unwraps; atomic input maps as itself
+    only = geometry_map(from_wkt("LINESTRING (0 0, 5 5)"), lambda m: m)
+    assert only.gtype == "LineString"
+
+    gc = from_wkt(
+        "GEOMETRYCOLLECTION (POINT (1 1),"
+        " GEOMETRYCOLLECTION (LINESTRING (0 0, 1 1), POINT (2 2)))"
+    )
+    pts = geometry_flat_map(gc, lambda m: m if m.gtype == "Point" else None, empty_dim=0)
+    assert to_wkt(pts) == "MULTIPOINT ((1 1), (2 2))"
+    assert to_wkt(geometry_flat_map(gc, lambda m: None, empty_dim=1)) == "LINESTRING EMPTY"
