@@ -273,29 +273,25 @@ def _pinned_expected(a: Geom, b: Geom, op: str, aa: float, ab: float, ar: float,
         return None
     _PIN_DEPTH[0] += 1
     try:
-        holes = _has_holes(a) or _has_holes(b)
-        if op == "difference" and (ar < aa - tol or (overlap and holes)):
-            # any reported area loss is pinned exactly: the loose lower
-            # bound max(0, aa-ab) admits a difference that silently lost
-            # area whenever ab is large (fuzz: 1-ulp-rotated overlapping
-            # rectangles gave d = EMPTY with a correct intersection).
-            # Holed overlapping pairs are pinned unconditionally — a
-            # filled hole inflates d invisibly within the loose bounds
+        # Every op on an overlapping pair is pinned against ONE sibling op
+        # computed from the same inputs, giving an exact area expectation.
+        # Successive fuzz families proved the loose bounds blind to a
+        # whole taxonomy of silent arrangement failures that each stay
+        # "plausible": difference returning EMPTY (1-ulp rotated rects),
+        # union double-counting, union filling a partially-covered hole
+        # (donut families), intersection collapsing to MULTIPOINT
+        # (L-shapes) or dropping one component's overlap block with a
+        # correct difference (multipolygon families), union dropping a
+        # fully-covered component.  A pin mismatch only raises SUSPICION
+        # (the sibling may be the broken one) — acceptance of a retry is
+        # by mutual consistency in _system_result, never by these pins.
+        if op == "difference" and (ar < aa - tol or overlap):
             return aa - alg.area(overlay(a, b, "intersection"))
         if op == "symdifference" and overlap:
             return aa + ab - 2.0 * alg.area(overlay(a, b, "intersection"))
-        if op == "union" and overlap and (ar >= aa + ab - tol or holes):
-            # union double-counting the overlap region passes the loose
-            # upper bound aa+ab — pin the dual of the difference hazard.
-            # Holed inputs pinned unconditionally: a partially-covered
-            # hole silently filled lands strictly between max(aa,ab) and
-            # aa+ab (fuzz: donut ∪ 1-ulp rect filled the uncovered strip)
+        if op == "union" and overlap:
             return aa + ab - alg.area(overlay(a, b, "intersection"))
-        if op == "intersection" and overlap and (ar <= tol or holes):
-            # interiors provably overlap but the reported intersection is
-            # (near-)empty — the arrangement silently dropped the overlap
-            # region (fuzz: L-shape ∩ 1-ulp-shifted rect collapsed to
-            # MULTIPOINT); holed pairs pinned for the hole fill/drop duals
+        if op == "intersection" and overlap:
             return aa - alg.area(overlay(a, b, "difference"))
         if not overlap:
             if op == "symdifference" and abs(ar - (aa + ab)) > tol:
@@ -418,6 +414,25 @@ def _system_result(a2: Geom, b2: Geom, op: str, merge_line_output: bool, ng: boo
     return None
 
 
+def _assemble_operand(comps):
+    """Rebuild one retry operand from its snapped polygon components.
+    Snapping can weld near-touching sibling components (gap below the
+    snap tolerance) onto exactly-shared edges — INVALID as a
+    MultiPolygon, so every `_system_result` retry would be rejected and
+    the broken original returned (fuzz: two rects 3e-15 apart vs a
+    ulp-rotated B never healed).  Union such siblings properly instead:
+    exactly-coincident edges are the well-conditioned overlay case."""
+    if len(comps) == 1:
+        return comps[0]
+    multi = Geom(MULTIPOLYGON, [p.data for p in comps])
+    if _result_valid(multi):
+        return multi
+    merged = comps[0]
+    for c in comps[1:]:
+        merged = overlay(merged, c, "union", weld=True)
+    return merged
+
+
 def _check_and_retry_overlay(a: Geom, b: Geom, op: str, res: Geom, merge_line_output: bool, ng: bool) -> Geom:
     aa = alg.area(a)
     ab = alg.area(b)
@@ -457,8 +472,8 @@ def _check_and_retry_overlay(a: Geom, b: Geom, op: str, res: Geom, merge_line_ou
             snapped = _snap_near_vertices_onto_segments(snapped, stol)
             sa = snapped[: len(comps_a)]
             sb = snapped[len(comps_a) :]
-            a2 = sa[0] if len(sa) == 1 else Geom(MULTIPOLYGON, [p.data for p in sa])
-            b2 = sb[0] if len(sb) == 1 else Geom(MULTIPOLYGON, [p.data for p in sb])
+            a2 = _assemble_operand(sa)
+            b2 = _assemble_operand(sb)
             res2 = _system_result(a2, b2, op, merge_line_output, ng)
             if res2 is not None:
                 return res2

@@ -574,3 +574,54 @@ def test_overlay_donut_lshape_families_fuzz(seed):
     rng = np.random.default_rng(seed)
     a, b = fuzz_overlay.make_pair(rng)
     assert fuzz_overlay.check(a, b) == []
+
+
+def test_overlay_multipolygon_component_drop_regressions():
+    """Regressions (multipolygon fuzz family): (1) near-touching sibling
+    components (3e-15 gap) never healed because every snapped retry
+    operand was an invalid adjacent multipolygon — siblings are now
+    unioned after snapping; (2) intersection silently dropped one
+    component's whole overlap block with a PLAUSIBLE nonzero area and a
+    correct difference — overlapping intersections are now pinned
+    against the difference sibling unconditionally."""
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    cases = [
+        (
+            "MULTIPOLYGON (((-2 -1, 1 -1, 1 1, -2 1, -2 -1)), "
+            "((1.000000000000003 -1, 5.0000000000000036 -1, "
+            "5.0000000000000036 1, 1.000000000000003 1, 1.000000000000003 -1)))",
+            "POLYGON ((-3.0000000000000013 -3.0000000000000004, 0 -2.9999999999999987, "
+            "-4.440892098500626e-16 0.9999999999999998, -2.999999999999999 1, "
+            "-3.0000000000000013 -3.0000000000000004))",
+        ),
+        (
+            "MULTIPOLYGON (((-4 -4, -1 -4, -1 0, -4 0, -4 -4)), "
+            "((0 -4, 4 -4, 4 -2, 0 -2, 0 -4)))",
+            "POLYGON ((-1.9999999999999996 -4.000000000000001, "
+            "1.0000000000000002 -3.9999999999999973, 1.0000000000000004 -1.9999999999999996, "
+            "-1.9999999999999991 -2.000000000000001, -1.9999999999999996 -4.000000000000001))",
+        ),
+        (
+            "MULTIPOLYGON (((-1 4, 0 4, 0 6, -1 6, -1 4)), "
+            "((3e-15 4, 1.000000000000003 4, 1.000000000000003 5, 3e-15 5, 3e-15 4)))",
+            "POLYGON ((-2.5000000000000044 2.000000000000003, 0.4999999999999958 1.999999999999997, "
+            "0.5000000000000042 5.9999999999999964, -2.4999999999999956 6.0000000000000036, "
+            "-2.5000000000000044 2.000000000000003))",
+        ),
+    ]
+    for aw, bw in cases:
+        a, b = from_wkt(aw), from_wkt(bw)
+        aa, ab = alg.area(a), alg.area(b)
+        u = overlay(a, b, "union")
+        i = overlay(a, b, "intersection")
+        d = overlay(a, b, "difference")
+        dr = overlay(b, a, "difference")
+        s = overlay(a, b, "symdifference")
+        au, ai, ad, adr, asym = (alg.area(g) for g in (u, i, d, dr, s))
+        tol = 1e-6 * max(aa, ab, 1.0)
+        assert abs((aa + ab) - (au + ai)) <= tol
+        assert abs((ad + ai) - aa) <= tol
+        assert abs((adr + ai) - ab) <= tol
+        assert abs(asym - (au - ai)) <= tol
+        assert all(is_valid(g) for g in (u, i, d, dr, s))

@@ -67,6 +67,25 @@ def make_pair(rng):
                 (x0, y0 + h1),
             ]
         )
+    elif kind < 0.6:
+        # multipolygon: two rects separated by a gap that is sometimes a
+        # few ulps wide (near-touching components stress multi handling)
+        gap = rng.choice([1.0, 3e-15])  # valid multipolygon: components stay disjoint
+        x2 = x0 + w1 + gap
+        w3, h3 = rng.integers(1, 5, 2)
+        a = Geom(
+            "MultiPolygon",
+            [
+                [np.array(
+                    [(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1), (x0, y0)],
+                    dtype=float,
+                )],
+                [np.array(
+                    [(x2, y0), (x2 + w3, y0), (x2 + w3, y0 + h3), (x2, y0 + h3), (x2, y0)],
+                    dtype=float,
+                )],
+            ],
+        )
     else:
         a = Geom.polygon(
             [(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1)]
