@@ -121,6 +121,20 @@ def make_pair(rng):
         sh[-1] = sh[0]
         ho[-1] = ho[0]
         return a, Geom("Polygon", [sh, ho])
+    if r < 0.15:
+        # B shares exactly one vertex with A (corner-touch), exact or
+        # perturbed by a few ulps — classic point-contact degeneracy
+        corner = np.array([x0 + w1, y0 + h1], dtype=float)
+        w2, h2 = rng.integers(1, 5, 2)
+        ring = np.array(
+            [corner, corner + [w2, 0], corner + [w2, h2], corner + [0, h2]],
+            dtype=float,
+        )
+        if rng.random() < 0.5:
+            ring += rng.integers(-2, 3, ring.shape) * np.spacing(
+                np.maximum(np.abs(ring), 1.0)
+            )
+        return a, Geom.polygon([tuple(p) for p in ring])
     if r < 0.55:
         # lattice-aligned B, every vertex perturbed by a few ulps
         bx0, by0 = x0 + rng.integers(-2, 3), y0 + rng.integers(-2, 3)
