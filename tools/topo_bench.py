@@ -95,6 +95,9 @@ def main() -> None:
     noded = distributed_node(lines, cell=C * 2.5, as_wkb=False)
     out["node_out"] = noded.count()
     out["node_sec"] = round(time.time() - t0, 2)
+    # the road grid has no segment crossings (streets/diagonals/island
+    # rings meet only at endpoints), so bulk noding must be count-preserving
+    assert out["node_out"] == n_segs, out
 
     t0 = time.time()
     merged = distributed_line_dissolve(lines, cell=C * 2.5)
