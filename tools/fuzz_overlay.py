@@ -67,6 +67,30 @@ def make_pair(rng):
                 (x0, y0 + h1),
             ]
         )
+    elif kind < 0.55:
+        # nested tower: donut whose hole contains an island that is
+        # itself a donut — four nested rings, quarter-lattice offsets
+        d = np.array([x0, y0], dtype=float)
+        w, h = 4.0 * w1, 4.0 * h1
+
+        def rect(fx0, fy0, fx1, fy1):
+            return np.array(
+                [
+                    d + [w * fx0, h * fy0],
+                    d + [w * fx1, h * fy0],
+                    d + [w * fx1, h * fy1],
+                    d + [w * fx0, h * fy1],
+                    d + [w * fx0, h * fy0],
+                ]
+            )
+
+        a = Geom(
+            "MultiPolygon",
+            [
+                [rect(0, 0, 1, 1), rect(0.125, 0.125, 0.875, 0.875)],
+                [rect(0.25, 0.25, 0.75, 0.75), rect(0.375, 0.375, 0.625, 0.625)],
+            ],
+        )
     elif kind < 0.6:
         # multipolygon: two rects separated by a gap that is sometimes a
         # few ulps wide (near-touching components stress multi handling)
