@@ -2,7 +2,7 @@
 (node → polygonize / dissolve vs the in-process kernels on brute-noded
 input).  One Ray session, many seeds; prints one JSON summary line.
 
-Usage: python tools/fuzz_topo.py [n_seeds] [num_cpus] [seed_base]
+Usage: python tools/fuzz_topo.py [n_seeds] [num_cpus] [seed_base] [n_max]
 """
 
 from __future__ import annotations
@@ -20,6 +20,7 @@ def main() -> None:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     num_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     seed_base = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    n_max = int(sys.argv[4]) if len(sys.argv) > 4 else 22
     import ray
 
     if not ray.is_initialized():
@@ -48,7 +49,7 @@ def main() -> None:
     fails = []
     for seed in range(seed_base + 1, seed_base + n_seeds + 1):
         rng = random.Random(seed * 7919)
-        lines = _random_lines(rng, n=rng.randint(8, 22), extent=rng.choice([12, 20, 35]))
+        lines = _random_lines(rng, n=rng.randint(8, n_max), extent=rng.choice([12, 20, 35]))
         cell = rng.choice([2.0, 3.0, 5.0, 7.5, 11.0])
         noded_kernel = [
             Geom("LineString", np.array([a, b], dtype=np.float64))
