@@ -67,6 +67,23 @@ def make_pair(rng):
                 (x0, y0 + h1),
             ]
         )
+    elif kind < 0.5:
+        # pinch donut: hole touches the shell at exactly one corner
+        # (valid per OGC; stresses the touching-hole ring splitter)
+        shell = np.array(
+            [(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1), (x0, y0)],
+            dtype=float,
+        )
+        hole = np.array(
+            [
+                (x0, y0),  # shared corner
+                (x0 + 0.5 * w1, y0 + 0.25 * h1),
+                (x0 + 0.25 * w1, y0 + 0.5 * h1),
+                (x0, y0),
+            ],
+            dtype=float,
+        )
+        a = Geom("Polygon", [shell, hole])
     elif kind < 0.55:
         # nested tower: donut whose hole contains an island that is
         # itself a donut — four nested rings, quarter-lattice offsets
@@ -153,6 +170,21 @@ def make_pair(rng):
         ring = np.array(
             [corner, corner + [w2, 0], corner + [w2, h2], corner + [0, h2]],
             dtype=float,
+        )
+        if rng.random() < 0.5:
+            ring += rng.integers(-2, 3, ring.shape) * np.spacing(
+                np.maximum(np.abs(ring), 1.0)
+            )
+        return a, Geom.polygon([tuple(p) for p in ring])
+    if r < 0.25:
+        # B glued to A's right edge sharing a PARTIAL collinear segment
+        # (exact adjacency with an interior sub-interval boundary)
+        ex = float(x0 + w1)
+        fy0 = y0 + 0.25 * h1
+        fy1 = y0 + 0.75 * h1
+        w2 = float(rng.integers(1, 4))
+        ring = np.array(
+            [(ex, fy0), (ex + w2, fy0), (ex + w2, fy1), (ex, fy1)], dtype=float
         )
         if rng.random() < 0.5:
             ring += rng.integers(-2, 3, ring.shape) * np.spacing(
