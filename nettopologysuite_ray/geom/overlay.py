@@ -321,10 +321,15 @@ def _hole_witnesses(g: Geom, other: Geom | None = None):
     donut ∪ rect whose top edge cuts the hole at 5/6 height)."""
     pts = []
     oenv = alg.envelope(other) if other is not None and not other.is_empty else None
+    MAX_HOLES = 16  # bound witness cost on accumulated many-hole
+    n_holes = 0  # multipolygons (cascaded unions); pins stay unbounded
     for comp in g.flatten():
         if comp.gtype != POLYGON:
             continue
         for ring in comp.data[1:]:
+            n_holes += 1
+            if n_holes > MAX_HOLES:
+                return pts
             hp = Geom(POLYGON, [np.asarray(ring, dtype=np.float64)])
             rep = alg.interior_point(hp)
             if not rep.is_empty:
