@@ -427,6 +427,8 @@ def _assemble_operand(comps):
     the broken original returned (fuzz: two rects 3e-15 apart vs a
     ulp-rotated B never healed).  Union such siblings properly instead:
     exactly-coincident edges are the well-conditioned overlay case."""
+    if not comps:
+        return Geom.empty(MULTIPOLYGON)
     if len(comps) == 1:
         return comps[0]
     multi = Geom(MULTIPOLYGON, [p.data for p in comps])
