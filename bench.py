@@ -240,6 +240,26 @@ def run_headline_only() -> dict:
 SCALING_REP = int(os.environ.get("GRAFT_SCALING_REP", "1600"))
 
 
+def _wait_ray_drained(timeout_s: float = 45.0) -> None:
+    """Block until the previous leg's Ray processes have fully exited.
+    ray.shutdown() returns before raylet/worker teardown completes; a leg
+    started while the prior session is still draining measures the drain,
+    not the engine (observed: the 32-cpu leg of --scaling losing 30-50%
+    vs an identical standalone run right after an 8-cpu leg)."""
+    import subprocess as sp
+    import time as _t
+
+    t0 = _t.time()
+    while _t.time() - t0 < timeout_s:
+        probe = sp.run(
+            ["pgrep", "-fc", "raylet|ray::"], capture_output=True, text=True
+        )
+        if probe.stdout.strip() in ("", "0"):
+            break
+        _t.sleep(1.0)
+    _t.sleep(2.0)  # settle page cache / cgroup accounting
+
+
 def run_scaling() -> dict:
     """Fresh-process headline runs at 8 and 32 CPUs on the same input.
 
@@ -260,6 +280,7 @@ def run_scaling() -> dict:
         # best-of-2 per level: single-node wall times vary up to 2x with
         # host load; min wall is the standard noise-free estimator
         for _attempt in range(2):
+            _wait_ray_drained()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
