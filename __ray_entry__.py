@@ -61,48 +61,77 @@ def _q_geo_extract(sf_dir: str):
     )
 
 
-def _q_spatial_join_assign(sf_dir: str):
-    import ray
-
+def _q_spatial_join_modes(sf_dir: str):
+    """Both PIPJoin modes under one gate row: 'assign' (every entity gets
+    its unique containing admin, deterministic tie-break) and 'inner'
+    (semi-join hits only; boundary points legitimately match 2+ admins).
+    The two legs share one prepared-admin broadcast and are unioned with a
+    `mode` tag so both stay oracle-hash-checked within the driver's
+    50-query budget."""
     from nettopologysuite_ray.sources.pages import admin_boundaries_table
     from nettopologysuite_ray.stages.spatial_join import PIPJoin, prepare_admin_state
 
     admin_ref = prepare_admin_state(admin_boundaries_table(fancy=False))
-    joined = _entities(sf_dir).map_batches(
-        PIPJoin,
-        fn_constructor_kwargs={"admin_ref": admin_ref, "mode": "assign"},
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=(1, 2),
-        num_cpus=1,
-    )
-    return joined.select_columns(["doc_id", "entity_idx", "admin_id"])
+
+    def leg(mode: str):
+        import pyarrow as pa2
+
+        joined = _entities(sf_dir).map_batches(
+            PIPJoin,
+            fn_constructor_kwargs={"admin_ref": admin_ref, "mode": mode},
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=(1, 2),
+            num_cpus=1,
+        ).select_columns(["doc_id", "entity_idx", "admin_id"])
+        return joined.map_batches(
+            lambda b, m=mode: b.append_column(
+                "mode", pa2.array([m] * len(b), type=pa2.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+    return leg("assign").union(leg("inner"))
 
 
-def _q_spatial_join_inner(sf_dir: str):
-    from nettopologysuite_ray.sources.pages import admin_boundaries_table
-    from nettopologysuite_ray.stages.spatial_join import PIPJoin, prepare_admin_state
-
-    admin_ref = prepare_admin_state(admin_boundaries_table(fancy=False))
-    joined = _entities(sf_dir).map_batches(
-        PIPJoin,
-        fn_constructor_kwargs={"admin_ref": admin_ref, "mode": "inner"},
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=(1, 2),
-        num_cpus=1,
-    )
-    return joined.select_columns(["doc_id", "entity_idx", "admin_id"])
-
-
-def _q_tile_morton(sf_dir: str):
+def _q_tile_curves(sf_dir: str):
+    """Both space-filling-curve encoders under one gate row, checked
+    through the DECODE round trip: each entity is cell-assigned with
+    morton and hilbert codes and the emitted ix/iy are recovered with the
+    matching decoder, so encode∘decode must equal the plain quantization
+    the SQL oracle computes arithmetically (bijectivity for BOTH curves).
+    The direct morton cell VALUES stay arithmetically hash-checked by
+    tile_stats_morton / tile_top_docs, which share the encoder."""
     from nettopologysuite_ray.stages.tiling import assign_cells_batch
 
-    ds = _entities(sf_dir).map_batches(
-        lambda b: assign_cells_batch(b, level=LEVEL, kind="morton"),
-        batch_format="pyarrow",
-    )
-    return ds.select_columns(["doc_id", "entity_idx", "cell_id"])
+    def leg(kind: str):
+        ds = _entities(sf_dir).map_batches(
+            lambda b, k=kind: assign_cells_batch(b, level=LEVEL, kind=k),
+            batch_format="pyarrow",
+        )
+
+        def decode(b: "pa.Table", k=kind):
+            import pyarrow as pa2
+
+            from nettopologysuite_ray.geom.hilbert import hilbert_decode, morton_decode
+
+            codes = b["cell_id"].to_numpy(zero_copy_only=False)
+            ix, iy = (
+                morton_decode(codes) if k == "morton" else hilbert_decode(codes, LEVEL)
+            )
+            return pa2.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "entity_idx": b["entity_idx"],
+                    "curve": pa2.array([k] * len(b), type=pa2.string()),
+                    "ix": pa2.array(ix.astype("int64")),
+                    "iy": pa2.array(iy.astype("int64")),
+                }
+            )
+
+        return ds.map_batches(decode, batch_format="pyarrow")
+
+    return leg("morton").union(leg("hilbert"))
 
 
 def _q_tile_stats_morton(sf_dir: str):
@@ -113,39 +142,6 @@ def _q_tile_stats_morton(sf_dir: str):
         batch_format="pyarrow",
     )
     return tile_stats(ds, "cell_id")
-
-
-def _q_tile_hilbert(sf_dir: str):
-    """Hilbert cell assignment, oracle-checked through the DECODE round
-    trip: the emitted ix/iy are recovered from the hilbert code with
-    hilbert_decode, so encode∘decode must equal the plain quantization the
-    SQL oracle computes arithmetically — a bijectivity check the oracle
-    can express without evaluating the curve."""
-    from nettopologysuite_ray.stages.tiling import assign_cells_batch
-
-    ds = _entities(sf_dir).map_batches(
-        lambda b: assign_cells_batch(b, level=LEVEL, kind="hilbert"),
-        batch_format="pyarrow",
-    )
-
-    def decode(b: "pa.Table"):
-        import pyarrow as pa2
-
-        from nettopologysuite_ray.geom.hilbert import hilbert_decode
-
-        ix, iy = hilbert_decode(
-            b["cell_id"].to_numpy(zero_copy_only=False), LEVEL
-        )
-        return pa2.table(
-            {
-                "doc_id": b["doc_id"],
-                "entity_idx": b["entity_idx"],
-                "ix": pa2.array(ix.astype("int64")),
-                "iy": pa2.array(iy.astype("int64")),
-            }
-        )
-
-    return ds.map_batches(decode, batch_format="pyarrow")
 
 
 def _admin_centers_ref():
@@ -334,22 +330,57 @@ def _q_dedup_exact(sf_dir: str):
 
 
 def _q_ann_topk(sf_dir: str):
+    """Both ANN paths under one gate row: 'brute' = exact brute-force
+    cosine top-k (mergeable min-k tree over batch partials), 'ivf' = the
+    IVF-bucketed approximate path (bucket assign -> probe score -> top-k
+    tree; centroids are the first IVF_NC corpus vectors — k-means-style
+    data seeding, broadcast once via ray.put — so the whole probe pipeline
+    is deterministic and the DuckDB oracle reproduces it exactly).  Recall
+    of ivf vs brute is additionally asserted in tests."""
     import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     import ray
     import ray.data as rd
 
-    from nettopologysuite_ray.functions.embed import ann_topk
+    from nettopologysuite_ray.functions.embed import ann_topk, ivf_ann_topk
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qmask = np.asarray(emb["vec_id"].to_pylist()) < ANN_NQ
-    qids = np.asarray(emb["vec_id"].to_pylist())[qmask]
-    qvecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)[qmask]
+    vids = np.asarray(emb["vec_id"].to_pylist())
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    qmask = vids < ANN_NQ
+    qids = vids[qmask]
+    qvecs = vecs[qmask]
+    dim = qvecs.shape[1]
+    order = np.argsort(vids, kind="stable")
+    cents = vecs[order[:IVF_NC]]
     qref = ray.put({"query_ids": qids, "vectors": qvecs})
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = ann_topk(ds, qref, k=ANN_K)
-    return out.select_columns(["query_id", "rank", "vec_id"])
+    cref = ray.put(cents)
+
+    def tag(d, m):
+        return d.select_columns(["query_id", "rank", "vec_id"]).map_batches(
+            lambda b, mm=m: b.append_column(
+                "method", pa.array([mm] * len(b), type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+    brute = ann_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        qref,
+        k=ANN_K,
+    )
+    ivf = ivf_ann_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        qref,
+        dim=dim,
+        k=ANN_K,
+        n_centroids=IVF_NC,
+        nprobe=IVF_NPROBE,
+        centroids_ref=cref,
+    )
+    return tag(brute, "brute").union(tag(ivf, "ivf"))
 
 
 def _q_winnow_fingerprint(sf_dir: str):
@@ -364,31 +395,35 @@ def _q_winnow_fingerprint(sf_dir: str):
     return ds.map_batches(winnow_fingerprints_batch, batch_format="pyarrow")
 
 
-def _q_tumbling_window(sf_dir: str):
-    """Fixed-width (6h) tumbling-window rollup over the events stream —
-    the windowed-aggregate member of the engine-level operator family
-    (map-side combiner, partial-bounded shuffle)."""
+def _q_windows_rollup(sf_dir: str):
+    """Both windowed-aggregate shapes under one gate row: 'tumble' =
+    fixed-width (6h) tumbling rollup, 'hop' = hopping rollup (1h window,
+    15min slide — each event lands in exactly 4 overlapping windows).
+    Both are map-side-combined, partial-bounded shuffles."""
+    import pyarrow as pa
     import ray.data as rd
 
-    from nettopologysuite_ray.stages.windows import tumbling_window_agg
-
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    from nettopologysuite_ray.stages.windows import (
+        hopping_window_agg,
+        tumbling_window_agg,
     )
-    return tumbling_window_agg(ds, width_s=21600)
 
+    def read():
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
 
-def _q_hopping_window(sf_dir: str):
-    """Hopping-window rollup (1h window, 15min slide): each event counted
-    in exactly 4 overlapping windows."""
-    import ray.data as rd
+    def tag(d, k):
+        return d.map_batches(
+            lambda b, kk=k: b.append_column(
+                "kind", pa.array([kk] * len(b), type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
 
-    from nettopologysuite_ray.stages.windows import hopping_window_agg
-
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-    )
-    return hopping_window_agg(ds, width_s=3600, slide_s=900)
+    tumble = tumbling_window_agg(read(), width_s=21600)
+    hop = hopping_window_agg(read(), width_s=3600, slide_s=900)
+    return tag(tumble, "tumble").union(tag(hop, "hop"))
 
 
 def _q_session_stats(sf_dir: str):
@@ -533,20 +568,23 @@ def _q_sample_per_lang(sf_dir: str):
 
 
 def _q_embed_near_dup(sf_dir: str):
-    """IVF-bucketed embedding near-dup (cosine >= tau within each
-    nearest-centroid bucket) — the 100-TB scale path: streaming end to
-    end, one bucket-groupby shuffle, no corpus materialize and no
-    O(blocks^2) task matrix.  Centroids are the first IVF_NC corpus
-    vectors (data seeding, broadcast once) so the DuckDB oracle replays
-    the bucketing exactly; the exact all-pairs variant is kept as the
-    small-corpus opt-in under `embed_near_dup_exact`."""
+    """Both embedding-near-dup paths under one gate row: 'ivf' = the
+    100-TB scale path (cosine >= tau within each nearest-centroid bucket;
+    streaming end to end, one bucket-groupby shuffle, no corpus
+    materialize and no O(blocks^2) task matrix — centroids are the first
+    IVF_NC corpus vectors, data-seeded and broadcast once, so the DuckDB
+    oracle replays the bucketing exactly), 'exact' = the all-pairs
+    block-pair matmul decomposition (inherently O(blocks^2), guarded by
+    an explicit max_blocks cap so it cannot be invoked at corpus scale by
+    accident)."""
     import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     import ray
     import ray.data as rd
 
-    from nettopologysuite_ray.functions.embed import embed_near_dup_ivf
+    from nettopologysuite_ray.functions.embed import embed_near_dup, embed_near_dup_ivf
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     vids = np.asarray(emb["vec_id"].to_pylist())
@@ -555,54 +593,25 @@ def _q_embed_near_dup(sf_dir: str):
     cents = vecs[order[:IVF_NC]]
     dim = vecs.shape[1]
     cref = ray.put(cents)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embed_near_dup_ivf(
-        ds, threshold=EMBED_DUP_TAU, dim=dim, n_centroids=IVF_NC, centroids_ref=cref
+
+    def read():
+        return rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    def tag(d, m):
+        return d.map_batches(
+            lambda b, mm=m: b.append_column(
+                "method", pa.array([mm] * len(b), type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+    ivf = embed_near_dup_ivf(
+        read(), threshold=EMBED_DUP_TAU, dim=dim, n_centroids=IVF_NC, centroids_ref=cref
     )
-
-
-def _q_embed_near_dup_exact(sf_dir: str):
-    """Exact all-pairs embedding near-dup (cosine >= tau) via the
-    block-pair matmul decomposition — the small-corpus exact opt-in
-    (inherently O(blocks^2); use embed_near_dup's IVF path at scale)."""
-    import ray.data as rd
-
-    from nettopologysuite_ray.functions.embed import embed_near_dup
-
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embed_near_dup(ds, threshold=EMBED_DUP_TAU)
-
-
-def _q_ann_ivf(sf_dir: str):
-    """IVF-bucketed approximate ANN end-to-end (bucket assign -> probe
-    score -> top-k tree).  Centroids are the first IVF_NC corpus vectors
-    (k-means-style data seeding, broadcast once via ray.put) so the whole
-    probe pipeline is deterministic and the DuckDB oracle reproduces it
-    exactly; recall vs the exact path is asserted in tests."""
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    import ray
-    import ray.data as rd
-
-    from nettopologysuite_ray.functions.embed import ivf_ann_topk
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vids = np.asarray(emb["vec_id"].to_pylist())
-    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
-    qmask = vids < ANN_NQ
-    qids = vids[qmask]
-    qvecs = vecs[qmask]
-    dim = qvecs.shape[1]
-    order = np.argsort(vids, kind="stable")
-    cents = vecs[order[:IVF_NC]]
-    qref = ray.put({"query_ids": qids, "vectors": qvecs})
-    cref = ray.put(cents)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = ivf_ann_topk(
-        ds, qref, dim=dim, k=ANN_K, n_centroids=IVF_NC, nprobe=IVF_NPROBE, centroids_ref=cref
-    )
-    return out.select_columns(["query_id", "rank", "vec_id"])
+    exact = embed_near_dup(read(), threshold=EMBED_DUP_TAU)
+    return tag(ivf, "ivf").union(tag(exact, "exact"))
 
 
 def _q_lang_pred(sf_dir: str):
@@ -722,102 +731,80 @@ def _q_geom_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
-def _q_affine_entities(sf_dir: str):
-    # entities → POINT WKB → affine stage (2x+3y+7, -y+11 on integer cents)
-    # → coordinates back out; oracle recomputes the arithmetic
-    import numpy as np
-    import pyarrow as pa
+def _q_affine_docs(sf_dir: str):
+    """AffineTransformation under the hash gate, both dimensionalities in
+    one row: the 'xy' leg pushes plain POINTs through the affine stage
+    (2x+3y+7, -y+11 on integer cents; oracle recomputes the arithmetic,
+    z_1e2 = 0 by convention), the 'xyz' leg pushes POINT Z geometries
+    through the SAME stage — x/y transformed, Z untouched through the full
+    WKB -> stage -> WKB path (reference keeps CoordinateZ.Z under
+    AffineTransformation, Geometries/Utilities/AffineTransformation.cs:71)."""
 
-    from nettopologysuite_ray.geom.types import Geom
-    from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
-    from nettopologysuite_ray.stages.geometry import affine_stage
+    def leg(with_z: bool):
+        import numpy as np
+        import pyarrow as pa
 
-    ents = _entities(sf_dir)
+        from nettopologysuite_ray.geom.types import Geom
+        from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
+        from nettopologysuite_ray.stages.geometry import affine_stage
 
-    def to_points(b: pa.Table) -> pa.Table:
-        wkbs = [
-            to_wkb(Geom.point(float(x), float(y)))
-            for x, y in zip(b["lon_1e2"].to_pylist(), b["lat_1e2"].to_pylist())
-        ]
-        return b.select(["doc_id", "entity_idx"]).append_column(
-            "wkb", pa.array(wkbs, type=pa.binary())
-        )
+        kind = "xyz" if with_z else "xy"
 
-    staged = ents.map_batches(to_points, batch_format="pyarrow").map_batches(
-        affine_stage(a=2.0, b=3.0, c=7.0, d=0.0, e=-1.0, f=11.0),
-        batch_format="pyarrow",
-    )
-
-    def extract(b: pa.Table) -> pa.Table:
-        pts = [from_wkb(x).data for x in b["affine_wkb"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "entity_idx": b["entity_idx"],
-                "tx_1e2": pa.array([int(p[0]) for p in pts], type=pa.int64()),
-                "ty_1e2": pa.array([int(p[1]) for p in pts], type=pa.int64()),
-            }
-        )
-
-    return staged.map_batches(extract, batch_format="pyarrow")
-
-
-def _q_affine_z(sf_dir: str):
-    """Z ordinate carry-through under the hash gate: entities become
-    POINT Z geometries (z = integer doc/entity arithmetic), run through
-    the SAME affine stage as affine_entities — x/y transformed, Z
-    untouched through the full WKB -> stage -> WKB path (reference keeps
-    CoordinateZ.Z under AffineTransformation,
-    Geometries/Utilities/AffineTransformation.cs:71)."""
-    import numpy as np
-    import pyarrow as pa
-
-    from nettopologysuite_ray.geom.types import Geom
-    from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
-    from nettopologysuite_ray.stages.geometry import affine_stage
-
-    ents = _entities(sf_dir)
-
-    def to_points_z(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        eix = b["entity_idx"].to_numpy(zero_copy_only=False)
-        zs = (ids * 31 + eix * 17) % 100000
-        wkbs = [
-            to_wkb(
-                Geom(
-                    "Point",
-                    np.array([float(x), float(y)]),
-                    extra={"dims": "Z", "ords": np.array([float(z)])},
-                )
+        def to_points(b: pa.Table) -> pa.Table:
+            if with_z:
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                eix = b["entity_idx"].to_numpy(zero_copy_only=False)
+                zs = (ids * 31 + eix * 17) % 100000
+                wkbs = [
+                    to_wkb(
+                        Geom(
+                            "Point",
+                            np.array([float(x), float(y)]),
+                            extra={"dims": "Z", "ords": np.array([float(z)])},
+                        )
+                    )
+                    for x, y, z in zip(
+                        b["lon_1e2"].to_pylist(), b["lat_1e2"].to_pylist(), zs.tolist()
+                    )
+                ]
+            else:
+                wkbs = [
+                    to_wkb(Geom.point(float(x), float(y)))
+                    for x, y in zip(b["lon_1e2"].to_pylist(), b["lat_1e2"].to_pylist())
+                ]
+            return b.select(["doc_id", "entity_idx"]).append_column(
+                "wkb", pa.array(wkbs, type=pa.binary())
             )
-            for x, y, z in zip(
-                b["lon_1e2"].to_pylist(), b["lat_1e2"].to_pylist(), zs.tolist()
+
+        staged = _entities(sf_dir).map_batches(
+            to_points, batch_format="pyarrow"
+        ).map_batches(
+            affine_stage(a=2.0, b=3.0, c=7.0, d=0.0, e=-1.0, f=11.0),
+            batch_format="pyarrow",
+        )
+
+        def extract(b: pa.Table) -> pa.Table:
+            gs = [from_wkb(x) for x in b["affine_wkb"].to_pylist()]
+            if with_z:
+                for g in gs:
+                    assert g.extra is not None and g.extra["dims"] == "Z"
+                zc = [int(g.extra["ords"][0]) for g in gs]
+            else:
+                zc = [0] * len(gs)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "entity_idx": b["entity_idx"],
+                    "kind": pa.array([kind] * len(gs), type=pa.string()),
+                    "tx_1e2": pa.array([int(g.data[0]) for g in gs], type=pa.int64()),
+                    "ty_1e2": pa.array([int(g.data[1]) for g in gs], type=pa.int64()),
+                    "z_1e2": pa.array(zc, type=pa.int64()),
+                }
             )
-        ]
-        return b.select(["doc_id", "entity_idx"]).append_column(
-            "wkb", pa.array(wkbs, type=pa.binary())
-        )
 
-    staged = ents.map_batches(to_points_z, batch_format="pyarrow").map_batches(
-        affine_stage(a=2.0, b=3.0, c=7.0, d=0.0, e=-1.0, f=11.0),
-        batch_format="pyarrow",
-    )
+        return staged.map_batches(extract, batch_format="pyarrow")
 
-    def extract(b: pa.Table) -> pa.Table:
-        gs = [from_wkb(x) for x in b["affine_wkb"].to_pylist()]
-        for g in gs:
-            assert g.extra is not None and g.extra["dims"] == "Z"
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "entity_idx": b["entity_idx"],
-                "tx_1e2": pa.array([int(g.data[0]) for g in gs], type=pa.int64()),
-                "ty_1e2": pa.array([int(g.data[1]) for g in gs], type=pa.int64()),
-                "z_1e2": pa.array([int(g.extra["ords"][0]) for g in gs], type=pa.int64()),
-            }
-        )
-
-    return staged.map_batches(extract, batch_format="pyarrow")
+    return leg(False).union(leg(True))
 
 
 def _grid_dims(sf_dir: str) -> int:
@@ -1623,11 +1610,15 @@ def _q_voronoi_cells(sf_dir: str):
     )
 
 
-def _q_buffer_mitre(sf_dir: str):
-    """Mitre-join buffer of per-cell squares (reference:
-    Operation/Buffer/BufferOp.cs + BufferParameters JoinStyle.Mitre): a
-    square buffered with mitre joins is exactly the expanded square, so
-    the doubled area is integer-exact and arithmetically oracle-checkable."""
+def _q_buffer_styles(sf_dir: str):
+    """Non-round buffer styles under one gate row (reference:
+    Operation/Buffer/BufferParameters.cs JoinStyle.Mitre / EndCapStyle /
+    IsSingleSided).  Per admin id: a w-square buffered with mitre joins is
+    exactly the expanded square (doubled area + the 12-vertex regression
+    pin), a straight segment buffered with flat caps is the exact
+    rectangle, square caps extend d beyond each end, and single-sided
+    buffers cover only the signed side (side proven by the centroid) —
+    every metric is integer-exact, so the oracle is pure arithmetic."""
     import numpy as np
     import ray.data as rd
 
@@ -1644,78 +1635,44 @@ def _q_buffer_mitre(sf_dir: str):
 
         aid = b["admin_id"].to_numpy(zero_copy_only=False)
         w = 500 + (aid * 7) % 500
-        d = 50 + (aid * 13) % 100
-        area2 = np.empty(len(aid), dtype=np.int64)
-        nverts = np.empty(len(aid), dtype=np.int64)
+        dm = 50 + (aid * 13) % 100
+        L = 200 + (aid * 7) % 300
+        dc = 10 + (aid * 13) % 40
+        cols = {
+            k: np.empty(len(aid), dtype=np.int64)
+            for k in (
+                "mitre_area2",
+                "mitre_nverts",
+                "flat2",
+                "square2",
+                "ss2",
+                "ss_cy2",
+                "ssr_cy2",
+            )
+        }
         for i in range(len(aid)):
             wi = float(w[i])
             sq = Geom(
                 POLYGON,
                 [np.array([[0, 0], [wi, 0], [wi, wi], [0, wi], [0, 0]])],
             )
-            out = buffer(sq, float(d[i]), join="mitre")
-            area2[i] = np.int64(round(2 * alg.area(out)))
-            nverts[i] = len(out.data[0]) - 1
-        return pa2.table(
-            {
-                "admin_id": pa2.array(aid),
-                "area2": pa2.array(area2),
-                "nverts": pa2.array(nverts),
-            }
-        )
-
-    return ds.map_batches(buf, batch_format="pyarrow")
-
-
-def _q_buffer_caps(sf_dir: str):
-    """End-cap styles + single-sided buffers (reference:
-    Operation/Buffer/BufferParameters.cs EndCapStyle / IsSingleSided) on
-    per-admin straight segments: flat = exact rectangle, square extends d
-    beyond each end, single-sided covers only the signed side — all areas
-    and the side-proving centroid are integer-exact, so the oracle is
-    pure arithmetic."""
-    import numpy as np
-    import ray.data as rd
-
-    ds = rd.range(648).map_batches(
-        lambda b: {"admin_id": b["id"].astype(np.int64)}, batch_format="numpy"
-    )
-
-    def buf(b: "pa.Table"):
-        import pyarrow as pa2
-
-        from nettopologysuite_ray.geom import algorithms as alg
-        from nettopologysuite_ray.geom.buffer import buffer
-        from nettopologysuite_ray.geom.types import Geom
-
-        aid = b["admin_id"].to_numpy(zero_copy_only=False)
-        L = 200 + (aid * 7) % 300
-        d = 10 + (aid * 13) % 40
-        flat2 = np.empty(len(aid), dtype=np.int64)
-        square2 = np.empty(len(aid), dtype=np.int64)
-        ss2 = np.empty(len(aid), dtype=np.int64)
-        ss_cy2 = np.empty(len(aid), dtype=np.int64)
-        ssr_cy2 = np.empty(len(aid), dtype=np.int64)
-        for i in range(len(aid)):
+            out = buffer(sq, float(dm[i]), join="mitre")
+            cols["mitre_area2"][i] = np.int64(round(2 * alg.area(out)))
+            cols["mitre_nverts"][i] = len(out.data[0]) - 1
             line = Geom.linestring(np.array([[0.0, 0.0], [float(L[i]), 0.0]]))
-            di = float(d[i])
-            flat2[i] = np.int64(round(2 * alg.area(buffer(line, di, cap="flat"))))
-            square2[i] = np.int64(round(2 * alg.area(buffer(line, di, cap="square"))))
+            di = float(dc[i])
+            cols["flat2"][i] = np.int64(round(2 * alg.area(buffer(line, di, cap="flat"))))
+            cols["square2"][i] = np.int64(
+                round(2 * alg.area(buffer(line, di, cap="square")))
+            )
             left = buffer(line, di, single_sided=True)
             right = buffer(line, -di, single_sided=True)
-            ss2[i] = np.int64(round(2 * alg.area(left)))
-            ss_cy2[i] = np.int64(round(2 * alg.centroid(left).data[1]))
-            ssr_cy2[i] = np.int64(round(2 * alg.centroid(right).data[1]))
-        return pa2.table(
-            {
-                "admin_id": pa2.array(aid),
-                "flat2": pa2.array(flat2),
-                "square2": pa2.array(square2),
-                "ss2": pa2.array(ss2),
-                "ss_cy2": pa2.array(ss_cy2),
-                "ssr_cy2": pa2.array(ssr_cy2),
-            }
-        )
+            cols["ss2"][i] = np.int64(round(2 * alg.area(left)))
+            cols["ss_cy2"][i] = np.int64(round(2 * alg.centroid(left).data[1]))
+            cols["ssr_cy2"][i] = np.int64(round(2 * alg.centroid(right).data[1]))
+        t = {"admin_id": pa2.array(aid)}
+        t.update({k: pa2.array(v) for k, v in cols.items()})
+        return pa2.table(t)
 
     return ds.map_batches(buf, batch_format="pyarrow", batch_size=64, num_cpus=0.9)
 
@@ -1885,14 +1842,159 @@ def _q_coverage_simplify(sf_dir: str):
     )
 
 
+def _q_extent_agg(sf_dir: str):
+    """EnvelopeCombiner + GeometryCombiner as first-class aggregates
+    (reference: Geometries/Utilities/EnvelopeCombiner.cs:12,
+    GeometryCombiner.cs:16): entities become point WKBs, grouped into 8
+    bands; the 'agg' leg runs the mergeable EnvelopeUnion AggregateFn
+    (+ Count) through ds.groupby().aggregate(), the 'combine' leg
+    collects each band into ONE combined geometry via map_groups
+    (BuildGeometry semantics) and takes its envelope — both must equal
+    the arithmetic min/max the SQL oracle computes."""
+    import pyarrow as pa
+
+    from nettopologysuite_ray.stages.combine import EnvelopeUnion, combine_wkb_groups
+
+    def to_points(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa2
+
+        from nettopologysuite_ray.geom.types import Geom
+        from nettopologysuite_ray.geom.wkb import to_wkb
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        wkbs = [
+            to_wkb(Geom.point(float(x), float(y)))
+            for x, y in zip(b["lon_1e2"].to_pylist(), b["lat_1e2"].to_pylist())
+        ]
+        return pa2.table(
+            {
+                "band": pa2.array((ids % 8).astype("int64")),
+                "wkb": pa2.array(wkbs, type=pa2.binary()),
+            }
+        )
+
+    def pts():
+        return _entities(sf_dir).map_batches(to_points, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count
+
+    agg = pts().groupby("band").aggregate(EnvelopeUnion("wkb"), Count())
+
+    def expand_agg(b: pa.Table) -> pa.Table:
+        import pyarrow as pa2
+
+        ext = b["extent"].to_pylist()
+        return pa2.table(
+            {
+                "band": b["band"],
+                "src": pa2.array(["agg"] * len(b), type=pa2.string()),
+                "n_geoms": b["count()"].cast(pa2.int64()),
+                "minx": pa2.array([int(round(e[0])) for e in ext], type=pa2.int64()),
+                "miny": pa2.array([int(round(e[1])) for e in ext], type=pa2.int64()),
+                "maxx": pa2.array([int(round(e[2])) for e in ext], type=pa2.int64()),
+                "maxy": pa2.array([int(round(e[3])) for e in ext], type=pa2.int64()),
+            }
+        )
+
+    comb = combine_wkb_groups(pts(), "band", "wkb")
+
+    def expand_comb(b: pa.Table) -> pa.Table:
+        import pyarrow as pa2
+
+        from nettopologysuite_ray.geom import algorithms as alg
+        from nettopologysuite_ray.geom.wkb import from_wkb
+
+        envs = [alg.envelope(from_wkb(w)) for w in b["combined_wkb"].to_pylist()]
+        return pa2.table(
+            {
+                "band": b["band"],
+                "src": pa2.array(["combine"] * len(b), type=pa2.string()),
+                "n_geoms": b["n_geoms"].cast(pa2.int64()),
+                "minx": pa2.array([int(round(e[0])) for e in envs], type=pa2.int64()),
+                "miny": pa2.array([int(round(e[1])) for e in envs], type=pa2.int64()),
+                "maxx": pa2.array([int(round(e[2])) for e in envs], type=pa2.int64()),
+                "maxy": pa2.array([int(round(e[3])) for e in envs], type=pa2.int64()),
+            }
+        )
+
+    return agg.map_batches(expand_agg, batch_format="pyarrow").union(
+        comb.map_batches(expand_comb, batch_format="pyarrow")
+    )
+
+
+def _q_linearref_m(sf_dir: str):
+    """M-ordinate (measure) linear referencing under the hash gate
+    (reference: Geometries/CoordinateM.cs:9 +
+    LinearReferencing/LengthLocationMap.cs:17): per doc a 3-vertex route
+    polyline with strictly-increasing integer measures is built as a
+    LINESTRING M WKT, PARSED back (so M rides the real IO path), then
+    MeasureIndexedLine answers locate-along (extract_point at two
+    measures), project-to-measure, measure-at-length and locate-between
+    (extract_line with M carried per vertex) — all answers integer-exact
+    by construction, replayed arithmetically by the SQL oracle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def lr(b: "pa.Table"):
+        import numpy as np
+        import pyarrow as pa2
+
+        from nettopologysuite_ray.geom.linearref import MeasureIndexedLine
+        from nettopologysuite_ray.geom.wkt import from_wkt
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        cols = {
+            k: np.empty(len(ids), dtype=np.int64)
+            for k in (
+                "pax", "pay", "pbx", "pby", "proj_m", "m_half", "sub_npts", "sub_msum"
+            )
+        }
+        for i, d in enumerate(ids):
+            d = int(d)
+            L1 = 4 * (10 + d % 50)
+            L2 = 4 * (5 + d % 30)
+            m0 = d
+            dm1 = 4 * (1 + d % 20)
+            dm2 = 4 * (2 + d % 10)
+            m1, m2 = m0 + dm1, m0 + dm1 + dm2
+            wkt = (
+                f"LINESTRING M (0 0 {m0}, {L1} 0 {m1}, {L1} {L2} {m2})"
+            )
+            mil = MeasureIndexedLine(from_wkt(wkt))
+            ma = m0 + dm1 // 2
+            mb = m1 + dm2 // 4
+            pa_ = mil.extract_point(float(ma))
+            pb_ = mil.extract_point(float(mb))
+            cols["pax"][i] = round(pa_.data[0])
+            cols["pay"][i] = round(pa_.data[1])
+            cols["pbx"][i] = round(pb_.data[0])
+            cols["pby"][i] = round(pb_.data[1])
+            cols["proj_m"][i] = round(mil.project(L1 / 4.0, 7.0))
+            cols["m_half"][i] = round(mil.m_at_length(L1 + L2 / 2.0))
+            sub = mil.extract_line(float(ma), float(mb))
+            cols["sub_npts"][i] = len(sub.data)
+            cols["sub_msum"][i] = round(float(sub.extra["ords"].sum()))
+        t = {"doc_id": pa2.array(ids)}
+        t.update({k: pa2.array(v) for k, v in cols.items()})
+        return pa2.table(t)
+
+    return ds.map_batches(lr, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    # NOTE: the driver gates at most 50 queries (CORRECTNESS_r03 silently
+    # dropped entries 51-56), so sibling queries are consolidated under one
+    # row each (mode/kind/method tag columns) and the rows-only XML/coverage
+    # round-trip variants moved to pytest (tests/test_pipeline.py) — every
+    # entry below has a hash-checked oracle except conformance_summary.
     return {
         "conformance_summary": _q_conformance,
         "distributed_union": _q_distributed_union,
         "tile_top_docs": _q_tile_top_docs,
         "geom_stats": _q_geom_stats,
-        "affine_entities": _q_affine_entities,
-        "affine_z": _q_affine_z,
+        "affine_docs": _q_affine_docs,
         "polygonize_grid": _q_polygonize_grid,
         "dissolve_chains": _q_dissolve_chains,
         "distance3d_docs": _q_distance3d_docs,
@@ -1900,12 +2002,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlay_z_docs": _q_overlay_z_docs,
         "within_distance_join": _q_within_distance_join,
         "geo_extract": _q_geo_extract,
-        "spatial_join_assign": _q_spatial_join_assign,
-        "spatial_join_inner": _q_spatial_join_inner,
-        "tile_morton": _q_tile_morton,
+        "spatial_join_modes": _q_spatial_join_modes,
+        "tile_curves": _q_tile_curves,
         "tile_stats_morton": _q_tile_stats_morton,
-        "tile_hilbert": _q_tile_hilbert,
         "knn_admin": _q_knn_admin,
+        "extent_agg": _q_extent_agg,
+        "linearref_m": _q_linearref_m,
+        "buffer_styles": _q_buffer_styles,
+        "densify_simplify": _q_densify_simplify,
+        "multimodal_decode": _q_multimodal_decode,
         "q1_pricing": _q_q1_pricing,
         "top_orders": _q_top_orders,
         "customers_per_region": _q_customers_per_region,
@@ -1914,10 +2019,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
         "embed_near_dup": _q_embed_near_dup,
-        "embed_near_dup_exact": _q_embed_near_dup_exact,
+        "near_dup_groups": _q_near_dup_groups,
         "winnow_fingerprint": _q_winnow_fingerprint,
-        "tumbling_window": _q_tumbling_window,
-        "hopping_window": _q_hopping_window,
+        "windows_rollup": _q_windows_rollup,
         "session_stats": _q_session_stats,
         "asof_join": _q_asof_join,
         "kmv_distinct": _q_kmv_distinct,
@@ -1930,19 +2034,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
-        "gml_kml_roundtrip": _q_gml_kml_roundtrip,
         "gml_kml_coords": _q_gml_kml_coords,
-        "coverage_simplify": _q_coverage_simplify,
         "coverage_simplify_grid": _q_coverage_simplify_grid,
         "cluster_hulls": _q_cluster_hulls,
         "triangulate_events": _q_triangulate_events,
         "voronoi_cells": _q_voronoi_cells,
-        "ann_ivf": _q_ann_ivf,
-        "buffer_mitre": _q_buffer_mitre,
-        "buffer_caps": _q_buffer_caps,
-        "multimodal_decode": _q_multimodal_decode,
-        "densify_simplify": _q_densify_simplify,
-        "near_dup_groups": _q_near_dup_groups,
     }
 
 
@@ -2064,11 +2160,21 @@ SELECT admin_id, 100.0 AS area,
   CAST((admin_id // 36) * 10 - 80 AS DOUBLE) AS maxy
 FROM g
 """,
-        "affine_entities": _ENTS_CTE
+        # both dimensionalities under one row: the 'xy' leg reports
+        # z_1e2 = 0 by convention; 'xyz' carries z = (doc*31+ent*17) %
+        # 100000 untouched through the affine stage
+        "affine_docs": _ENTS_CTE
         + """
-SELECT doc_id, entity_idx,
+SELECT doc_id, entity_idx, 'xy' AS kind,
   CAST(2 * lon_1e2 + 3 * lat_1e2 + 7 AS BIGINT) AS tx_1e2,
-  CAST(-lat_1e2 + 11 AS BIGINT) AS ty_1e2
+  CAST(-lat_1e2 + 11 AS BIGINT) AS ty_1e2,
+  CAST(0 AS BIGINT) AS z_1e2
+FROM e2
+UNION ALL
+SELECT doc_id, entity_idx, 'xyz',
+  CAST(2 * lon_1e2 + 3 * lat_1e2 + 7 AS BIGINT),
+  CAST(-lat_1e2 + 11 AS BIGINT),
+  CAST((doc_id * 31 + entity_idx * 17) % 100000 AS BIGINT)
 FROM e2
 """,
         # the road-grid face inventory: every face the distributed
@@ -2191,16 +2297,6 @@ SELECT doc_id,
        CAST(round(sqrt((px-qx)*(px-qx) + (py-qy)*(py-qy) + (pz-qz)*(pz-qz)) * 1000000) AS BIGINT) AS dist_1e6
 FROM c
 """,
-        # z = (doc_id*31 + entity_idx*17) % 100000 rides along untouched
-        # (all operands non-negative, so DuckDB % == Python %)
-        "affine_z": _ENTS_CTE
-        + """
-SELECT doc_id, entity_idx,
-  CAST(2 * lon_1e2 + 3 * lat_1e2 + 7 AS BIGINT) AS tx_1e2,
-  CAST(-lat_1e2 + 11 AS BIGINT) AS ty_1e2,
-  CAST((doc_id * 31 + entity_idx * 17) % 100000 AS BIGINT) AS z_1e2
-FROM e2
-""",
         "within_distance_join": _ENTS_CTE
         + """
 , ev AS (
@@ -2222,35 +2318,46 @@ SELECT doc_id, entity_idx, lon_1e2 / 100.0 AS lon, lat_1e2 / 100.0 AS lat,
        lon_1e2, lat_1e2
 FROM e2
 """,
-        "spatial_join_assign": _ENTS_CTE
-        + """
-SELECT doc_id, entity_idx,
-       ((lat_1e2 + 9000) // 1000) * 36 + (lon_1e2 + 18000) // 1000 AS admin_id
-FROM e2
-""",
-        "spatial_join_inner": _ENTS_CTE
+        # 'assign': unique containing admin per entity (arithmetic cell);
+        # 'inner': semi-join hits — boundary points legitimately match 2+
+        "spatial_join_modes": _ENTS_CTE
         + """
 , g AS (SELECT unnest(range(648)) AS admin_id)
-SELECT e2.doc_id, e2.entity_idx, g.admin_id
+SELECT doc_id, entity_idx,
+       ((lat_1e2 + 9000) // 1000) * 36 + (lon_1e2 + 18000) // 1000 AS admin_id,
+       'assign' AS mode
+FROM e2
+UNION ALL
+SELECT e2.doc_id, e2.entity_idx, g.admin_id, 'inner'
 FROM e2 CROSS JOIN g
 WHERE e2.lon_1e2 >= (g.admin_id % 36)*1000 - 18000
   AND e2.lon_1e2 <= (g.admin_id % 36)*1000 - 17000
   AND e2.lat_1e2 >= (g.admin_id // 36)*1000 - 9000
   AND e2.lat_1e2 <= (g.admin_id // 36)*1000 - 8000
 """,
-        # mitre buffer of a w-square by d = exact (w+2d)-square; the 12
-        # boundary vertices (3 per corner: two offset endpoints + mitre
-        # apex) are a deterministic regression pin
-        "buffer_mitre": """
+        # mitre buffer of a w-square by d = exact (w+2d)-square with the
+        # 12-vertex regression pin (3 per corner: two offset endpoints +
+        # mitre apex); flat caps = exact rectangle, square caps extend d
+        # beyond each end, single-sided covers only the signed side
+        # (centroid y proves the side)
+        "buffer_styles": """
 WITH g AS (SELECT unnest(range(648)) AS admin_id),
 p AS (
   SELECT admin_id,
          500 + (admin_id * 7) % 500 AS w,
-         50 + (admin_id * 13) % 100 AS d
+         50 + (admin_id * 13) % 100 AS dm,
+         200 + (admin_id * 7) % 300 AS L,
+         10 + (admin_id * 13) % 40 AS dc
   FROM g
 )
-SELECT admin_id, CAST(2 * (w + 2 * d) * (w + 2 * d) AS BIGINT) AS area2,
-       CAST(12 AS BIGINT) AS nverts
+SELECT admin_id,
+       CAST(2 * (w + 2 * dm) * (w + 2 * dm) AS BIGINT) AS mitre_area2,
+       CAST(12 AS BIGINT) AS mitre_nverts,
+       CAST(4 * L * dc AS BIGINT) AS flat2,
+       CAST(4 * dc * (L + 2 * dc) AS BIGINT) AS square2,
+       CAST(2 * L * dc AS BIGINT) AS ss2,
+       CAST(dc AS BIGINT) AS ss_cy2,
+       CAST(-dc AS BIGINT) AS ssr_cy2
 FROM p
 """,
         "multimodal_decode": """
@@ -2269,22 +2376,6 @@ SELECT doc_id,
        CAST(height AS BIGINT) AS height,
        CAST(round(1000000 * (0.299 * r + 0.587 * g + 0.114 * b)) AS BIGINT) AS lum_1e6,
        CAST((r + g + b) * width * height AS BIGINT) AS pix_sum
-FROM p
-""",
-        "buffer_caps": """
-WITH g AS (SELECT unnest(range(648)) AS admin_id),
-p AS (
-  SELECT admin_id,
-         200 + (admin_id * 7) % 300 AS L,
-         10 + (admin_id * 13) % 40 AS d
-  FROM g
-)
-SELECT admin_id,
-       CAST(4 * L * d AS BIGINT) AS flat2,
-       CAST(4 * d * (L + 2 * d) AS BIGINT) AS square2,
-       CAST(2 * L * d AS BIGINT) AS ss2,
-       CAST(d AS BIGINT) AS ss_cy2,
-       CAST(-d AS BIGINT) AS ssr_cy2
 FROM p
 """,
         # densify(<=70) then DP-simplify(1) restores the 4-corner rectangle
@@ -2335,18 +2426,17 @@ SELECT doc_id,
             AS BIGINT) AS simhash
 FROM val
 """,
-        # hilbert bijectivity: engine emits ix/iy DECODED from the hilbert
-        # code; oracle computes the quantization directly
-        "tile_hilbert": _ENTS_CTE
+        # curve bijectivity for BOTH encoders: the engine emits ix/iy
+        # DECODED from each curve code, so encode∘decode must equal the
+        # plain quantization the oracle computes (morton cell VALUES stay
+        # directly checked via tile_stats_morton / tile_top_docs)
+        "tile_curves": _ENTS_CTE
         + f"""
-SELECT doc_id, entity_idx,
+, c AS (SELECT unnest(['morton', 'hilbert']) AS curve)
+SELECT doc_id, entity_idx, c.curve,
        CAST((lon_1e2 + 18000) * {1 << LEVEL} // 36000 AS BIGINT) AS ix,
        CAST((lat_1e2 + 9000) * {1 << LEVEL} // 18000 AS BIGINT) AS iy
-FROM e2
-""",
-        "tile_morton": _ENTS_CTE
-        + f"""
-SELECT doc_id, entity_idx, {morton} AS cell_id FROM e2
+FROM e2 CROSS JOIN c
 """,
         "tile_top_docs": _ENTS_CTE
         + f"""
@@ -2512,24 +2602,26 @@ JOIN sizes nb ON nb.doc_id = id_b
 WHERE 2 * i >= (na.n + nb.n - i)
 """,
         # integer-exact: epoch microseconds // width, money as
-        # round-half-away cents (floor(|v|*100+0.5)*sign == DuckDB round)
-        "tumbling_window": """
+        # round-half-away cents (floor(|v|*100+0.5)*sign == DuckDB round).
+        # 'tumble' = 6h fixed windows; 'hop' = 1h window / 15min slide —
+        # every event joins the 4 slide offsets that cover it
+        # (epoch-aligned, so no range filter is needed)
+        "windows_rollup": """
 SELECT epoch_us(ts) // 21600000000 * 21600 AS window_start,
        event_type,
        count(*) AS n_events,
        CAST(sum(CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
-           * CASE WHEN value < 0 THEN -1 ELSE 1 END) AS BIGINT) AS value_cents
+           * CASE WHEN value < 0 THEN -1 ELSE 1 END) AS BIGINT) AS value_cents,
+       'tumble' AS kind
 FROM events
 GROUP BY 1, 2
-""",
-        # hopping windows: every event joins the 4 slide offsets that
-        # cover it (epoch-aligned, so no range filter is needed)
-        "hopping_window": """
+UNION ALL
 SELECT (epoch_us(ts) // 900000000 - off) * 900 AS window_start,
        event_type,
        count(*) AS n_events,
        CAST(sum(CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
-           * CASE WHEN value < 0 THEN -1 ELSE 1 END) AS BIGINT) AS value_cents
+           * CASE WHEN value < 0 THEN -1 ELSE 1 END) AS BIGINT) AS value_cents,
+       'hop' AS kind
 FROM events, (SELECT unnest(range(0, 4)) AS off) o
 GROUP BY 1, 2
 """,
@@ -2736,12 +2828,12 @@ sel AS (
 SELECT DISTINCT s.doc_id, s.pos, g.gram_hash
 FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.p = s.pos
 """,
-        # double-precision dot/(|a||b|) exactly as the engine computes it;
-        # ROUND is half-away-from-zero, mirrored by floor(x+0.5) (sims>0)
-        # bucketing replayed exactly: nearest data-seeded centroid by
-        # cosine (ties to lower cid — the engine asserts a >1e-12 margin
-        # so the tie-break can never actually fire), then all pairs
-        # WITHIN a bucket
+        # 'ivf': bucketing replayed exactly — nearest data-seeded centroid
+        # by cosine (ties to lower cid; the engine asserts a >1e-12 margin
+        # so the tie-break can never actually fire), then all pairs WITHIN
+        # a bucket.  'exact': plain all-pairs.  sim via double-precision
+        # dot/(|a||b|) exactly as the engine computes it; ROUND is
+        # half-away-from-zero, mirrored by the engine's floor(x+0.5)
         "embed_near_dup": f"""
 WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {IVF_NC}),
 e AS (
@@ -2757,25 +2849,27 @@ eb AS (
     FROM embeddings x CROSS JOIN c) WHERE rn = 1
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS sim_1e4
+       CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS sim_1e4,
+       'ivf' AS method
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 JOIN eb ba ON ba.vec_id = a.vec_id
 JOIN eb bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
 WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {EMBED_DUP_TAU}
-""",
-        "embed_near_dup_exact": f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS sim_1e4
+UNION ALL
+SELECT a.vec_id, b.vec_id,
+       CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) AS BIGINT),
+       'exact'
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {EMBED_DUP_TAU}
 """,
+        # 'brute': exact cosine top-k over the full corpus.  'ivf': probe
+        # pipeline reproduced exactly — centroids = first IVF_NC corpus
+        # vectors; corpus bucket = nearest centroid (tie -> lowest cid,
+        # same as numpy argmax); each query probes its IVF_NPROBE nearest
+        # buckets; exact cosine rank within the probed set.
         "ann_topk": f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {ANN_NQ}),
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {IVF_NC}),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {ANN_NQ}),
 s AS (
   SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
   FROM q CROSS JOIN embeddings e
@@ -2783,16 +2877,7 @@ s AS (
   SELECT query_id, vec_id,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) - 1 AS rank
   FROM s
-)
-SELECT query_id, rank, vec_id FROM r WHERE rank < {ANN_K}
-""",
-        # IVF probe pipeline, reproduced exactly: centroids = first IVF_NC
-        # corpus vectors; corpus bucket = nearest centroid (tie -> lowest
-        # cid, same as numpy argmax); each query probes its IVF_NPROBE
-        # nearest buckets; exact cosine rank within the probed set.
-        "ann_ivf": f"""
-WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {IVF_NC}),
-q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {ANN_NQ}),
+),
 qp AS (
   SELECT query_id, cid FROM (
     SELECT q.query_id, c.cid,
@@ -2807,16 +2892,56 @@ eb AS (
                               ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
     FROM embeddings e CROSS JOIN c) WHERE rn = 1
 ),
-s AS (
+s2 AS (
   SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
   FROM q CROSS JOIN embeddings e
   JOIN eb ON eb.vec_id = e.vec_id
   JOIN qp ON qp.query_id = q.query_id AND qp.cid = eb.bucket
-), r AS (
+), r2 AS (
   SELECT query_id, vec_id,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) - 1 AS rank
-  FROM s
+  FROM s2
 )
-SELECT query_id, rank, vec_id FROM r WHERE rank < {ANN_K}
+SELECT query_id, rank, vec_id, 'brute' AS method FROM r WHERE rank < {ANN_K}
+UNION ALL
+SELECT query_id, rank, vec_id, 'ivf' FROM r2 WHERE rank < {ANN_K}
+""",
+        # EnvelopeUnion AggregateFn + GeometryCombiner map_groups must both
+        # equal the arithmetic per-band min/max extent (+ count)
+        "extent_agg": _ENTS_CTE
+        + """
+, s AS (
+  SELECT doc_id % 8 AS band, CAST(count(*) AS BIGINT) AS n_geoms,
+         CAST(min(lon_1e2) AS BIGINT) AS minx, CAST(min(lat_1e2) AS BIGINT) AS miny,
+         CAST(max(lon_1e2) AS BIGINT) AS maxx, CAST(max(lat_1e2) AS BIGINT) AS maxy
+  FROM e2 GROUP BY 1
+)
+SELECT band, src, n_geoms, minx, miny, maxx, maxy
+FROM s CROSS JOIN (SELECT unnest(['agg', 'combine']) AS src) t
+""",
+        # M-ordinate linear referencing replayed arithmetically: the route
+        # line is (0,0)-(L1,0)-(L1,L2) with measures m0, m0+dm1,
+        # m0+dm1+dm2 (all divisible by 4, so every query lands on an exact
+        # rational); extract_point at m0+dm1/2 and m1+dm2/4, project of
+        # (L1/4, 7), measure at length L1+L2/2, and the locate-between
+        # sub-line's vertex count + measure sum
+        "linearref_m": """
+WITH p AS (
+  SELECT doc_id,
+         4 * (10 + doc_id % 50) AS L1,
+         4 * (5 + doc_id % 30) AS L2,
+         doc_id AS m0,
+         4 * (1 + doc_id % 20) AS dm1,
+         4 * (2 + doc_id % 10) AS dm2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(L1 // 2 AS BIGINT) AS pax, CAST(0 AS BIGINT) AS pay,
+       CAST(L1 AS BIGINT) AS pbx, CAST(L2 // 4 AS BIGINT) AS pby,
+       CAST(m0 + dm1 // 4 AS BIGINT) AS proj_m,
+       CAST(m0 + dm1 + dm2 // 2 AS BIGINT) AS m_half,
+       CAST(3 AS BIGINT) AS sub_npts,
+       CAST((m0 + dm1 // 2) + (m0 + dm1) + (m0 + dm1 + dm2 // 4) AS BIGINT) AS sub_msum
+FROM p
 """,
     }

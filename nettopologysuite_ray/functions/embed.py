@@ -328,6 +328,7 @@ def embed_near_dup(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     block_rows: int = 8192,
+    max_blocks: int = 64,
 ):
     """Exact all-pairs embedding near-dup: every unordered pair with
     cosine(a, b) >= threshold, as (id_a < id_b, sim_1e4:int64).
@@ -353,6 +354,17 @@ def embed_near_dup(
         batch_format="pyarrow",
         batch_size=block_rows,
     ).materialize()
+    n_packed = packed.count()
+    if n_packed > max_blocks:
+        raise ValueError(
+            f"embed_near_dup: corpus packs into {n_packed} blocks of "
+            f"{block_rows} rows, above the exact-all-pairs cap "
+            f"max_blocks={max_blocks} (~{n_packed * (n_packed + 1) // 2} "
+            "block-pair matmuls). This path is the small-corpus exact "
+            "opt-in; at corpus scale use embed_near_dup_ivf (IVF-bucketed, "
+            "streaming), or raise max_blocks explicitly if you really want "
+            "the quadratic join."
+        )
     refs = packed.to_arrow_refs()
     nb = len(refs)
     pair_items = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]

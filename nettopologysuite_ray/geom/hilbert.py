@@ -39,6 +39,25 @@ def morton_encode(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
     )
 
 
+def _unspread_bits16(v: np.ndarray) -> np.ndarray:
+    """Inverse of _spread_bits16: gather the even bits back to 16 bits."""
+    v = v.astype(np.uint64) & np.uint64(0x55555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x33333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF)
+    return v
+
+
+def morton_decode(d) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of morton_encode (code→xy), vectorized.
+    Matches Shape/Fractal/MortonCode.cs:73 `Decode` bit order."""
+    d = np.asarray(d, dtype=np.uint64)
+    ix = _unspread_bits16(d)
+    iy = _unspread_bits16(d >> np.uint64(1))
+    return ix.astype(np.int64), iy.astype(np.int64)
+
+
 def hilbert_encode(ix, iy, level: int) -> np.ndarray:
     """Hilbert curve index of integer cell coords at `level` (vectorized).
 

@@ -303,6 +303,133 @@ class LocationIndexedLine:
         return out
 
 
+class MeasureIndexedLine:
+    """M-ordinate (measure) linear referencing (reference:
+    Geometries/CoordinateM.cs:9 carries the M ordinate;
+    LinearReferencing/LengthLocationMap.cs:17 is the length↔location
+    resolver whose interpolation rule this applies to the M column —
+    locate-along / interpolate-measure semantics for route-milepost data).
+
+    The line must carry per-vertex measures out of band
+    (``Geom.extra = {"dims": "M"|"ZM", "ords": (N, e)}``; M is the last
+    ords column).  Measures are required monotonic non-decreasing along
+    the line, the standard route-measure contract; queries clamp to the
+    measure range exactly like LengthLocationMap clamps lengths.
+    """
+
+    def __init__(self, line: Geom):
+        if line.gtype != LINESTRING:
+            raise ValueError("MeasureIndexedLine requires a LineString")
+        if line.extra is None or "M" not in line.extra["dims"]:
+            raise ValueError("MeasureIndexedLine requires M ordinates")
+        self.coords = np.asarray(line.data, dtype=np.float64)
+        ords = np.asarray(line.extra["ords"], dtype=np.float64)
+        if ords.ndim == 1:
+            ords = ords[:, None]
+        self.m = ords[:, -1].copy()
+        if np.any(np.diff(self.m) < 0):
+            raise ValueError("measures must be monotonic non-decreasing")
+        d = np.diff(self.coords, axis=0)
+        self.cum = np.concatenate([[0.0], np.cumsum(np.sqrt((d * d).sum(axis=1)))])
+
+    @property
+    def start_m(self) -> float:
+        return float(self.m[0])
+
+    @property
+    def end_m(self) -> float:
+        return float(self.m[-1])
+
+    # -- length -> measure (LengthLocationMap.GetLocation rule on M) ------
+    def m_at_length(self, index: float) -> float:
+        """Interpolated measure at a length index (clamped)."""
+        index = min(max(index, 0.0), float(self.cum[-1]))
+        i = int(np.searchsorted(self.cum, index, side="right") - 1)
+        i = min(i, len(self.coords) - 2)
+        seg = self.cum[i + 1] - self.cum[i]
+        t = (index - self.cum[i]) / seg if seg > 0 else 0.0
+        return float(self.m[i] + t * (self.m[i + 1] - self.m[i]))
+
+    # -- measure -> length / point (locate-along) --------------------------
+    def length_at_m(self, m: float) -> float:
+        """FIRST length index whose measure equals ``m`` (clamped to the
+        measure range; constant-measure runs resolve to their start, the
+        same first-match rule as LengthLocationMap.GetLength)."""
+        m = min(max(m, self.start_m), self.end_m)
+        i = int(np.searchsorted(self.m, m, side="left"))
+        if i < len(self.m) and self.m[i] == m:
+            return float(self.cum[i])
+        i = max(1, i)
+        dm = self.m[i] - self.m[i - 1]
+        t = (m - self.m[i - 1]) / dm if dm > 0 else 0.0
+        return float(self.cum[i - 1] + t * (self.cum[i] - self.cum[i - 1]))
+
+    def extract_point(self, m: float) -> Geom:
+        """Point at measure ``m``, carrying the (clamped) measure as its
+        own M ordinate."""
+        m_c = min(max(m, self.start_m), self.end_m)
+        ln = self.length_at_m(m_c)
+        i = int(np.searchsorted(self.cum, ln, side="right") - 1)
+        i = min(i, len(self.coords) - 2)
+        seg = self.cum[i + 1] - self.cum[i]
+        t = (ln - self.cum[i]) / seg if seg > 0 else 0.0
+        p = self.coords[i] + t * (self.coords[i + 1] - self.coords[i])
+        return Geom(
+            "Point",
+            np.array([float(p[0]), float(p[1])]),
+            extra={"dims": "M", "ords": np.array([m_c])},
+        )
+
+    def extract_line(self, m0: float, m1: float) -> Geom:
+        """Sub-line between measures (locate-between), per-vertex measures
+        interpolated and carried through as M ordinates."""
+        if m1 < m0:
+            m0, m1 = m1, m0
+        l0 = self.length_at_m(m0)
+        l1 = self.length_at_m(m1)
+        pts = [self.extract_point(m0)]
+        mask = (self.cum > l0) & (self.cum < l1)
+        mids = [
+            Geom(
+                "Point",
+                self.coords[i].copy(),
+                extra={"dims": "M", "ords": np.array([self.m[i]])},
+            )
+            for i in np.nonzero(mask)[0]
+        ]
+        pts.extend(mids)
+        pts.append(self.extract_point(m1))
+        arr = np.array([p.data for p in pts])
+        ms = np.array([float(p.extra["ords"][0]) for p in pts])
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = (arr[1:] != arr[:-1]).any(axis=1)
+        arr, ms = arr[keep], ms[keep]
+        if len(arr) < 2:
+            arr = np.vstack([arr, arr]) if len(arr) else np.zeros((0, 2))
+            ms = np.concatenate([ms, ms]) if len(ms) else np.zeros(0)
+        return Geom(
+            LINESTRING, arr, extra={"dims": "M", "ords": ms[:, None].copy()}
+        )
+
+    def project(self, x: float, y: float) -> float:
+        """Interpolated measure of the closest point on the line."""
+        best_d = float("inf")
+        best_m = self.start_m
+        for i in range(len(self.coords) - 1):
+            a = self.coords[i]
+            b = self.coords[i + 1]
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            ll = dx * dx + dy * dy
+            t = ((x - a[0]) * dx + (y - a[1]) * dy) / ll if ll else 0.0
+            t = min(max(t, 0.0), 1.0)
+            cx, cy = a[0] + t * dx, a[1] + t * dy
+            dist = math.hypot(x - cx, y - cy)
+            if dist < best_d:
+                best_d = dist
+                best_m = float(self.m[i] + t * (self.m[i + 1] - self.m[i]))
+        return best_m
+
+
 def _point_along_offset(p0, p1, frac: float, offset: float):
     """Point at frac along (p0,p1), offset perpendicular (positive = left)
     (reference: Geometries/LineSegment.cs PointAlongOffset)."""

@@ -103,12 +103,18 @@ def within_distance_join(
 
     hot_cells = set()
     if salt_threshold is not None:
-        # combiner pre-pass: one row per (task, cell) — the hot-cell list
-        # is bounded by total_rows / threshold, safe to collect
+        # combiner pre-pass with the hot filter applied DATASET-side: the
+        # driver only ever collects the hot cells themselves — bounded by
+        # total_rows / threshold — never the full per-cell stats table
+        # (millions of rows at fine levels on a 100-TB corpus)
         from .tiling import tile_stats
 
-        stats = tile_stats(left_t, "cell", small_result=False).to_pandas()
-        hot_cells = set(stats[stats["n"] > salt_threshold]["cell"].astype(np.int64))
+        hot_df = (
+            tile_stats(left_t, "cell", small_result=False)
+            .filter(expr=f"n > {int(salt_threshold)}")
+            .to_pandas()
+        )
+        hot_cells = set(hot_df["cell"].astype(np.int64))
 
     if hot_cells:
         hot_arr = np.fromiter(hot_cells, dtype=np.int64, count=len(hot_cells))

@@ -196,8 +196,15 @@ def salt_hot_cells(
 def find_hot_cells(ds, cell_col: str = "cell_id", threshold_frac: float = 0.01):
     """Cheap pre-pass: per-cell counts (combiner-aggregated), return the set
     of cells holding more than threshold_frac of all rows (SURVEY.md §4.2
-    salting pre-pass)."""
-    stats = tile_stats(ds, cell_col).to_pandas()
-    total = stats["n"].sum()
-    hot = stats[stats["n"] > total * threshold_frac]
-    return set(hot[cell_col].tolist()), stats
+    salting pre-pass) plus the stats Dataset.
+
+    The hot-cell filter runs DATASET-side, so the driver only ever holds
+    the hot set itself — bounded by 1/threshold_frac rows by construction —
+    never the full per-cell stats table (millions of rows at level 14-16 on
+    a 100-TB corpus).  The stats table stays a (materialized, spillable)
+    Dataset for callers that want it."""
+    stats_ds = tile_stats(ds, cell_col).materialize()
+    total = stats_ds.sum("n")
+    cut = int(total * threshold_frac)
+    hot_df = stats_ds.filter(expr=f"n > {cut}").to_pandas()
+    return set(hot_df[cell_col].tolist()), stats_ds

@@ -217,10 +217,13 @@ def test_salting_splits_hot_cells(ray_session, sf_dir):
     ds = entity_dataset(sf_dir).map_batches(
         lambda b: assign_cells_batch(b, level=6, kind="hilbert"), batch_format="pyarrow"
     )
-    hot, stats = find_hot_cells(ds, threshold_frac=0.05)
+    hot, stats_ds = find_hot_cells(ds, threshold_frac=0.05)
     assert len(hot) >= 1  # the urban cell
+    stats = stats_ds.to_pandas()
     total = stats["n"].sum()
     assert stats[stats["cell_id"].isin(hot)]["n"].sum() >= 0.2 * total
+    # the driver-held hot set is bounded by 1/threshold_frac by construction
+    assert len(hot) <= 1 / 0.05
     n_salt = 8
     salted = ds.map_batches(
         lambda b: salt_hot_cells(b, hot, n_salt), batch_format="pyarrow"
