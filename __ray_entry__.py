@@ -379,6 +379,7 @@ def _q_ann_topk(sf_dir: str):
         n_centroids=IVF_NC,
         nprobe=IVF_NPROBE,
         centroids_ref=cref,
+        assign_margin=1e-12,  # oracle-gated: fail loud on BLAS-order ties
     )
     return tag(brute, "brute").union(tag(ivf, "ivf"))
 
@@ -608,7 +609,9 @@ def _q_embed_near_dup(sf_dir: str):
         )
 
     ivf = embed_near_dup_ivf(
-        read(), threshold=EMBED_DUP_TAU, dim=dim, n_centroids=IVF_NC, centroids_ref=cref
+        read(), threshold=EMBED_DUP_TAU, dim=dim, n_centroids=IVF_NC,
+        centroids_ref=cref,
+        assign_margin=1e-12,  # oracle-gated: fail loud on BLAS-order ties
     )
     exact = embed_near_dup(read(), threshold=EMBED_DUP_TAU)
     return tag(ivf, "ivf").union(tag(exact, "exact"))

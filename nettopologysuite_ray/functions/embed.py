@@ -186,13 +186,16 @@ class IvfTopK:
 def ivf_ann_topk(
     ds, queries_ref, dim: int, k: int = 5, n_centroids: int = 16, nprobe: int = 4,
     centroids_ref=None, expected_blocks: int | None = None,
+    assign_margin: float | None = None,
 ):
     """End-to-end IVF-bucketed approximate top-k: bucket the corpus with
-    IvfIndexer, probe-score per batch, merge with the same top-k tree."""
+    IvfIndexer, probe-score per batch, merge with the same top-k tree.
+    assign_margin: see IvfIndexer (oracle-gated callers pass 1e-12)."""
     bucketed = ds.map_batches(
         IvfIndexer,
         fn_constructor_kwargs={
             "dim": dim, "n_centroids": n_centroids, "centroids_ref": centroids_ref,
+            "assign_margin": assign_margin,
         },
         batch_format="pyarrow",
         batch_size=4096,
@@ -236,11 +239,17 @@ class IvfIndexer:
     seeded from hashed unit directions (no data pass) — at scale you'd
     fit them on a sample; determinism matters more here.
 
-    assign_margin (default on): assert that every vector's best-centroid
-    sim beats the runner-up by > eps — an exact argmax tie is the one
-    case where a different BLAS build could flip the bucket (and break
-    the SQL oracle that replays the assignment), so it fails LOUDLY
-    instead of silently diverging.
+    assign_margin (default OFF): when set, assert that every vector's
+    best-centroid sim beats the runner-up by > eps — a near-tie is the
+    one case where a different BLAS build could flip the bucket (and
+    break a SQL oracle that replays the assignment), so oracle-gated
+    callers pass 1e-12 to fail LOUDLY instead of silently diverging.
+    The library default is None because an exact tie is a legitimate
+    data condition (duplicate / symmetric vectors equidistant from two
+    centroids): np.argmax already breaks exact ties deterministically to
+    the LOWEST centroid id — the same ORDER BY sim DESC, cid rule the
+    oracle uses — so ties degrade recall by nothing and correctness by
+    nothing, they just aren't provably BLAS-order-stable.
     """
 
     def __init__(
@@ -249,7 +258,7 @@ class IvfIndexer:
         n_centroids: int = 16,
         seed: int = 42,
         centroids_ref=None,
-        assign_margin: float | None = 1e-12,
+        assign_margin: float | None = None,
     ):
         self.centroids = _resolve_centroids(centroids_ref, dim, n_centroids, seed)
         self.assign_margin = assign_margin
@@ -451,6 +460,7 @@ def embed_near_dup_ivf(
     chunk_rows: int = 2048,
     eps_thresh: float = 1e-9,
     eps_round: float = 1e-7,
+    assign_margin: float | None = None,
 ):
     """IVF-bucketed embedding near-dup — the 100-TB scale path: bucket
     every vector to its nearest centroid (IvfIndexer, broadcast
@@ -521,6 +531,7 @@ def embed_near_dup_ivf(
             "dim": dim,
             "n_centroids": n_centroids,
             "centroids_ref": centroids_ref,
+            "assign_margin": assign_margin,
         },
         batch_format="pyarrow",
         batch_size=4096,

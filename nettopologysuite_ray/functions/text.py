@@ -427,8 +427,19 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 16,
+    materialize_input: bool = False,
 ):
     """Top-k characteristic terms per document by a tf-idf-style weight.
+
+    DETERMINISM CONTRACT: ``ds`` is consumed twice (df pass, then the
+    scoring pass) WITHOUT materializing, so upstream stages re-execute —
+    they must be deterministic (parquet reads and pure map_batches are;
+    sampling or unstable generator sources are NOT).  A nondeterministic
+    upstream can surface a token in pass 2 that pass 1 never counted,
+    which fails loudly (AssertionError below) rather than silently
+    scoring with a wrong df.  Pass ``materialize_input=True`` to pin one
+    snapshot in the object store (spillable) when upstream is not
+    re-execution-stable.
 
     Weight = tf / (df + 1), compared exactly via the integer score
     tf * 1e6 // (df + 1) with token-ascending tie-break — no floating
@@ -455,6 +466,9 @@ def tfidf_top_terms(
 
     import ray
     from ray.data.aggregate import Sum
+
+    if materialize_input:
+        ds = ds.materialize()
 
     def df_partial(batch: pa.Table) -> pa.Table:
         parent, toks = _token_table(batch[text_col])
@@ -513,7 +527,12 @@ def tfidf_top_terms(
             ids = ids_row[g["i"].to_numpy()]
             pos = self.index.get_indexer(g["token"])
             if (pos < 0).any():  # every tf token was seen in the df pass
-                raise AssertionError("token missing from broadcast df table")
+                raise AssertionError(
+                    "token missing from broadcast df table: upstream of "
+                    "tfidf_top_terms re-executed nondeterministically "
+                    "between the df and scoring passes — pass "
+                    "materialize_input=True (see docstring)"
+                )
             dfv = self.df[pos]
             tfv = g["tf"].to_numpy().astype(np.int64)
             s = tfv * np.int64(1_000_000) // (dfv + np.int64(1))

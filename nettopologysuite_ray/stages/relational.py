@@ -91,8 +91,16 @@ class BroadcastJoin:
                 batch = batch.filter(keep)
                 idx = pc.filter(idx, keep)
         taken = self.payload.take(idx)  # null idx → null payload row (left join)
+        probe_names = set(batch.column_names)
         for name in taken.column_names:
-            batch = batch.append_column(name, taken[name])
+            if name in probe_names:
+                # same _x/_y disambiguation as the pandas-merge fallback,
+                # so output schema does not depend on which path ran
+                i = batch.column_names.index(name)
+                batch = batch.set_column(i, f"{name}_x", batch[name])
+                batch = batch.append_column(f"{name}_y", taken[name])
+            else:
+                batch = batch.append_column(name, taken[name])
         return batch
 
 
@@ -113,23 +121,33 @@ def grouped_sum(ds, keys, sum_cols, count_alias: str | None = None, small_result
     keys = list(keys)
     sum_cols = list(sum_cols)
 
+    def _rename(g: pa.Table, mapping: dict) -> pa.Table:
+        return g.rename_columns([mapping.get(n, n) for n in g.column_names])
+
     def combine(batch: pa.Table) -> pa.Table:
-        df = batch.select(keys + sum_cols).to_pandas()
-        agg = {c: "sum" for c in sum_cols}
-        g = df.groupby(keys, as_index=False, sort=False).agg(agg)
+        # pure-Arrow partial (no pandas copy): hash groupby inside the task
+        aggs = [(c, "sum") for c in sum_cols]
         if count_alias:
-            cnt = df.groupby(keys, as_index=False, sort=False).size()
-            g[count_alias] = cnt["size"].to_numpy()
-        return pa.Table.from_pandas(g, preserve_index=False)
+            aggs.append(([], "count_all"))
+        g = (
+            batch.select(keys + sum_cols)
+            .group_by(keys, use_threads=False)
+            .aggregate(aggs)
+        )
+        mapping = {f"{c}_sum": c for c in sum_cols}
+        if count_alias:
+            mapping["count_all"] = count_alias
+        return _rename(g, mapping)
 
     partials = ds.map_batches(combine, batch_format="pyarrow")
     if small_result:
         final_cols = sum_cols + ([count_alias] if count_alias else [])
 
         def merge(batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            g = df.groupby(keys, as_index=False, sort=False)[final_cols].sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            g = batch.group_by(keys, use_threads=False).aggregate(
+                [(c, "sum") for c in final_cols]
+            )
+            return _rename(g, {f"{c}_sum": c for c in final_cols})
 
         return partials.repartition(1).map_batches(merge, batch_format="pyarrow")
     aggs = [Sum(c, alias_name=c) for c in sum_cols]
@@ -147,11 +165,15 @@ def top_k(ds, sort_cols, k: int, descending=True):
         descending = [descending] * len(sort_cols)
 
     def prune(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(
-            list(sort_cols), ascending=[not d for d in descending], kind="mergesort"
-        ).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # pure-Arrow: stable sort indices, take the first k (zero pandas copy)
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[
+                (c, "descending" if d else "ascending")
+                for c, d in zip(sort_cols, descending)
+            ],
+        )
+        return batch.take(idx[:k])
 
     pruned = ds.map_batches(prune, batch_format="pyarrow")
     out = pruned.sort(list(sort_cols), descending=list(descending)).limit(k)
@@ -163,8 +185,8 @@ def distinct(ds, cols):
     cols = list(cols)
 
     def local(batch: pa.Table) -> pa.Table:
-        df = batch.select(cols).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # pure-Arrow distinct: group_by with no aggregates
+        return batch.select(cols).group_by(cols, use_threads=False).aggregate([])
 
     partials = ds.map_batches(local, batch_format="pyarrow")
     return partials.groupby(cols).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
@@ -176,11 +198,13 @@ def grouped_min_max_count(ds, keys, col):
     keys = list(keys)
 
     def combine(batch: pa.Table) -> pa.Table:
-        df = batch.select(keys + [col]).to_pandas()
-        g = df.groupby(keys, as_index=False, sort=False).agg(
-            _n=(col, "size"), _mn=(col, "min"), _mx=(col, "max")
+        g = (
+            batch.select(keys + [col])
+            .group_by(keys, use_threads=False)
+            .aggregate([([], "count_all"), (col, "min"), (col, "max")])
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        ren = {"count_all": "_n", f"{col}_min": "_mn", f"{col}_max": "_mx"}
+        return g.rename_columns([ren.get(n, n) for n in g.column_names])
 
     partials = ds.map_batches(combine, batch_format="pyarrow")
     return partials.groupby(keys).aggregate(
@@ -210,14 +234,15 @@ def grouped_quantiles(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                group_col: batch[group_col].to_pylist(),
-                "vc": to_cents(batch[value_col], scale).to_numpy(zero_copy_only=False),
-            }
+        t = pa.table(
+            {group_col: batch[group_col], "vc": to_cents(batch[value_col], scale)}
         )
-        g = df.groupby([group_col, "vc"], as_index=False).agg(cnt=("vc", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by([group_col, "vc"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(
+            ["cnt" if n == "count_all" else n for n in g.column_names]
+        )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby([group_col, "vc"], as_index=False)["cnt"].sum()

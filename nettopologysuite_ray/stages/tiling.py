@@ -120,28 +120,44 @@ def grouped_topk_min(
     are tiny).  small_result=True merges in ONE task instead — only valid
     when |cells| * k is block-sized (e.g. structurally bounded low-level
     grids)."""
-    import pandas as pd
+    import pyarrow.compute as pc
+
+    def _distinct_sorted_head(batch: pa.Table):
+        """Pure-Arrow/numpy min-k kernel: distinct (cell, val), sort, keep
+        the first k per cell; returns (table, per-row cumcount)."""
+        t = (
+            batch.select([cell_col, val_col])
+            .group_by([cell_col, val_col], use_threads=False)
+            .aggregate([])
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[(cell_col, "ascending"), (val_col, "ascending")]
+        )
+        t = t.take(idx)
+        cells = t[cell_col].to_numpy(zero_copy_only=False)
+        if not len(cells):
+            return t, np.empty(0, dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]])
+        runs = np.diff(np.r_[starts, len(cells)])
+        cum = np.arange(len(cells), dtype=np.int64) - np.repeat(starts, runs)
+        keep = cum < k
+        return t.filter(pa.array(keep)), cum[keep]
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select([cell_col, val_col]).to_pandas().drop_duplicates()
-        df = df.sort_values([cell_col, val_col], kind="mergesort")
-        df = df.groupby(cell_col, as_index=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t, _ = _distinct_sorted_head(batch)
+        return t
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def merge(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
-        df = df.sort_values([cell_col, val_col], kind="mergesort")
-        df = df.groupby(cell_col, as_index=False).head(k)
-        df["rank"] = df.groupby(cell_col).cumcount()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t, cum = _distinct_sorted_head(batch)
+        return t.append_column("rank", pa.array(cum, type=pa.int64()))
 
     if small_result:
         return partials.repartition(1).map_batches(merge, batch_format="pyarrow")
     # large-cardinality path: bucket cells by deterministic hash, co-locate
     # each bucket with groupby(bucket).map_groups, and run the SAME
-    # vectorized pandas merge per bucket.  Group count = shuffle_partitions
+    # Arrow min-k merge per bucket.  Group count = shuffle_partitions
     # (so no per-tiny-group Python overhead), per-task memory = partial
     # rows / shuffle_partitions (hash-balanced), and every cell's rows meet
     # in exactly one task — safe at any cell cardinality.
