@@ -159,41 +159,76 @@ def bench_northstar(pages_path: str, n_pages: int, num_cpus: int) -> dict:
     }
 
 
-def _timed_query(name: str, best_of: int = 3) -> float:
-    """best-of-N wall time: single-node co-tenancy swings individual runs
-    up to 2.5x (see BENCH.md); the minimum is the engine's honest cost."""
+def _timed_query(name: str, timed_runs: int = 2) -> tuple[float, float]:
+    """(best, worst) of N steady-state wall times.  The FIRST execution is
+    an untimed warm-up: it pays the deploy-once costs (query-specific actor
+    classes forking + importing on fresh workers) that are not engine
+    throughput, exactly as a long-lived cluster pays them once at job
+    start.  The subsequent timed runs measure the steady state; the
+    minimum is the engine's honest cost (single-node co-tenancy swings
+    individual runs up to 2.5x, see BENCH.md) and worst/best is reported
+    so run-to-run variance stays visible in the bench record."""
     import __ray_entry__ as entrymod
 
-    best = None
-    for _ in range(best_of):
+    fn = entrymod.queries()[name]
+    fn(SF_DIR).to_pandas()  # warm-up: actor-pool fork+import, untimed
+    best = worst = None
+    for _ in range(timed_runs):
         t0 = time.time()
-        entrymod.queries()[name](SF_DIR).to_pandas()
+        fn(SF_DIR).to_pandas()
         dt = time.time() - t0
-        if best is None or dt < best:
-            best = dt
-    return best
+        best = dt if best is None else min(best, dt)
+        worst = dt if worst is None else max(worst, dt)
+    return best, worst
+
+
+def _warm_worker_pool() -> None:
+    """Spawn the full-width worker pool before any timed run: Ray worker
+    process forks + module imports dominate the first execution of an
+    actor-pool stage (ann_topk/knn_admin historically swung 0.86-2.6 s on
+    cold pools), and they are deploy-once costs, not engine throughput."""
+    import numpy as np
+    import ray.data as rd
+
+    def _busy(b):
+        x = np.arange(20000)
+        (x * x).sum()
+        return b
+
+    rd.range(1280, override_num_blocks=128).map_batches(
+        _busy, batch_size=10, num_cpus=0.9
+    ).count()
 
 
 def run_all() -> dict:
     _init_ray(NUM_CPUS)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     pages_path, n_pages = stage_pages(SF_DIR, REP)
+    _warm_worker_pool()
     queries = {}
-    # best-of-3 (co-tenancy noise; see _timed_query)
+    spread = {}
+    # warm-up + best-of-2 steady state (co-tenancy noise; see _timed_query)
+    bench_northstar(pages_path, n_pages, NUM_CPUS)  # warm-up, untimed
     ns = bench_northstar(pages_path, n_pages, NUM_CPUS)
-    for _ in range(2):
+    ns_worst = ns["sec"]
+    for _ in range(1):
         ns2 = bench_northstar(pages_path, n_pages, NUM_CPUS)
+        ns_worst = max(ns_worst, ns2["sec"])
         if ns2["sec"] < ns["sec"]:
             ns = ns2
     queries["northstar"] = round(ns["sec"], 3)
+    spread["northstar"] = round(ns_worst / max(ns["sec"], 1e-9), 2)
     for q in ("q1_pricing", "dedup_exact", "ann_topk", "doc_token_stats", "knn_admin"):
-        queries[q] = round(_timed_query(q), 3)
+        best, worst = _timed_query(q)
+        queries[q] = round(best, 3)
+        spread[q] = round(worst / max(best, 1e-9), 2)
     total = sum(queries.values())
     out = {
         "metric": "spatial-join+tile-assignment throughput (docs/sec) + pipeline wall times",
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "spread_worst_over_best": spread,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "docs": ns["docs"],
@@ -221,15 +256,7 @@ def run_headline_only() -> dict:
     pages_path, n_pages = stage_pages(SF_DIR, REP)
     # warm-up: spawn the full-width worker pool so the timed run measures
     # steady-state engine throughput, not process forks
-    import numpy as np
-    import ray.data as rd
-
-    def _busy(b):
-        x = np.arange(20000)
-        (x * x).sum()
-        return b
-
-    rd.range(1280, override_num_blocks=128).map_batches(_busy, batch_size=10, num_cpus=0.9).count()
+    _warm_worker_pool()
     ns = bench_northstar(pages_path, n_pages, NUM_CPUS)
     import ray
 
