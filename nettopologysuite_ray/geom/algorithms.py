@@ -166,10 +166,14 @@ def envelope(g: Geom):
 
 
 def ring_signed_area(ring: np.ndarray) -> float:
+    # Anchored at the first vertex (reference: Algorithm/Area.cs
+    # OfRingSigned subtracts x0): the raw shoelace loses ~ulp(x*y)
+    # per term, which at |coord|~1e7 is ~0.02 absolute — catastrophic
+    # for unit-scale rings far from the origin.
     if len(ring) < 3:
         return 0.0
-    x = ring[:, 0]
-    y = ring[:, 1]
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 

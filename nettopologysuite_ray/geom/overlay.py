@@ -800,10 +800,10 @@ def _clean_ring(arr: np.ndarray, grid: float | None = None):
     collapsed = []
     for sub in _split_minimal_rings(path):
         rs = np.array(sub, dtype=np.float64)
-        if len(rs) >= 4 and alg.ring_signed_area(rs) != 0.0:
+        if len(rs) >= 4 and abs(alg.ring_signed_area(rs)) > _area_resolution(rs):
             rings.append(rs)
         else:
-            # out-and-back spike or zero-area sliver → its undirected
+            # out-and-back spike or noise-floor sliver → its undirected
             # segments as linework
             seen = set()
             for k in range(len(rs) - 1):
@@ -1639,6 +1639,25 @@ def _trace_rings(directed_edges, ring_edges_out=None):
     return rings
 
 
+def _area_resolution(ring: np.ndarray) -> float:
+    """Smallest ring area distinguishable from zero at this coordinate
+    magnitude: every vertex of a float arrangement carries ~ulp(|coord|)
+    of noding noise, and displacing each boundary vertex by d changes
+    the enclosed area by up to perimeter*d.  Rings whose |area| is below
+    this floor are collapsed spurs (e.g. an out-and-back excursion whose
+    base points differ by one ulp — true area ~1e-11 at coords ~1e6),
+    which the reference's snap ladder welds away; genuine small faces
+    sit far above it (a unit square at 3.7e7 has floor ~3e-8)."""
+    if len(ring) < 3:
+        return 0.0
+    m = float(np.max(np.abs(ring)))
+    if m == 0.0:
+        return 0.0
+    d = np.diff(ring, axis=0)
+    perimeter = float(np.sqrt((d * d).sum(axis=1)).sum())
+    return 2.0 * perimeter * float(np.spacing(m))
+
+
 def _assemble_polygons(directed_edges, degenerate_out=None):
     """Directed edges (interior on LEFT) → polygons (rings lists).
     Zero-area rings (collapsed slivers, out-and-back walks) are appended to
@@ -1651,15 +1670,18 @@ def _assemble_polygons(directed_edges, degenerate_out=None):
     # shells CCW (interior left), holes CW
     shells = []
     holes = []
+    degen = []
     for r in rings:
         sa = alg.ring_signed_area(r)
-        if sa > 0:
+        if abs(sa) <= _area_resolution(r):
+            degen.append(r)
+        elif sa > 0:
             shells.append(r)
-        elif sa < 0:
+        else:
             holes.append(r)
     if degenerate_out is not None:
-        for r in rings:
-            if alg.ring_signed_area(r) == 0.0 and len(r) >= 3:
+        for r in degen:
+            if len(r) >= 3:
                 degenerate_out.append(r)
     polys = [[s] for s in shells]
     shell_edges = [_ring_edge_set(s) for s in shells]

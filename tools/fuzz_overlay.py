@@ -213,6 +213,84 @@ def make_pair(rng):
     return a, Geom.polygon([tuple(p) for p in ring])
 
 
+def make_pair_r4(rng):
+    """Round-4 families: needle slivers, subdivided shared edges,
+    concave radial stars, and large-offset frames (1e7, absolute ulp
+    ~1e-9: cancellation-heavy) — shapes the r2/r3 families never hit."""
+    kind = rng.random()
+    if kind < 0.25:
+        # needle sliver crossing a lattice rect: width down to 1e-9
+        x0, y0 = rng.integers(-5, 5, 2)
+        w1, h1 = rng.integers(2, 6, 2)
+        a = Geom.polygon(
+            [(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1)]
+        )
+        wid = 10.0 ** rng.uniform(-9, -2)
+        t = rng.uniform(0, 2 * np.pi)
+        c = np.array([x0 + 0.5 * w1, y0 + 0.5 * h1])
+        d = np.array([np.cos(t), np.sin(t)])
+        n_ = np.array([-d[1], d[0]]) * wid
+        L = 4.0 * max(w1, h1)
+        ring = np.array([c - d * L - n_, c + d * L - n_, c + d * L + n_, c - d * L + n_])
+        return a, Geom.polygon([tuple(p) for p in ring])
+    if kind < 0.5:
+        # shared edge subdivided: B's boundary puts K extra vertices on
+        # A's right edge (exact or ulp-off the supporting line)
+        x0, y0 = rng.integers(-5, 5, 2)
+        w1, h1 = rng.integers(2, 6, 2)
+        a = Geom.polygon(
+            [(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1)]
+        )
+        ex = float(x0 + w1)
+        k = int(rng.integers(2, 6))
+        ys = np.sort(rng.uniform(y0, y0 + h1, k))
+        edge_pts = [(ex, float(y)) for y in ys]
+        if rng.random() < 0.5:
+            edge_pts = [
+                (ex + rng.integers(-2, 3) * np.spacing(max(abs(ex), 1.0)), y)
+                for (ex_, y) in edge_pts
+            ]
+        w2 = float(rng.integers(1, 4))
+        ring = [(ex, float(y0))] + edge_pts + [
+            (ex, float(y0 + h1)),
+            (ex + w2, float(y0 + h1)),
+            (ex + w2, float(y0)),
+        ]
+        return a, Geom.polygon(ring)
+    if kind < 0.75:
+        # concave radial stars: two random stars, vertices at mixed radii
+        def star(cx, cy, n_arms, r_lo, r_hi, phase):
+            ang = phase + np.linspace(0, 2 * np.pi, 2 * n_arms, endpoint=False)
+            rad = np.where(np.arange(2 * n_arms) % 2 == 0, r_hi, r_lo)
+            pts = np.c_[cx + rad * np.cos(ang), cy + rad * np.sin(ang)]
+            return Geom.polygon([tuple(p) for p in pts])
+
+        cx, cy = rng.uniform(-3, 3, 2)
+        a = star(cx, cy, int(rng.integers(3, 9)), rng.uniform(0.3, 1.0),
+                 rng.uniform(1.5, 3.0), rng.uniform(0, np.pi))
+        dx, dy = rng.uniform(-2, 2, 2)
+        b = star(cx + dx, cy + dy, int(rng.integers(3, 9)),
+                 rng.uniform(0.3, 1.0), rng.uniform(1.5, 3.0),
+                 rng.uniform(0, np.pi))
+        return a, b
+    # large-offset frame: lattice pair translated to ~1e7 where one ulp
+    # is ~2e-9 — the r2 ulp-perturbation families at absolute scale
+    off = rng.choice([1e7, -1e7, 3.7e7]) + rng.uniform(-1, 1)
+    x0 = float(rng.integers(-5, 5)) + off
+    y0 = float(rng.integers(-5, 5)) + off
+    w1, h1 = rng.integers(1, 5, 2)
+    a = Geom.polygon([(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1)])
+    bx0 = x0 + rng.integers(-2, 3)
+    by0 = y0 + rng.integers(-2, 3)
+    w2, h2 = rng.integers(1, 5, 2)
+    ring = np.array(
+        [(bx0, by0), (bx0 + w2, by0), (bx0 + w2, by0 + h2), (bx0, by0 + h2)],
+        dtype=float,
+    )
+    ring += rng.integers(-3, 4, ring.shape) * np.spacing(np.maximum(np.abs(ring), 1.0))
+    return a, Geom.polygon([tuple(p) for p in ring])
+
+
 def check(a, b):
     u = overlay(a, b, "union")
     i = overlay(a, b, "intersection")
@@ -244,11 +322,12 @@ def main():
         n = int(sys.argv[sys.argv.index("--n") + 1])
     if "--seed" in sys.argv:
         seed = int(sys.argv[sys.argv.index("--seed") + 1])
+    fam = make_pair_r4 if "--r4" in sys.argv else make_pair
     rng = np.random.default_rng(seed)
     t0 = time.time()
     bad = []
     for k in range(n):
-        a, b = make_pair(rng)
+        a, b = fam(rng)
         errs = check(a, b)
         if errs:
             bad.append({"k": k, "errs": errs, "a": to_wkt(a), "b": to_wkt(b)})
