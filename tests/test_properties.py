@@ -625,3 +625,57 @@ def test_overlay_multipolygon_component_drop_regressions():
         assert abs((adr + ai) - ab) <= tol
         assert abs(asym - (au - ai)) <= tol
         assert all(is_valid(g) for g in (u, i, d, dr, s))
+
+
+def test_ring_area_anchored_far_from_origin():
+    """ring_signed_area anchors at the first vertex (Area.cs
+    OfRingSigned): a unit-scale ring translated to |coord|~1e7 keeps an
+    exact area (the raw shoelace loses ~0.02 per term there — the r4
+    fuzz large-offset family caught identity violations 1000x tol)."""
+    for off in (0.0, 1e7, -1e7, 3.7e7):
+        ring = np.array(
+            [(off, off), (off + 3, off), (off + 3, off + 2), (off, off + 2), (off, off)]
+        )
+        assert alg.ring_signed_area(ring) == 6.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.sampled_from([1e7, -1e7, 3.7e7]),
+)
+def test_overlay_inclusion_exclusion_large_offset(seed, off):
+    """r4 fuzz family pinned: lattice pairs with ulp perturbations at
+    |coord|~1e7 (one ulp ~2e-9) satisfy the area identities and produce
+    valid results."""
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    rng = np.random.default_rng(seed)
+    x0 = float(rng.integers(-5, 5)) + off
+    y0 = float(rng.integers(-5, 5)) + off
+    w1, h1 = (int(v) for v in rng.integers(1, 5, 2))
+    a = Geom.polygon([(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1)])
+    bx0 = x0 + float(rng.integers(-2, 3))
+    by0 = y0 + float(rng.integers(-2, 3))
+    w2, h2 = (int(v) for v in rng.integers(1, 5, 2))
+    ring = np.array(
+        [(bx0, by0), (bx0 + w2, by0), (bx0 + w2, by0 + h2), (bx0, by0 + h2)],
+        dtype=float,
+    )
+    ring += rng.integers(-3, 4, ring.shape) * np.spacing(np.abs(ring))
+    b = Geom.polygon([tuple(p) for p in ring])
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    aa, ab = alg.area(a), alg.area(b)
+    u = overlay(a, b, "union")
+    i = overlay(a, b, "intersection")
+    d = overlay(a, b, "difference")
+    dr = overlay(b, a, "difference")
+    s = overlay(a, b, "symdifference")
+    au, ai, ad, adr, asym = (alg.area(g) for g in (u, i, d, dr, s))
+    tol = 1e-6 * max(aa, ab, 1.0)
+    assert abs((aa + ab) - (au + ai)) <= tol
+    assert abs((ad + ai) - aa) <= tol
+    assert abs((adr + ai) - ab) <= tol
+    assert abs(asym - (au - ai)) <= tol
+    assert all(is_valid(g) for g in (u, i, d, dr, s))
