@@ -83,16 +83,29 @@ KIND_HOLE = 1
 KIND_RESID = 2
 KIND_ANCHOR = 3
 
-_CELL_BIAS = np.int64(1) << np.int64(20)  # cells within ±1M per axis
+_CELL_BIAS = np.int64(1) << np.int64(30)  # cells within ±1.07e9 per axis
 
 
 def _pack_cell(cx, cy):
-    return ((cy + _CELL_BIAS) << np.int64(21)) | (cx + _CELL_BIAS)
+    # 31 bits per axis in one int64 (2*31 + sign = 63).  The previous
+    # 21-bit packing silently corrupted cell keys for |cell index| > 1M
+    # — reachable for fine cells far from the origin (found by the r4
+    # topo fuzz at a 1e7 coordinate frame with cell=2) — so out-of-range
+    # indices now fail loudly instead.
+    bx = cx + _CELL_BIAS
+    by = cy + _CELL_BIAS
+    lim = np.int64(1) << np.int64(31)
+    if np.any(bx < 0) or np.any(bx >= lim) or np.any(by < 0) or np.any(by >= lim):
+        raise ValueError(
+            "cell index beyond +-2^30: re-center with origin= near the "
+            "data, or use a coarser cell size"
+        )
+    return (by << np.int64(31)) | bx
 
 
 def _unpack_cell(cell_id: int):
-    cx = (cell_id & ((1 << 21) - 1)) - int(_CELL_BIAS)
-    cy = (cell_id >> 21) - int(_CELL_BIAS)
+    cx = (cell_id & ((1 << 31) - 1)) - int(_CELL_BIAS)
+    cy = (cell_id >> 31) - int(_CELL_BIAS)
     return cx, cy
 
 

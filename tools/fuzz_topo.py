@@ -2,7 +2,12 @@
 (node → polygonize / dissolve vs the in-process kernels on brute-noded
 input).  One Ray session, many seeds; prints one JSON summary line.
 
-Usage: python tools/fuzz_topo.py [n_seeds] [num_cpus] [seed_base] [n_max]
+Usage: python tools/fuzz_topo.py [n_seeds] [num_cpus] [seed_base] [n_max] [offset]
+
+offset (default 0) translates every input line by (offset, offset)
+before BOTH the kernel and the distributed path — parity far from the
+origin, where one coordinate ulp is ~2e-9 at 1e7 (the frame that
+exposed the round-4 raw-shoelace area bug).
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ def main() -> None:
     num_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     seed_base = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     n_max = int(sys.argv[4]) if len(sys.argv) > 4 else 22
+    offset = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
     import ray
 
     if not ray.is_initialized():
@@ -50,6 +56,10 @@ def main() -> None:
     for seed in range(seed_base + 1, seed_base + n_seeds + 1):
         rng = random.Random(seed * 7919)
         lines = _random_lines(rng, n=rng.randint(8, n_max), extent=rng.choice([12, 20, 35]))
+        if offset:
+            lines = [
+                Geom("LineString", l.data + offset) for l in lines
+            ]
         cell = rng.choice([2.0, 3.0, 5.0, 7.5, 11.0])
         noded_kernel = [
             Geom("LineString", np.array([a, b], dtype=np.float64))
