@@ -679,3 +679,31 @@ def test_overlay_inclusion_exclusion_large_offset(seed, off):
     assert abs((adr + ai) - ab) <= tol
     assert abs(asym - (au - ai)) <= tol
     assert all(is_valid(g) for g in (u, i, d, dr, s))
+
+
+def test_pack_cell_overflow_raises():
+    """Cell indices beyond +-2^30 fail loudly (they used to corrupt
+    silently at 21 bits and return empty topology output)."""
+    import numpy as np
+    import pytest
+
+    from nettopologysuite_ray.stages.polygonize import _pack_cell, _unpack_cell
+
+    cx = np.array([5_000_000], dtype=np.int64)  # 1e7 frame / cell=2
+    cy = np.array([-3_000_000], dtype=np.int64)
+    packed = _pack_cell(cx, cy)
+    assert _unpack_cell(int(packed[0])) == (5_000_000, -3_000_000)
+    with pytest.raises(ValueError):
+        _pack_cell(np.array([1 << 31], dtype=np.int64), cy)
+    with pytest.raises(ValueError):
+        _pack_cell(cx, np.array([-(1 << 31)], dtype=np.int64))
+
+
+def test_buffer_translation_invariant_far_from_origin():
+    from nettopologysuite_ray.geom.buffer import buffer
+
+    base = [(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 3.0)]
+    ref = alg.area(buffer(Geom.polygon(base), 1.0))
+    for off in (1e7, -1e7, 3.7e7):
+        g = Geom.polygon([(x + off, y + off) for x, y in base])
+        assert alg.area(buffer(g, 1.0)) == ref
