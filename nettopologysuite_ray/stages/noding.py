@@ -165,10 +165,23 @@ def _resplit(g: pa.Table) -> pa.Table:
     seen = set()
     for (s0, s1), pts in sorted(by_seg.items()):
         dx, dy = s1[0] - s0[0], s1[1] - s0[1]
-        # order split points along the dominant axis of the segment
+        # order split points along the dominant axis of the segment; the
+        # off-axis ordinate (direction-consistent) breaks exact ties —
+        # 1-ulp twin nodes from crossing two collinear-overlapping
+        # parents tie on the dominant axis, and without a deterministic
+        # tiebreak the chain order falls to set-iteration order
         axis = 0 if abs(dx) >= abs(dy) else 1
+        o = 1 - axis
         rev = (dx if axis == 0 else dy) < 0
-        chain = [s0] + sorted(pts, key=lambda p: p[axis], reverse=rev) + [s1]
+        revo = (dx if o == 0 else dy) < 0
+
+        def _k(p, axis=axis, o=o, rev=rev, revo=revo):
+            return (
+                -p[axis] if rev else p[axis],
+                -p[o] if revo else p[o],
+            )
+
+        chain = [s0] + sorted(pts, key=_k) + [s1]
         for i in range(len(chain) - 1):
             a, b = chain[i], chain[i + 1]
             if a == b:
@@ -182,21 +195,64 @@ def _resplit(g: pa.Table) -> pa.Table:
     return pa.table({k: pa.array(np.array(v, dtype=np.float64)) for k, v in out.items()})
 
 
+def _dedup_subsegments(g: pa.Table) -> pa.Table:
+    """Exact dedup of canonical sub-segments within a dkey bucket.
+    Collinear OVERLAPPING parent segments each re-emit their shared
+    sub-interval from their own skey group; identity across parents is
+    only known globally, so the pipeline co-locates candidates by a
+    sub-segment mixing key and drops exact repeats here (hash collisions
+    merely co-group unrelated rows — the tuple check keeps them)."""
+    seen = set()
+    out = {"x0": [], "y0": [], "x1": [], "y1": []}
+    for a, b, c, d in zip(
+        g["x0"].to_pylist(), g["y0"].to_pylist(),
+        g["x1"].to_pylist(), g["y1"].to_pylist(),
+    ):
+        k = (a, b, c, d)
+        if k in seen:
+            continue
+        seen.add(k)
+        out["x0"].append(a); out["y0"].append(b)
+        out["x1"].append(c); out["y1"].append(d)
+    return pa.table({k: pa.array(np.array(v, dtype=np.float64)) for k, v in out.items()})
+
+
 def distributed_node(
     ds,
     wkb_col: str = "wkb",
     cell: float = 1.0,
     origin=(0.0, 0.0),
     as_wkb: bool = True,
+    dedup: bool = True,
 ):
     """Node a Dataset of linework WKB: every segment split at every
     intersection with any other segment (and at collinear-overlap
     interval endpoints), output canonical deduplicated sub-segments —
     as `wkb` rows (default, composes with distributed_polygonize /
-    distributed_line_dissolve) or as (x0,y0,x1,y1) columns."""
+    distributed_line_dissolve) or as (x0,y0,x1,y1) columns.
+
+    dedup=False skips the final cross-parent dedup exchange (one
+    all-to-all over coordinate rows): safe ONLY when no two input
+    segments overlap collinearly — with overlaps, the shared
+    sub-interval is emitted once per parent and downstream face
+    assembly sees duplicate edges."""
     import ray.data  # noqa: F401
 
     ox, oy = float(origin[0]), float(origin[1])
+
+    def add_dkey(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("dkey", pa.array(np.empty(0, np.int64)))
+        return b.append_column(
+            "dkey",
+            pa.array(
+                _seg_key(
+                    b["x0"].to_numpy(), b["y0"].to_numpy(),
+                    b["x1"].to_numpy(), b["y1"].to_numpy(),
+                )
+            ),
+        )
+
     noded = (
         ds.map_batches(lambda b: segments_wkb_batch(b, wkb_col), batch_format="pyarrow")
         .map_batches(
@@ -209,6 +265,12 @@ def distributed_node(
         .groupby("skey")
         .map_groups(_resplit, batch_format="pyarrow")
     )
+    if dedup:
+        noded = (
+            noded.map_batches(add_dkey, batch_format="pyarrow")
+            .groupby("dkey")
+            .map_groups(_dedup_subsegments, batch_format="pyarrow")
+        )
     if not as_wkb:
         return noded
 

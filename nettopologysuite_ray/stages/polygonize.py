@@ -71,6 +71,7 @@ import pyarrow as pa
 
 from ..geom import algorithms as alg
 from ..geom.overlay import (
+    _area_resolution,
     _ring_probe_not_on,
     _split_minimal_rings_indexed,
     _succ_orbits,
@@ -220,11 +221,15 @@ def _walk_group(directed, anchors, interior, final, emit_residue):
         for sub_v, _sub_e in _split_minimal_rings_indexed(ring, None):
             arr = np.array(sub_v, dtype=np.float64)
             sa = alg.ring_signed_area(arr)
+            if abs(sa) <= _area_resolution(arr):
+                # noise-floor sub-rings (1-ulp twin-node slivers):
+                # consumed, emit nothing — same rule as the in-process
+                # kernel's _assemble_polygons
+                continue
             if sa > 0:
                 rows.append((KIND_SHELL, _ring_wkb(arr), None, None, None, None))
-            elif sa < 0:
+            else:
                 rows.append((KIND_HOLE, _ring_wkb(arr), None, None, None, None))
-            # zero-area sub-rings: consumed, emit nothing (kernel drops them)
     if not final:
         for i, (p0, p1) in enumerate(avail):
             if not consumed[i] and emit_residue(p0, p1):

@@ -44,8 +44,11 @@ def _brute_node(lines):
                 for s in (segs[i], segs[j]):
                     if pt != s[0] and pt != s[1]:
                         splits[s].add(pt)
-    out = []  # multiset: partially-overlapping collinear parents each
-    # emit the shared piece, as the reference's noders do
+    out = set()  # canonical dedup: partially-overlapping collinear
+    # parents share their overlap piece, which distributed_node emits
+    # ONCE (its documented contract — downstream face assembly needs
+    # each undirected edge exactly once; r4 added the global dedup stage
+    # that enforces this across parents)
     for (s0, s1), pts in splits.items():
         dx, dy = s1[0] - s0[0], s1[1] - s0[1]
         axis = 0 if abs(dx) >= abs(dy) else 1
@@ -54,7 +57,7 @@ def _brute_node(lines):
         for k in range(len(chain) - 1):
             a, b = chain[k], chain[k + 1]
             if a != b:
-                out.append((min(a, b), max(a, b)))
+                out.add((min(a, b), max(a, b)))
     return sorted(out)
 
 

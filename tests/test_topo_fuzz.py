@@ -44,9 +44,17 @@ def _brute_node(lines):
     out = set()
     for (s0, s1), pts in splits.items():
         dx, dy = s1[0] - s0[0], s1[1] - s0[1]
+        # dominant axis + direction-consistent off-axis tiebreak (same
+        # deterministic rule as stages/noding._resplit)
         axis = 0 if abs(dx) >= abs(dy) else 1
+        o = 1 - axis
         rev = (dx if axis == 0 else dy) < 0
-        chain = [s0] + sorted(pts, key=lambda p: p[axis], reverse=rev) + [s1]
+        revo = (dx if o == 0 else dy) < 0
+
+        def _k(p, axis=axis, o=o, rev=rev, revo=revo):
+            return (-p[axis] if rev else p[axis], -p[o] if revo else p[o])
+
+        chain = [s0] + sorted(pts, key=_k) + [s1]
         for k in range(len(chain) - 1):
             if chain[k] != chain[k + 1]:
                 out.add((min(chain[k], chain[k + 1]), max(chain[k], chain[k + 1])))
