@@ -202,19 +202,13 @@ def _dedup_subsegments(g: pa.Table) -> pa.Table:
     only known globally, so the pipeline co-locates candidates by a
     sub-segment mixing key and drops exact repeats here (hash collisions
     merely co-group unrelated rows — the tuple check keeps them)."""
-    seen = set()
-    out = {"x0": [], "y0": [], "x1": [], "y1": []}
-    for a, b, c, d in zip(
-        g["x0"].to_pylist(), g["y0"].to_pylist(),
-        g["x1"].to_pylist(), g["y1"].to_pylist(),
-    ):
-        k = (a, b, c, d)
-        if k in seen:
-            continue
-        seen.add(k)
-        out["x0"].append(a); out["y0"].append(b)
-        out["x1"].append(c); out["y1"].append(d)
-    return pa.table({k: pa.array(np.array(v, dtype=np.float64)) for k, v in out.items()})
+    arr = np.column_stack(
+        [g[c].to_numpy() for c in ("x0", "y0", "x1", "y1")]
+    ).astype(np.float64, copy=False)
+    uniq = np.unique(arr, axis=0) if len(arr) else arr
+    return pa.table(
+        {c: pa.array(np.ascontiguousarray(uniq[:, i])) for i, c in enumerate(("x0", "y0", "x1", "y1"))}
+    )
 
 
 def distributed_node(
@@ -241,16 +235,18 @@ def distributed_node(
     ox, oy = float(origin[0]), float(origin[1])
 
     def add_dkey(b: pa.Table) -> pa.Table:
+        # bucketed, not per-segment: all copies of a sub-segment share a
+        # bucket (pure function of its coords) but the group count stays
+        # bounded at 4096 — one group per unique segment would drown the
+        # exchange in per-group overhead
         if b.num_rows == 0:
             return b.append_column("dkey", pa.array(np.empty(0, np.int64)))
+        key = _seg_key(
+            b["x0"].to_numpy(), b["y0"].to_numpy(),
+            b["x1"].to_numpy(), b["y1"].to_numpy(),
+        )
         return b.append_column(
-            "dkey",
-            pa.array(
-                _seg_key(
-                    b["x0"].to_numpy(), b["y0"].to_numpy(),
-                    b["x1"].to_numpy(), b["y1"].to_numpy(),
-                )
-            ),
+            "dkey", pa.array((key.view(np.uint64) & np.uint64(4095)).view(np.int64))
         )
 
     noded = (
