@@ -273,6 +273,34 @@ def make_pair_r4(rng):
                  rng.uniform(0.3, 1.0), rng.uniform(1.5, 3.0),
                  rng.uniform(0, np.pi))
         return a, b
+    if kind < 0.85:
+        # mixed-scale contrast: a unit-scale operand vs one 1e5-1e6x
+        # smaller sitting on/near its boundary — relative-epsilon logic
+        # must not treat the small operand as degenerate
+        x0, y0 = (float(v) for v in rng.integers(-5, 5, 2))
+        w1, h1 = (float(v) for v in rng.integers(1, 5, 2))
+        a = Geom.polygon(
+            [(x0, y0), (x0 + w1, y0), (x0 + w1, y0 + h1), (x0, y0 + h1)]
+        )
+        s = 10.0 ** rng.uniform(-6, -5)
+        # center the small square on a boundary point, a corner, or
+        # just inside
+        anchor = rng.random()
+        if anchor < 0.4:
+            cx, cy = x0 + w1, y0 + rng.uniform(0, h1)  # right edge
+        elif anchor < 0.7:
+            cx, cy = x0 + w1, y0 + h1  # corner
+        else:
+            cx, cy = x0 + rng.uniform(0.2, 0.8) * w1, y0 + rng.uniform(0.2, 0.8) * h1
+        b = Geom.polygon(
+            [
+                (cx - s, cy - s),
+                (cx + s, cy - s),
+                (cx + s, cy + s),
+                (cx - s, cy + s),
+            ]
+        )
+        return a, b
     # large-offset frame: lattice pair translated to ~1e7 where one ulp
     # is ~2e-9 — the r2 ulp-perturbation families at absolute scale
     off = rng.choice([1e7, -1e7, 3.7e7]) + rng.uniform(-1, 1)
@@ -299,15 +327,20 @@ def check(a, b):
     s = overlay(a, b, "symdifference")
     aa, ab = alg.area(a), alg.area(b)
     au, ai, ad, adr, asym = (alg.area(g) for g in (u, i, d, dr, s))
-    tol = 1e-6 * max(aa, ab, 1.0)
+    # identity-appropriate scales (a mixed-scale pair must check the
+    # small-operand identities against the SMALL area, not the union's),
+    # floored at arithmetic noise
+    def tol(scale):
+        return 1e-6 * scale + 1e-14 * max(aa, ab, 1.0)
+
     errs = []
-    if abs((aa + ab) - (au + ai)) > tol:
+    if abs((aa + ab) - (au + ai)) > tol(max(aa, ab)):
         errs.append("u+i")
-    if abs((ad + ai) - aa) > tol:
+    if abs((ad + ai) - aa) > tol(aa):
         errs.append("d+i")
-    if abs((adr + ai) - ab) > tol:
+    if abs((adr + ai) - ab) > tol(ab):
         errs.append("d'+i")
-    if abs(asym - (au - ai)) > tol:
+    if abs(asym - (au - ai)) > tol(max(aa, ab)):
         errs.append("sym")
     for name, g in (("u", u), ("i", i), ("d", d), ("dr", dr), ("s", s)):
         if not is_valid(g):
