@@ -707,3 +707,21 @@ def test_buffer_translation_invariant_far_from_origin():
     for off in (1e7, -1e7, 3.7e7):
         g = Geom.polygon([(x + off, y + off) for x, y in base])
         assert alg.area(buffer(g, 1.0)) == ref
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_overlay_r4_families_fuzz(seed):
+    """The round-4 generator families (needle slivers, subdivided shared
+    edges, concave radial stars, 1e7-offset frames, mixed-scale
+    contrast) under the full 5-op inclusion-exclusion system with
+    identity-scaled tolerances."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import fuzz_overlay
+
+    rng = np.random.default_rng(seed)
+    a, b = fuzz_overlay.make_pair_r4(rng)
+    assert fuzz_overlay.check(a, b) == []
