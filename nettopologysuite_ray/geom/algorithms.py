@@ -125,7 +125,14 @@ def segment_intersection(p1, p2, q1, q2):
         return "point", [tuple(p1)]
     if o4 == 0 and _in_box(p2, q1, q2):
         return "point", [tuple(p2)]
-    # proper crossing: compute with doubles
+    # proper crossing: compute with doubles.  The point is parameterized
+    # along the FIRST segment, so its rounding follows the caller's
+    # operand order — the same convention the reference's expected
+    # outputs encode (canonicalizing operands here breaks two
+    # TestRelateAA-big conformance matrices).  Consequence, accepted: at
+    # sub-representable coordinates (denormal ordinates) relate(a,b) and
+    # relate(b,a) can disagree by one ulp of node placement; real-domain
+    # inputs are operand-symmetric (fuzzed at 1e-15..1e7 scales).
     x1, y1 = p1
     x2, y2 = p2
     x3, y3 = q1
