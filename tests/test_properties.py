@@ -725,3 +725,38 @@ def test_overlay_r4_families_fuzz(seed):
     rng = np.random.default_rng(seed)
     a, b = fuzz_overlay.make_pair_r4(rng)
     assert fuzz_overlay.check(a, b) == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.sampled_from([0.0, 1e7, -1e7, 3.7e7]),
+)
+def test_union_order_invariance_and_relate_symmetry(seed, off):
+    """union_all is permutation-invariant (within vertex-noise area
+    tolerance) and relate is transpose-symmetric, at origin and
+    large-offset frames.  Perturbations floor the ulp at 1.0 so no
+    denormal ordinates arise (segment_intersection documents the
+    denormal-only operand-order rounding convention)."""
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    rng = np.random.default_rng(seed)
+    parts = []
+    for _ in range(rng.integers(3, 8)):
+        x0 = float(rng.integers(-6, 6)) + off
+        y0 = float(rng.integers(-6, 6)) + off
+        w, h = (float(v) for v in rng.integers(1, 5, 2))
+        ring = np.array([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)])
+        if rng.random() < 0.5:
+            ring = ring + rng.integers(-3, 4, ring.shape) * np.spacing(
+                np.maximum(np.abs(ring), 1.0)
+            )
+        parts.append(Geom.polygon([tuple(p) for p in ring]))
+    u1 = union_all(parts)
+    u2 = union_all([parts[i] for i in rng.permutation(len(parts))])
+    a1, a2 = alg.area(u1), alg.area(u2)
+    assert is_valid(u1) and is_valid(u2)
+    assert abs(a1 - a2) <= 1e-6 * max(a1, a2, 1.0)
+    m1 = pred.relate(parts[0], parts[-1])
+    m2 = pred.relate(parts[-1], parts[0])
+    assert "".join(m1[j * 3 + i] for i in range(3) for j in range(3)) == m2
