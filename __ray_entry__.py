@@ -381,7 +381,12 @@ def _q_ann_topk(sf_dir: str):
         centroids_ref=cref,
         assign_margin=1e-12,  # oracle-gated: fail loud on BLAS-order ties
     )
-    return tag(brute, "brute").union(tag(ivf, "ivf"))
+    # pin each branch's Q*k-row result before the union: a lazy union of
+    # two pipelines holding THREE actor pools between them can starve the
+    # streaming executor's per-op reservations at tiny CPU budgets
+    # (observed flaky stall at num_cpus=4); top-k outputs are tiny by
+    # construction, so the pin costs nothing at any scale
+    return tag(brute, "brute").materialize().union(tag(ivf, "ivf").materialize())
 
 
 def _q_winnow_fingerprint(sf_dir: str):
@@ -614,7 +619,10 @@ def _q_embed_near_dup(sf_dir: str):
         assign_margin=1e-12,  # oracle-gated: fail loud on BLAS-order ties
     )
     exact = embed_near_dup(read(), threshold=EMBED_DUP_TAU)
-    return tag(ivf, "ivf").union(tag(exact, "exact"))
+    # same pinned-union shape as ann_topk: both branches hold actor pools
+    # and their near-dup pair outputs are tiny, so sequence them instead
+    # of co-scheduling two pool-heavy pipelines under one reservation
+    return tag(ivf, "ivf").materialize().union(tag(exact, "exact").materialize())
 
 
 def _q_lang_pred(sf_dir: str):

@@ -42,8 +42,7 @@ class CosineTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        emb = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
-        emb = _normalize(emb)
+        emb = _normalize(_emb_matrix(batch[self.emb_col]))
         sims = self.qm @ emb.T  # (Q, B)
         k = min(self.k, sims.shape[1])
         part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
@@ -151,7 +150,7 @@ class IvfTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        emb = _normalize(np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64))
+        emb = _normalize(_emb_matrix(batch[self.emb_col]))
         buckets = batch["ivf_bucket"].to_numpy(zero_copy_only=False)
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(self.qids):
@@ -264,7 +263,7 @@ class IvfIndexer:
         self.assign_margin = assign_margin
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        emb = _normalize(_emb_matrix(batch["embedding"]))
         sims = emb @ self.centroids.T
         bucket = sims.argmax(axis=1).astype(np.int64)
         if self.assign_margin is not None and sims.shape[1] >= 2 and len(sims):

@@ -108,8 +108,11 @@ def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_lin
         and not weld
         and dim_a == 2
         and dim_b == 2
-        and not orig_a.is_empty
-        and not orig_b.is_empty
+        # one-sided empty still goes through the checker: the non-empty
+        # operand's SOLO arrangement can fail for invalid input (fuzz:
+        # invalid-B ∪ ∅ returned ∅), and the area identities are exact
+        # and trivial in that case
+        and not (orig_a.is_empty and orig_b.is_empty)
     ):
         res = _check_and_retry_overlay(
             orig_a, orig_b, op, res, merge_line_output, ng, check=check
@@ -156,6 +159,8 @@ def _interiors_overlap(a: Geom, b: Geom) -> bool:
     # a probe strictly interior to BOTH proves overlap (never a false
     # positive), catching the common axis-aligned partial-overlap shape.
     ea, eb = alg.envelope(a), alg.envelope(b)
+    if ea is None or eb is None:  # empty operand: no interior to overlap
+        return False
     x0, y0 = max(ea[0], eb[0]), max(ea[1], eb[1])
     x1, y1 = min(ea[2], eb[2]), min(ea[3], eb[3])
     if x1 <= x0 or y1 <= y0:
@@ -512,6 +517,34 @@ def _check_and_retry_overlay(a: Geom, b: Geom, op: str, res: Geom, merge_line_ou
     res3 = _system_result(a, b, op, merge_line_output, ng, grid=wtol)
     if res3 is not None:
         return res3
+    # last rung: every retry rejected.  If an OPERAND is itself invalid
+    # (e.g. a hole crossing its shell by an ulp — fuzz seed 7700 pair
+    # 19957 silently produced union=EMPTY for it), no arrangement of the
+    # raw rings can satisfy the inclusion-exclusion system, so the snap
+    # ladder can never accept a candidate.  Repair the operands the way
+    # the reference repairs invalid polygonal input (GeometryFixer.cs:46,
+    # even-odd / buffer(0) semantics) and accept a mutually-consistent
+    # system over the FIXED pair.
+    from .validity import is_valid as _operand_valid
+
+    va, vb = _operand_valid(a), _operand_valid(b)
+    if not (va and vb):
+        from .extra import fix_geometry
+
+        try:
+            fa = a if va else fix_geometry(a)
+            fb = b if vb else fix_geometry(b)
+            # the repaired operand can carry a pinch channel (hole welded
+            # onto its shell through ulp-separated vertices), so give the
+            # fixed pair the same escalation the raw pair got: exact
+            # arrangement first, weld grid second
+            res4 = _system_result(fa, fb, op, merge_line_output, ng)
+            if res4 is None:
+                res4 = _system_result(fa, fb, op, merge_line_output, ng, grid=wtol)
+        except Exception:
+            res4 = None
+        if res4 is not None:
+            return res4
     return res
 
 

@@ -114,7 +114,13 @@ def within_distance_join(
             .filter(expr=f"n > {int(salt_threshold)}")
             .to_pandas()
         )
-        hot_cells = set(hot_df["cell"].astype(np.int64))
+        # a fully-filtered (zero-hot-cell) Dataset loses its schema on
+        # collect — the empty frame then has no 'cell' column at all
+        hot_cells = (
+            set(hot_df["cell"].astype(np.int64))
+            if "cell" in hot_df.columns
+            else set()
+        )
 
     if hot_cells:
         hot_arr = np.fromiter(hot_cells, dtype=np.int64, count=len(hot_cells))

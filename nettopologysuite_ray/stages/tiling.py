@@ -223,4 +223,6 @@ def find_hot_cells(ds, cell_col: str = "cell_id", threshold_frac: float = 0.01):
     total = stats_ds.sum("n")
     cut = int(total * threshold_frac)
     hot_df = stats_ds.filter(expr=f"n > {cut}").to_pandas()
-    return set(hot_df[cell_col].tolist()), stats_ds
+    # a fully-filtered (zero-hot-cell) Dataset loses its schema on collect
+    hot = set(hot_df[cell_col].tolist()) if cell_col in hot_df.columns else set()
+    return hot, stats_ds

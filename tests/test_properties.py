@@ -760,3 +760,43 @@ def test_union_order_invariance_and_relate_symmetry(seed, off):
     m1 = pred.relate(parts[0], parts[-1])
     m2 = pred.relate(parts[-1], parts[0])
     assert "".join(m1[j * 3 + i] for i in range(3) for j in range(3)) == m2
+
+
+def test_overlay_invalid_operand_fixer_rung_regression():
+    """Regression (fuzz seed 7700 pair 19957): B's hole vertex sits 1-2
+    ulp OUTSIDE its shell corner (invalid, "rings cross"), and the raw
+    arrangement silently returned EMPTY for union AND intersection.  No
+    snapped candidate of the raw rings can ever satisfy the
+    inclusion-exclusion system, so the retry ladder ends in a
+    GeometryFixer rung (reference GeometryFixer.cs:46 semantics) and the
+    identities must hold against the operand areas.  The one-sided-empty
+    overlays of the same invalid operand also healed (previously ∅)."""
+    a = from_wkt(
+        "POLYGON ((1 -1, 5 -1, 5 2, 1 2, 1 -1), (1 -1, 3 -0.25, 2 0.5, 1 -1))"
+    )
+    b = from_wkt(
+        "POLYGON ((3.000000000000001 -2.0000000000000013, "
+        "6.999999999999997 -2.0000000000000013, 7.000000000000003 "
+        "1.0000000000000007, 2.9999999999999987 1.0000000000000002, "
+        "3.000000000000001 -2.0000000000000013), (3 -2.0000000000000004, "
+        "5.000000000000001 -1.2500000000000002, 4.000000000000001 "
+        "-0.5000000000000004, 3 -2.0000000000000004))"
+    )
+    aa, ab = alg.area(a), alg.area(b)
+    tol = 1e-6 * max(aa, ab)
+    u = alg.area(overlay(a, b, "union"))
+    i = alg.area(overlay(a, b, "intersection"))
+    d = alg.area(overlay(a, b, "difference"))
+    dr = alg.area(overlay(b, a, "difference"))
+    s = alg.area(overlay(a, b, "symdifference"))
+    assert abs((u + i) - (aa + ab)) <= tol
+    assert abs((d + i) - aa) <= tol
+    assert abs((dr + i) - ab) <= tol
+    assert abs(s - (u - i)) <= tol
+    assert i > tol  # the operands genuinely overlap
+    empty = from_wkt("POLYGON EMPTY")
+    assert abs(alg.area(overlay(b, empty, "union")) - ab) <= tol
+    assert abs(alg.area(overlay(empty, b, "union")) - ab) <= tol
+    assert abs(alg.area(overlay(b, empty, "difference")) - ab) <= tol
+    assert alg.area(overlay(empty, b, "difference")) <= tol
+    assert alg.area(overlay(b, empty, "intersection")) <= tol
