@@ -311,35 +311,365 @@ class LengthIndexedLine:
 
 # ---------------------------------------------------------------------------
 # geometry fixer (make-valid)
+# (reference: Geometries/Utilities/GeometryFixer.cs:46 — semantic rules
+#  re-implemented on this engine's numpy ring model; per-ring repair is
+#  even-odd face parity, the exact semantics of the reference's
+#  BufferOp.BufferByZero(poly, bothOrientations) at GeometryFixer.cs:413.)
 
 
-def fix_geometry(g: Geom) -> Geom:
-    """Repair invalid polygonal geometry (GeometryFixer.cs:46): node the
-    rings, build faces, keep faces with odd even-odd parity against the
-    original rings (buffer(0)-like semantics)."""
-    from .construct import polygonize
-    from .overlay import union_all
-    from .validity import is_valid
+def _clean_coords(arr, ords=None):
+    """CoordinateArrays.RemoveRepeatedOrInvalidPoints: drop rows with a
+    non-finite X or Y, then collapse consecutive duplicate points.  The
+    optional out-of-band ordinate rows (Z/M) follow their XY rows."""
+    a = np.asarray(arr, dtype=np.float64).reshape(-1, 2)
+    e = None if ords is None else np.asarray(ords, dtype=np.float64).reshape(len(a), -1)
+    ok = np.isfinite(a).all(axis=1)
+    a = a[ok]
+    if e is not None:
+        e = e[ok]
+    if len(a) > 1:
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]).any(axis=1)
+        a = a[keep]
+        if e is not None:
+            e = e[keep]
+    return a, e
 
-    if g.is_empty or g.dimension < 2:
+
+def _ring_ords(g: Geom, idx) -> np.ndarray | None:
+    """Ordinate rows for one nesting position of g.extra, or None."""
+    if g.extra is None:
+        return None
+    o = g.extra["ords"]
+    for i in idx:
+        o = o[i]
+    return o
+
+
+class _Fixer:
+    """GeometryFixer.cs:46 ported rule-for-rule; collapsed and MULTI
+    handling controlled by keep_collapsed / keep_multi exactly as the
+    reference's KeepCollapsed / KeepMulti properties."""
+
+    def __init__(self, keep_collapsed: bool = False, keep_multi: bool = True):
+        self.keep_collapsed = keep_collapsed
+        self.keep_multi = keep_multi
+
+    # -- dispatch (GeometryFixer.GetResult) --------------------------------
+    def fix(self, g: Geom) -> Geom:
+        if g.is_empty:
+            return g
+        self._dims = g.extra["dims"] if g.extra else None
+        t = g.gtype
+        if t == POINT:
+            return self._fix_point(g)
+        if t == LINESTRING:
+            if g.tag == "LinearRing":
+                return self._fix_linear_ring(g)
+            return self._fix_linestring(g)
+        if t == POLYGON:
+            return self._fill(self._fix_polygon(g), g)
+        if t == "MultiPoint":
+            return self._fix_multipoint(g)
+        if t == "MultiLineString":
+            return self._fix_multilinestring(g)
+        if t == MULTIPOLYGON:
+            return self._fill(self._fix_multipolygon(g), g)
+        if t == GEOMETRYCOLLECTION:
+            return Geom(GEOMETRYCOLLECTION, [self.fix(sub) for sub in g.data])
         return g
-    if is_valid(g):
+
+    # -- points -------------------------------------------------------------
+    def _point_element(self, p, ords):
+        a = np.asarray(p, dtype=np.float64).reshape(-1)
+        if len(a) == 0 or not np.isfinite(a).all():
+            return None
+        return Geom(POINT, a.copy(), extra=self._wrap(ords) if ords is not None else None)
+
+    def _fix_point(self, g: Geom) -> Geom:
+        pt = self._point_element(g.data, _ring_ords(g, ()))
+        return pt if pt is not None else Geom.empty(POINT)
+
+    def _fix_multipoint(self, g: Geom) -> Geom:
+        pts = []
+        for i, p in enumerate(g.data):
+            fp = self._point_element(p, _ring_ords(g, (i,)))
+            if fp is not None:
+                pts.append(fp)
+        if not self.keep_multi and len(pts) == 1:
+            return pts[0]
+        data = [p.data for p in pts]
+        extra = None
+        if self._dims and pts:
+            extra = {"dims": self._dims, "ords": [p.extra["ords"] for p in pts]}
+        return Geom("MultiPoint", data, extra=extra)
+
+    # -- lines ---------------------------------------------------------------
+    def _wrap(self, ords):
+        return {"dims": self._dims, "ords": ords} if getattr(self, "_dims", None) else None
+
+    def _linestring_element(self, arr, ords):
+        """FixLineStringElement: cleaned coords; keepCollapsed turns a
+        single-point collapse into a Point; <=1 point is dropped."""
+        a, e = _clean_coords(arr, ords)
+        if self.keep_collapsed and len(a) == 1:
+            return Geom(POINT, a[0].copy(), extra=self._wrap(e[0]) if e is not None else None)
+        if len(a) <= 1:
+            return None
+        return Geom(LINESTRING, a, extra=self._wrap(e) if e is not None else None)
+
+    def _fix_linestring(self, g: Geom) -> Geom:
+        fixed = self._linestring_element(g.data, _ring_ords(g, ()))
+        return fixed if fixed is not None else Geom.empty(LINESTRING)
+
+    def _linear_ring_element(self, arr, ords):
+        """FixLinearRingElement: keepCollapsed lowers short rings to
+        Point/LineString; an invalid repaired ring degrades to LineString."""
+        from .validity import is_valid
+
+        a, e = _clean_coords(arr, ords)
+        if self.keep_collapsed:
+            if len(a) == 1:
+                return Geom(POINT, a[0].copy(), extra=self._wrap(e[0]) if e is not None else None)
+            if 1 < len(a) <= 3:
+                return Geom(LINESTRING, a, extra=self._wrap(e) if e is not None else None)
+        if len(a) <= 3:
+            return None
+        closed = (a[0] == a[-1]).all()
+        ring = Geom(LINESTRING, a, tag="LinearRing" if closed else None,
+                    extra=self._wrap(e) if e is not None else None)
+        if not closed or not is_valid(ring):
+            return Geom(LINESTRING, a, extra=self._wrap(e) if e is not None else None)
+        return ring
+
+    def _fix_linear_ring(self, g: Geom) -> Geom:
+        fixed = self._linear_ring_element(g.data, _ring_ords(g, ()))
+        if fixed is None:
+            return Geom(LINESTRING, np.empty((0, 2)), tag="LinearRing")
+        return fixed
+
+    def _fix_multilinestring(self, g: Geom) -> Geom:
+        fixed, mixed = [], False
+        for i, ls in enumerate(g.data):
+            f = self._linestring_element(ls, _ring_ords(g, (i,)))
+            if f is None:
+                continue
+            if f.gtype != LINESTRING:
+                mixed = True
+            fixed.append(f)
+        if len(fixed) == 1 and (not self.keep_multi or fixed[0].gtype != LINESTRING):
+            return fixed[0]
+        if mixed:
+            return Geom(GEOMETRYCOLLECTION, fixed)
+        extra = None
+        if self._dims and fixed and all(f.extra for f in fixed):
+            extra = {"dims": self._dims, "ords": [f.extra["ords"] for f in fixed]}
+        return Geom("MultiLineString", [f.data for f in fixed], extra=extra)
+
+    # -- polygons -------------------------------------------------------------
+    @staticmethod
+    def _fix_ring(ring) -> Geom:
+        """FixRing (GeometryFixer.cs:408) = BufferOp.BufferByZero(poly(ring),
+        bothOrientations): node the ring against itself, polygonize the
+        faces, keep faces with NONZERO winding number vs the ring (both
+        positively- and negatively-wound regions survive; +/- overlaps
+        cancel).  Degenerate/flat rings produce POLYGON EMPTY."""
+        from .construct import polygonize
+        from .overlay import union_all
+        from .validity import _check_ring
+
+        a, _ = _clean_coords(ring)
+        if len(a) >= 3 and (a[0] != a[-1]).any():
+            a = np.vstack([a, a[:1]])
+        if len(a) < 4:
+            return Geom.empty(POLYGON)
+        if _check_ring(a) is None and alg.ring_signed_area(a) != 0.0:
+            return Geom(POLYGON, [a])  # already a valid ring: fast path
+        faces = polygonize(Geom(POLYGON, [a]), node=True)
+        kept = []
+        for f in faces.flatten():
+            if f.gtype != POLYGON:
+                continue
+            ip = alg.interior_point(f)
+            if _winding_number(float(ip.data[0]), float(ip.data[1]), a) != 0:
+                kept.append(f)
+        if not kept:
+            return Geom.empty(POLYGON)
+        if len(kept) == 1:
+            return kept[0]
+        return union_all(kept)
+
+    def _fix_polygon_element(self, rings):
+        """FixPolygonElement: repaired shell minus intersecting repaired
+        holes; holes disjoint from the shell become shells and are
+        unioned in (GeometryFixer.cs:310-346)."""
+        from .overlay import overlay, union_all
+        from .predicates import intersects
+
+        shell_fix = self._fix_ring(rings[0])
+        if shell_fix.is_empty:
+            if self.keep_collapsed:
+                return self._linestring_element(rings[0], None)
+            return None
+        holes_fixed = [h for h in (self._fix_ring(r) for r in rings[1:]) if not h.is_empty]
+        if not holes_fixed:
+            return shell_fix
+        holes, shells = [], []
+        for h in holes_fixed:
+            (holes if intersects(shell_fix, h) else shells).append(h)
+        poly = shell_fix
+        if holes:
+            hu = holes[0] if len(holes) == 1 else union_all(holes)
+            poly = overlay(shell_fix, hu, "difference")
+        if not shells:
+            return poly
+        return union_all(shells + [poly])
+
+    def _fix_polygon(self, g: Geom) -> Geom:
+        fixed = self._fix_polygon_element(g.data)
+        return fixed if fixed is not None else Geom.empty(POLYGON)
+
+    def _fix_multipolygon(self, g: Geom) -> Geom:
+        from .overlay import union_all
+
+        polys = []
+        for rings in g.data:
+            p = self._fix_polygon_element(rings)
+            if p is not None and not p.is_empty:
+                polys.append(p)
+        if not polys:
+            return Geom.empty(MULTIPOLYGON)
+        result = polys[0] if len(polys) == 1 else union_all(polys)
+        if self.keep_multi and result.gtype == POLYGON:
+            result = Geom(MULTIPOLYGON, [result.data])
+        return result
+
+    # -- Z/M re-population for polygon-kernel outputs -------------------------
+    def _fill(self, res: Geom, src: Geom) -> Geom:
+        """The polygonal repairs run through the 2-D overlay kernel, which
+        drops out-of-band Z/M; restore them as OverlayNG does
+        (OverlayNG.cs:437-459): exact input vertices keep their ordinates
+        (duplicates averaged), new vertices take the ElevationModel Z and
+        NaN for M."""
+        if src.extra is None or res is None or res.is_empty:
+            return res
+        dims = src.extra["dims"]
+        e = len(dims)
+        exact: dict = {}
+        counts: dict = {}
+        for comp, ords in _walk_ords(src):
+            arr = np.asarray(comp, dtype=np.float64).reshape(-1, 2)
+            o = np.asarray(ords, dtype=np.float64).reshape(len(arr), e)
+            for row, orow in zip(arr, o):
+                key = (float(row[0]), float(row[1]))
+                n = counts.get(key, 0)
+                prev = exact.get(key, np.zeros(e))
+                exact[key] = (prev * n + orow) / (n + 1)
+                counts[key] = n + 1
+        zi = dims.index("Z") if "Z" in dims else None
+        model = None
+        if zi is not None:
+            from .elevation import ElevationModel
+
+            model = ElevationModel.create(src, None)
+
+        def fill(arr2: np.ndarray) -> np.ndarray:
+            out = np.full((len(arr2), e), np.nan)
+            for i, (x, y) in enumerate(np.asarray(arr2, dtype=np.float64).reshape(-1, 2)):
+                key = (float(x), float(y))
+                if key in exact:
+                    out[i] = exact[key]
+                elif zi is not None and model is not None and model.has_z:
+                    out[i, zi] = model.get_z(x, y)
+            return out
+
+        return _rebuild_with_ords(res, dims, fill)
+
+
+def _winding_number(x: float, y: float, ring: np.ndarray) -> int:
+    """Winding number of (x, y) vs a closed ring — half-open straddle
+    rule (p1.y <= y < p2.y counts upward, reversed counts downward), so
+    a ray through a vertex is counted exactly once."""
+    wn = 0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if y1 <= y < y2:
+            if alg.orient2d(x1, y1, x2, y2, x, y) > 0:
+                wn += 1
+        elif y2 <= y < y1:
+            if alg.orient2d(x1, y1, x2, y2, x, y) < 0:
+                wn -= 1
+    return wn
+
+
+def _walk_ords(g: Geom):
+    """Yield (coords-array, ords-array) pairs for every component of a
+    geometry carrying out-of-band ordinates."""
+    if g.extra is None or g.is_empty:
+        return
+    t, o = g.gtype, g.extra["ords"]
+    if t == POINT:
+        yield g.data.reshape(1, 2), np.asarray(o).reshape(1, -1)
+    elif t == LINESTRING:
+        yield g.data, o
+    elif t == POLYGON:
+        for r, ro in zip(g.data, o):
+            yield r, ro
+    elif t == "MultiPoint":
+        for p, po in zip(g.data, o):
+            yield np.asarray(p, dtype=np.float64).reshape(1, 2), np.asarray(po).reshape(1, -1)
+    elif t == "MultiLineString":
+        for p, po in zip(g.data, o):
+            yield p, po
+    elif t == MULTIPOLYGON:
+        for rings, rords in zip(g.data, o):
+            for r, ro in zip(rings, rords):
+                yield r, ro
+    elif t == GEOMETRYCOLLECTION:
+        for sub in g.data:
+            yield from _walk_ords(sub)
+
+
+def _rebuild_with_ords(g: Geom, dims: str, fill) -> Geom:
+    """Attach extra ordinates computed by fill(arr2)->(N,e) to every
+    component of g, mirroring its nesting."""
+    if g.is_empty:
         return g
-    rings = [r for c in g.flatten() if c.gtype == POLYGON for r in c.data]
-    faces = polygonize(Geom(POLYGON, rings), node=True)
-    kept = []
-    for f in faces.flatten():
-        if f.gtype != POLYGON:
-            continue
-        ip = alg.interior_point(f)
-        loc = alg.locate_point_in_rings(float(ip.data[0]), float(ip.data[1]), rings)
-        if loc == alg.INTERIOR:
-            kept.append(f)
-    if not kept:
-        return Geom.empty(POLYGON)
-    if len(kept) == 1:
-        return kept[0]
-    return union_all(kept)
+    t = g.gtype
+
+    def wrap(o):
+        return {"dims": dims, "ords": o}
+
+    if t == POINT:
+        return Geom(t, g.data, tag=g.tag, extra=wrap(fill(g.data.reshape(1, 2)).ravel()))
+    if t == LINESTRING:
+        return Geom(t, g.data, tag=g.tag, extra=wrap(fill(g.data)))
+    if t == POLYGON:
+        return Geom(t, g.data, tag=g.tag, extra=wrap([fill(r) for r in g.data]))
+    if t == "MultiPoint":
+        return Geom(t, g.data, tag=g.tag,
+                    extra=wrap([fill(np.asarray(p).reshape(1, 2)).ravel() for p in g.data]))
+    if t == "MultiLineString":
+        return Geom(t, g.data, tag=g.tag, extra=wrap([fill(ls) for ls in g.data]))
+    if t == MULTIPOLYGON:
+        return Geom(t, g.data, tag=g.tag,
+                    extra=wrap([[fill(r) for r in rings] for rings in g.data]))
+    if t == GEOMETRYCOLLECTION:
+        return Geom(t, [_rebuild_with_ords(sub, dims, fill) for sub in g.data], tag=g.tag)
+    return g
+
+
+def fix_geometry(g: Geom, keep_collapsed: bool = False, keep_multi: bool = True) -> Geom:
+    """Repair a geometry to validity while preserving as much shape and
+    vertex data as possible (GeometryFixer.cs:46-75 semantic rules):
+    non-finite ordinates and repeated points are removed, self-crossing
+    rings are re-noded into faces by even-odd parity, holes intersecting
+    the shell are subtracted, holes outside the shell become shells, and
+    collapses become EMPTY (or lower-dimension parts with
+    ``keep_collapsed``).  ``keep_multi`` keeps single-item MULTI results
+    as MULTI types."""
+    return _Fixer(keep_collapsed, keep_multi).fix(g)
 
 
 # ---------------------------------------------------------------------------

@@ -93,9 +93,10 @@ def test_fix_geometry_bowtie():
     assert is_valid(fixed)
     assert abs(alg.area(fixed) - 50.0) < 1e-9  # both lobes kept (the raw
     # bowtie shoelace self-cancels to 0)
-    # valid input passes through untouched
+    # valid input is still processed (reference: "even valid inputs may
+    # have some minor alterations") but comes back equal
     ok = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
-    assert extra.fix_geometry(ok) is ok
+    assert alg.equals_exact(alg.normalize(extra.fix_geometry(ok)), alg.normalize(ok))
 
 
 def test_maximum_inscribed_circle():
