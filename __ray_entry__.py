@@ -1109,6 +1109,72 @@ def _q_distance3d_docs(sf_dir: str):
     return docs.map_batches(compute, batch_format="pyarrow")
 
 
+def _q_fix_docs(sf_dir: str):
+    """GeometryFixer as a distributed repair stage (geom/extra.py
+    fix_geometry; reference Geometries/Utilities/GeometryFixer.cs:46):
+    one deterministic INVALID polygon per document — bowtie /
+    disjoint-hole / corner-overlapping-hole by doc_id % 3, side
+    s = 100 + (doc_id % 7) * 20, translated by doc_id — repaired through
+    WKB map_batches; part/hole counts and exact integer areas are closed
+    forms the SQL oracle replays arithmetically."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.extra import fix_geometry
+    from nettopologysuite_ray.geom.types import POLYGON, Geom
+    from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
+
+    def _sq(x0: int, y0: int, side: int):
+        return [(x0, y0), (x0 + side, y0), (x0 + side, y0 + side), (x0, y0 + side), (x0, y0)]
+
+    def build(batch: pa.Table) -> pa.Table:
+        wkbs = []
+        for d in batch["doc_id"].to_pylist():
+            s = 100 + (d % 7) * 20
+            tx, ty = (d * 13) % 1000, (d * 17) % 1000
+            k = d % 3
+            if k == 0:  # bowtie: diagonals cross at the center
+                rings = [[(0, 0), (s, s), (s, 0), (0, s), (0, 0)]]
+            elif k == 1:  # hole entirely outside the shell
+                rings = [_sq(0, 0, s), _sq(2 * s, 2 * s, s // 5)]
+            else:  # hole overlapping the shell's top-right corner
+                rings = [_sq(0, 0, s), _sq(3 * s // 4, 3 * s // 4, s // 2)]
+            arrs = [
+                np.array([(x + tx, y + ty) for x, y in r], dtype=np.float64)
+                for r in rings
+            ]
+            wkbs.append(to_wkb(Geom(POLYGON, arrs)))
+        return pa.table({"doc_id": batch["doc_id"], "wkb": pa.array(wkbs, type=pa.binary())})
+
+    def repair(batch: pa.Table) -> pa.Table:
+        ids, kinds, parts, holes, areas = [], [], [], [], []
+        for d, w in zip(batch["doc_id"].to_pylist(), batch["wkb"].to_pylist()):
+            f = fix_geometry(from_wkb(w))
+            polys = [c for c in f.flatten() if c.gtype == POLYGON]
+            ids.append(d)
+            kinds.append(d % 3)
+            parts.append(len(polys))
+            holes.append(sum(len(p.data) - 1 for p in polys))
+            areas.append(int(round(alg.area(f))))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "kind": pa.array(kinds, type=pa.int64()),
+                "n_parts": pa.array(parts, type=pa.int64()),
+                "n_holes": pa.array(holes, type=pa.int64()),
+                "area": pa.array(areas, type=pa.int64()),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(build, batch_format="pyarrow").map_batches(
+        repair, batch_format="pyarrow"
+    )
+
+
 def _q_dissolve_chains(sf_dir: str):
     """Distributed line dissolve/merge with tile-boundary stitching
     (stages/linemerge.py; reference roles: Dissolve/LineDissolver.cs:29,
@@ -2009,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_grid": _q_polygonize_grid,
         "dissolve_chains": _q_dissolve_chains,
         "distance3d_docs": _q_distance3d_docs,
+        "fix_docs": _q_fix_docs,
         "node_grid": _q_node_grid,
         "overlay_z_docs": _q_overlay_z_docs,
         "within_distance_join": _q_within_distance_join,
@@ -2307,6 +2374,21 @@ c AS (
 SELECT doc_id,
        CAST(round(sqrt((px-qx)*(px-qx) + (py-qy)*(py-qy) + (pz-qz)*(pz-qz)) * 1000000) AS BIGINT) AS dist_1e6
 FROM c
+""",
+        "fix_docs": """
+WITH p AS (
+  SELECT doc_id, doc_id % 3 AS kind, 100 + (doc_id % 7) * 20 AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(kind AS BIGINT) AS kind,
+       CAST(CASE WHEN kind = 2 THEN 1 ELSE 2 END AS BIGINT) AS n_parts,
+       CAST(0 AS BIGINT) AS n_holes,
+       CAST(CASE kind
+            WHEN 0 THEN s*s // 2
+            WHEN 1 THEN s*s + (s // 5) * (s // 5)
+            ELSE s*s - (s // 4) * (s // 4) END AS BIGINT) AS area
+FROM p
 """,
         "within_distance_join": _ENTS_CTE
         + """

@@ -510,3 +510,18 @@ def test_dimension_consistency():
         "nettopologysuite_ray.geom.extra", fromlist=["_walk_ords"]
     )._walk_ords(fix3dm):
         assert np.asarray(ords).reshape(len(np.asarray(arr).reshape(-1, 2)), -1).shape[1] == 2
+
+
+# ----------------------------------------------------------- fuzz guard
+
+def test_fixer_fuzz_guard():
+    """Pinned slice of tools/fuzz_fixer.py (the reference
+    GeometryFixerFuzzer.cs port): random self-crossing polygons with
+    random-ring holes repair to valid geometry and re-fixing preserves
+    area.  Larger campaigns run offline (see COVERAGE.md)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.fuzz_fixer import run
+
+    assert run(10, seed=202, family="both", num_points=14, max_holes=2) == 0
