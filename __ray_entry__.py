@@ -562,6 +562,130 @@ def _q_kmv_distinct(sf_dir: str):
     return kmv_distinct(ds, key_col="user_id", group_col="event_type", k=64)
 
 
+def _q_event_sketch_stats(sf_dir: str):
+    """KMV bottom-k distinct sketch + exact count-based quantiles,
+    consolidated under one gate row (driver 50-row cap) as long rows
+    (event_type, stat, value): kmv_est / kmv_fill / kmv_kth from the
+    mergeable sketch, p50 / p90 / p99 cents from the no-global-sort
+    quantiles (stages/relational.py grouped_quantiles,
+    functions/sketch.py kmv_distinct)."""
+    import pyarrow as pa
+
+    kmv = _q_kmv_distinct(sf_dir)
+    qnt = _q_value_quantiles(sf_dir)
+
+    def kmv_rows(b: pa.Table) -> pa.Table:
+        et, st, val = [], [], []
+        for t, e, n, k in zip(
+            b["event_type"].to_pylist(),
+            b["est_distinct"].to_pylist(),
+            b["n_hashes"].to_pylist(),
+            b["kth_hash"].to_pylist(),
+        ):
+            et += [t, t, t]
+            st += ["kmv_est", "kmv_fill", "kmv_kth"]
+            val += [int(e), int(n), int(k)]
+        return pa.table(
+            {
+                "event_type": pa.array(et, type=pa.string()),
+                "stat": pa.array(st, type=pa.string()),
+                "value": pa.array(val, type=pa.int64()),
+            }
+        )
+
+    def qnt_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "stat": pa.array(
+                    [f"p{q}" for q in b["q_pct"].to_pylist()], type=pa.string()
+                ),
+                "value": b["quantile_cents"].cast(pa.int64()),
+            }
+        )
+
+    return kmv.map_batches(kmv_rows, batch_format="pyarrow").union(
+        qnt.map_batches(qnt_rows, batch_format="pyarrow")
+    )
+
+
+def _q_raster_roundtrip(sf_dir: str):
+    """Raster <-> vector round trip (stages/raster.py — the north-star
+    rule's raster<->vector tiling): per document one deterministic shape
+    (solid square / donut / right triangle by doc_id % 3, side
+    s = 6 + (doc_id % 5) * 2, placed on a disjoint 32-cell stride grid)
+    is center-sample rasterized at cell=1 (strict-interior rule), then
+    vectorized back into region polygons with tile=4 halo extraction and
+    cross-tile stitching; the per-region inventory (hole count, integer
+    area, bbox) is a closed form the SQL oracle replays."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.types import POLYGON, Geom
+    from nettopologysuite_ray.geom.wkb import from_wkb, to_wkb
+    from nettopologysuite_ray.stages.raster import rasterize, vectorize
+
+    def _sq(x0, y0, side):
+        return np.array(
+            [(x0, y0), (x0 + side, y0), (x0 + side, y0 + side), (x0, y0 + side), (x0, y0)],
+            dtype=np.float64,
+        )
+
+    def build(batch: pa.Table) -> pa.Table:
+        wkbs = []
+        for d in batch["doc_id"].to_pylist():
+            s = 6 + (d % 5) * 2
+            x0, y0 = (d % 64) * 32, (d // 64) * 32
+            k = d % 3
+            if k == 0:
+                rings = [_sq(x0, y0, s)]
+            elif k == 1:
+                rings = [_sq(x0, y0, s), _sq(x0 + 2, y0 + 2, s - 4)]
+            else:
+                rings = [
+                    np.array(
+                        [(x0, y0), (x0 + s, y0), (x0, y0 + s), (x0, y0)],
+                        dtype=np.float64,
+                    )
+                ]
+            wkbs.append(to_wkb(Geom(POLYGON, rings)))
+        return pa.table(
+            {"wkb": pa.array(wkbs, type=pa.binary()), "value": batch["doc_id"]}
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    cells = rasterize(docs.map_batches(build, batch_format="pyarrow"), cell=1.0)
+    regions = vectorize(cells, cell=1.0, tile=4, num_partitions=8)
+
+    def inventory(batch: pa.Table) -> pa.Table:
+        vals, kinds, holes, areas, env = [], [], [], [], []
+        for v, w in zip(batch["value"].to_pylist(), batch["face_wkb"].to_pylist()):
+            g = from_wkb(w)
+            vals.append(int(v))
+            kinds.append(int(v) % 3)
+            holes.append(len(g.data) - 1)
+            areas.append(int(round(alg.area(g))))
+            e = alg.envelope(g)
+            env.append(tuple(int(round(x)) for x in e))
+        return pa.table(
+            {
+                "value": pa.array(vals, type=pa.int64()),
+                "kind": pa.array(kinds, type=pa.int64()),
+                "n_holes": pa.array(holes, type=pa.int64()),
+                "area": pa.array(areas, type=pa.int64()),
+                "minx": pa.array([e[0] for e in env], type=pa.int64()),
+                "miny": pa.array([e[1] for e in env], type=pa.int64()),
+                "maxx": pa.array([e[2] for e in env], type=pa.int64()),
+                "maxy": pa.array([e[3] for e in env], type=pa.int64()),
+            }
+        )
+
+    return regions.map_batches(inventory, batch_format="pyarrow")
+
+
 def _q_sample_per_lang(sf_dir: str):
     """Deterministic per-language bottom-k sample of documents (hash-order
     sampling — reproducible at any parallelism, replayable in SQL)."""
@@ -2102,9 +2226,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windows_rollup": _q_windows_rollup,
         "session_stats": _q_session_stats,
         "asof_join": _q_asof_join,
-        "kmv_distinct": _q_kmv_distinct,
+        "event_sketch_stats": _q_event_sketch_stats,
         "sample_per_lang": _q_sample_per_lang,
-        "value_quantiles": _q_value_quantiles,
+        "raster_roundtrip": _q_raster_roundtrip,
         "split_assign": _q_split_assign,
         "top_tokens": _q_top_tokens,
         "tfidf_terms": _q_tfidf_terms,
@@ -2805,7 +2929,25 @@ SELECT token, n, rank FROM r WHERE rank < 50
 """,
         # discrete lower quantile at 1-based rank ceil(q*n/100), replayed
         # with a cumulative-sum window over per-value counts
-        "value_quantiles": """
+        "raster_roundtrip": """
+WITH p AS (
+  SELECT doc_id, doc_id % 3 AS kind, 6 + (doc_id % 5) * 2 AS s,
+         (doc_id % 64) * 32 AS x0, (doc_id // 64) * 32 AS y0
+  FROM documents
+)
+SELECT doc_id AS value,
+       CAST(kind AS BIGINT) AS kind,
+       CAST(CASE WHEN kind = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_holes,
+       CAST(CASE kind WHEN 0 THEN s*s
+                      WHEN 1 THEN s*s - (s-4)*(s-4)
+                      ELSE s*(s-1) // 2 END AS BIGINT) AS area,
+       CAST(x0 AS BIGINT) AS minx,
+       CAST(y0 AS BIGINT) AS miny,
+       CAST(x0 + CASE WHEN kind = 2 THEN s - 1 ELSE s END AS BIGINT) AS maxx,
+       CAST(y0 + CASE WHEN kind = 2 THEN s - 1 ELSE s END AS BIGINT) AS maxy
+FROM p
+""",
+        "event_sketch_stats": """
 WITH c AS (
   SELECT event_type,
          CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
@@ -2820,29 +2962,10 @@ cum AS (
          sum(cnt) OVER (PARTITION BY event_type) AS n
   FROM c
 ),
-qs AS (SELECT unnest([50, 90, 99]) AS q_pct)
-SELECT cum.event_type, qs.q_pct, min(cum.vc) AS quantile_cents
-FROM cum JOIN qs ON cum.cumn >= (qs.q_pct * cum.n + 99) // 100
-GROUP BY 1, 2
-""",
-        # hash-order sampling replayed with a window rank over the same
-        # Knuth hash; doc_id tie-break mirrors the engine's sort
-        "sample_per_lang": """
-WITH ranked AS (
-  SELECT doc_id, lang,
-         row_number() OVER (
-           PARTITION BY lang
-           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
-         ) AS rn
-  FROM documents
-)
-SELECT doc_id, lang, rn - 1 AS sample_rank FROM ranked WHERE rn <= 20
-""",
-        # the KMV sketch replayed verbatim: same Knuth 32-bit hash, same
-        # bottom-k, same integer estimator ((k-1)*2^32 // kth) — exact
-        # when fewer than k distinct hashes exist
-        "kmv_distinct": """
-WITH h AS (
+qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+-- KMV replayed verbatim: same Knuth 32-bit hash, same bottom-k, same
+-- integer estimator ((k-1)*2^32 // kth) — exact under k distinct
+h AS (
   SELECT DISTINCT event_type, (user_id * 2654435761) % 4294967296 AS hv
   FROM events
 ),
@@ -2857,12 +2980,35 @@ stats AS (
          max(CASE WHEN rn = 64 THEN hv END) AS kth0
   FROM ranked GROUP BY 1
 )
-SELECT event_type,
-       CASE WHEN n_hashes < 64 THEN n_hashes
-            ELSE (63 * 4294967296) // kth0 END AS est_distinct,
-       n_hashes,
-       COALESCE(kth0, 0) AS kth_hash
+SELECT event_type, 'p' || CAST(q_pct AS VARCHAR) AS stat,
+       CAST(quantile_cents AS BIGINT) AS value
+FROM (
+  SELECT cum.event_type, qs.q_pct, min(cum.vc) AS quantile_cents
+  FROM cum JOIN qs ON cum.cumn >= (qs.q_pct * cum.n + 99) // 100
+  GROUP BY 1, 2
+)
+UNION ALL
+SELECT event_type, 'kmv_est',
+       CAST(CASE WHEN n_hashes < 64 THEN n_hashes
+                 ELSE (63 * 4294967296) // kth0 END AS BIGINT)
 FROM stats
+UNION ALL
+SELECT event_type, 'kmv_fill', CAST(n_hashes AS BIGINT) FROM stats
+UNION ALL
+SELECT event_type, 'kmv_kth', CAST(COALESCE(kth0, 0) AS BIGINT) FROM stats
+""",
+        # hash-order sampling replayed with a window rank over the same
+        # Knuth hash; doc_id tie-break mirrors the engine's sort
+        "sample_per_lang": """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, rn - 1 AS sample_rank FROM ranked WHERE rn <= 20
 """,
         # DuckDB's native ASOF JOIN is the oracle; the right side is
         # pre-deduped to one row per (user, tus) keeping max id — the same

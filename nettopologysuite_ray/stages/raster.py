@@ -1,0 +1,342 @@
+"""Raster <-> vector conversion stages.
+
+``rasterize`` burns vector polygons (WKB rows) into integer grid cells
+by center sampling: a cell is covered iff its center lies strictly in
+the polygon interior (the all_touched=False burn rule of common raster
+engines).  ``vectorize`` reconstructs one polygon per 4-connected
+equal-value cell region (holes included) from (ix, iy, value) rows.
+
+Scale shape:
+- rasterize is map-only per polygon (vectorized point-in-rings over the
+  polygon's cell-center grid) plus one optional groupby to resolve
+  overlapping burns (map-side partial max first, so the shuffle carries
+  pre-aggregated cells);
+- vectorize extracts boundary edges tile-locally with a 1-cell ghost
+  halo (each border cell is replicated to the adjacent tile — the
+  standard raster halo exchange, one map + one groupby), emits every
+  boundary edge exactly once via a left/lower-owner rule, then reuses
+  the distributed polygonizer (stages/polygonize.py) for cross-tile
+  ring stitching, and assigns each face its region value by routing the
+  face through its interior cell key (one groupby against the cells).
+
+The reference has no raster engine; this implements the north-star
+rule's raster<->vector tiling on the engine's own distributed topology
+substrate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import algorithms as alg
+from ..geom.types import LINESTRING, POLYGON, Geom
+from ..geom.wkb import from_wkb, to_wkb
+from .polygonize import _pack_cell, distributed_polygonize
+
+_CELLS_SCHEMA = pa.schema(
+    [("ix", pa.int64()), ("iy", pa.int64()), ("value", pa.int64())]
+)
+
+
+def _partial_max(t: pa.Table) -> pa.Table:
+    """Arrow-native per-batch (ix, iy) -> max(value) combine."""
+    if len(t) == 0:
+        return _CELLS_SCHEMA.empty_table()
+    g = pa.TableGroupBy(t.select(["ix", "iy", "value"]), ["ix", "iy"]).aggregate(
+        [("value", "max")]
+    )
+    return g.rename_columns(["ix", "iy", "value"])
+
+
+def rasterize_batch(
+    batch: pa.Table,
+    *,
+    wkb_col: str = "wkb",
+    value_col: str = "value",
+    cell: float = 1.0,
+    origin=(0.0, 0.0),
+) -> pa.Table:
+    """Burn one batch of polygons into (ix, iy, value) rows (already
+    combined to max(value) within the batch)."""
+    ox, oy = float(origin[0]), float(origin[1])
+    oix, oiy, ov = [], [], []
+    for v, w in zip(batch[value_col].to_pylist(), batch[wkb_col].to_pylist()):
+        g = from_wkb(w)
+        for comp in g.flatten():
+            if comp.gtype != POLYGON or comp.is_empty:
+                continue
+            rings = comp.data
+            shell = rings[0]
+            minx, miny = shell.min(axis=0)
+            maxx, maxy = shell.max(axis=0)
+            i0 = int(np.floor((minx - ox) / cell))
+            i1 = int(np.floor((maxx - ox) / cell))
+            j0 = int(np.floor((miny - oy) / cell))
+            j1 = int(np.floor((maxy - oy) / cell))
+            if i1 < i0 or j1 < j0:
+                continue
+            ii, jj = np.meshgrid(
+                np.arange(i0, i1 + 1, dtype=np.int64),
+                np.arange(j0, j1 + 1, dtype=np.int64),
+            )
+            ii, jj = ii.ravel(), jj.ravel()
+            pts = np.column_stack(
+                [ox + (ii + 0.5) * cell, oy + (jj + 0.5) * cell]
+            ).astype(np.float64)
+            loc = alg.locate_points_in_rings(pts, rings)
+            m = loc == alg.INTERIOR
+            if m.any():
+                oix.append(ii[m])
+                oiy.append(jj[m])
+                ov.append(np.full(int(m.sum()), int(v), dtype=np.int64))
+    if not oix:
+        return _CELLS_SCHEMA.empty_table()
+    t = pa.table(
+        {
+            "ix": pa.array(np.concatenate(oix)),
+            "iy": pa.array(np.concatenate(oiy)),
+            "value": pa.array(np.concatenate(ov)),
+        }
+    )
+    return _partial_max(t)
+
+
+def rasterize(
+    ds,
+    *,
+    wkb_col: str = "wkb",
+    value_col: str = "value",
+    cell: float = 1.0,
+    origin=(0.0, 0.0),
+    resolve: bool = True,
+):
+    """Dataset of polygons (wkb + integer value) -> Dataset of
+    (ix, iy, value) covered cells.  With ``resolve`` (default) burns
+    from overlapping polygons are resolved to max(value) with one
+    key-colocating groupby over pre-aggregated partials; pass
+    resolve=False when inputs are known disjoint (map-only)."""
+    burned = ds.map_batches(
+        lambda b: rasterize_batch(
+            b, wkb_col=wkb_col, value_col=value_col, cell=cell, origin=origin
+        ),
+        batch_format="pyarrow",
+    )
+    if not resolve:
+        return burned
+
+    def key(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column("cell", pa.array([], type=pa.int64()))
+        k = _pack_cell(
+            b["ix"].to_numpy(zero_copy_only=False),
+            b["iy"].to_numpy(zero_copy_only=False),
+        )
+        return b.append_column("cell", pa.array(k, type=pa.int64()))
+
+    def final_max(g: pa.Table) -> pa.Table:
+        out = _partial_max(g.select(["ix", "iy", "value"]))
+        return out
+
+    return (
+        burned.map_batches(key, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(final_max, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# vectorize
+
+
+def _route_tiles(batch: pa.Table, tile: int) -> pa.Table:
+    """Replicate each cell to its own tile plus (as ghost) to the 4-adjacent
+    tile for each border it sits on — the halo exchange that gives every
+    tile the neighbor values of its border cells."""
+    if len(batch) == 0:
+        return pa.schema(
+            [
+                ("tcell", pa.int64()),
+                ("ix", pa.int64()),
+                ("iy", pa.int64()),
+                ("value", pa.int64()),
+                ("ghost", pa.bool_()),
+            ]
+        ).empty_table()
+    ix = batch["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+    iy = batch["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = batch["value"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tx = np.floor_divide(ix, tile)
+    ty = np.floor_divide(iy, tile)
+    rx = ix - tx * tile
+    ry = iy - ty * tile
+    tcs, ixs, iys, vs, gh = [], [], [], [], []
+    tcs.append(_pack_cell(tx, ty))
+    ixs.append(ix)
+    iys.append(iy)
+    vs.append(v)
+    gh.append(np.zeros(len(ix), dtype=bool))
+    for mask, dtx, dty in (
+        (rx == 0, -1, 0),
+        (rx == tile - 1, 1, 0),
+        (ry == 0, 0, -1),
+        (ry == tile - 1, 0, 1),
+    ):
+        if mask.any():
+            tcs.append(_pack_cell(tx[mask] + dtx, ty[mask] + dty))
+            ixs.append(ix[mask])
+            iys.append(iy[mask])
+            vs.append(v[mask])
+            gh.append(np.ones(int(mask.sum()), dtype=bool))
+    return pa.table(
+        {
+            "tcell": pa.array(np.concatenate(tcs), type=pa.int64()),
+            "ix": pa.array(np.concatenate(ixs)),
+            "iy": pa.array(np.concatenate(iys)),
+            "value": pa.array(np.concatenate(vs)),
+            "ghost": pa.array(np.concatenate(gh)),
+        }
+    )
+
+
+def _extract_edges(
+    g: pa.Table, *, cell: float, ox: float, oy: float
+) -> pa.Table:
+    """Boundary edges of the value field within one tile (+ ghost halo).
+    Owner rule — each edge emitted exactly once globally: a cell emits
+    its east/north edges whenever the neighbor value differs (or is
+    missing), and its west/south edges only when that neighbor is
+    missing (otherwise the west/south neighbor is the owner)."""
+    ix = g["ix"].to_numpy(zero_copy_only=False)
+    iy = g["iy"].to_numpy(zero_copy_only=False)
+    v = g["value"].to_numpy(zero_copy_only=False)
+    ghost = g["ghost"].to_numpy(zero_copy_only=False)
+    vals = {(int(a), int(b)): int(c) for a, b, c in zip(ix, iy, v)}
+    wkbs = []
+
+    def seg(x0, y0, x1, y1):
+        wkbs.append(
+            to_wkb(
+                Geom(
+                    LINESTRING,
+                    np.array(
+                        [
+                            [ox + x0 * cell, oy + y0 * cell],
+                            [ox + x1 * cell, oy + y1 * cell],
+                        ],
+                        dtype=np.float64,
+                    ),
+                )
+            )
+        )
+
+    for a, b, val, gh in zip(ix, iy, v, ghost):
+        if gh:
+            continue
+        a, b, val = int(a), int(b), int(val)
+        e = vals.get((a + 1, b))
+        if e is None or e != val:
+            seg(a + 1, b, a + 1, b + 1)
+        n = vals.get((a, b + 1))
+        if n is None or n != val:
+            seg(a, b + 1, a + 1, b + 1)
+        if (a - 1, b) not in vals:
+            seg(a, b, a, b + 1)
+        if (a, b - 1) not in vals:
+            seg(a, b, a + 1, b)
+    return pa.table({"wkb": pa.array(wkbs, type=pa.binary())})
+
+
+def vectorize(
+    ds,
+    *,
+    cell: float = 1.0,
+    origin=(0.0, 0.0),
+    tile: int = 64,
+    num_partitions: int = 16,
+):
+    """Dataset of (ix, iy, value) cells -> Dataset of (face_wkb, value):
+    one polygon (holes included) per 4-connected equal-value region.
+    Regions of equal value touching only at a corner stay separate, as
+    do equal-value regions separated by other values."""
+    import ray.data  # noqa: F401
+
+    ox, oy = float(origin[0]), float(origin[1])
+
+    edges = (
+        ds.map_batches(lambda b: _route_tiles(b, tile), batch_format="pyarrow")
+        .groupby("tcell")
+        .map_groups(
+            lambda g: _extract_edges(g, cell=cell, ox=ox, oy=oy),
+            batch_format="pyarrow",
+        )
+    )
+    faces = distributed_polygonize(
+        edges,
+        wkb_col="wkb",
+        cell=float(tile) * cell,
+        origin=origin,
+        num_partitions=num_partitions,
+    )
+
+    # value assignment: route each face through its interior cell's key
+    # and co-group with the cells (kind 0 = cell value, kind 1 = face)
+    def face_key(b: pa.Table) -> pa.Table:
+        cells_, kinds, vals_, wkbs = [], [], [], []
+        for w in b["face_wkb"].to_pylist():
+            f = from_wkb(w)
+            ip = alg.interior_point(f)
+            cxx = int(np.floor((float(ip.data[0]) - ox) / cell))
+            cyy = int(np.floor((float(ip.data[1]) - oy) / cell))
+            cells_.append(int(_pack_cell(np.int64(cxx), np.int64(cyy))))
+            kinds.append(1)
+            vals_.append(0)
+            wkbs.append(w)
+        return pa.table(
+            {
+                "cell": pa.array(cells_, type=pa.int64()),
+                "kind": pa.array(kinds, type=pa.int8()),
+                "value": pa.array(vals_, type=pa.int64()),
+                "face_wkb": pa.array(wkbs, type=pa.binary()),
+            }
+        )
+
+    def cell_key(b: pa.Table) -> pa.Table:
+        n = len(b)
+        k = _pack_cell(
+            b["ix"].to_numpy(zero_copy_only=False),
+            b["iy"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "cell": pa.array(k, type=pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "value": b["value"],
+                "face_wkb": pa.array([b""] * n, type=pa.binary()),
+            }
+        )
+
+    def attach(g: pa.Table) -> pa.Table:
+        kinds = g["kind"].to_numpy(zero_copy_only=False)
+        vals = g["value"].to_numpy(zero_copy_only=False)
+        cell_rows = np.nonzero(kinds == 0)[0]
+        face_rows = np.nonzero(kinds == 1)[0]
+        if len(cell_rows) == 0 or len(face_rows) == 0:
+            # face over no-data (a hole face) or a cell interior to a
+            # region (no face routed here): nothing to emit
+            return pa.schema(
+                [("face_wkb", pa.binary()), ("value", pa.int64())]
+            ).empty_table()
+        val = int(vals[cell_rows[0]])
+        wk = g["face_wkb"].to_pylist()
+        return pa.table(
+            {
+                "face_wkb": pa.array([wk[i] for i in face_rows], type=pa.binary()),
+                "value": pa.array([val] * len(face_rows), type=pa.int64()),
+            }
+        )
+
+    tagged = faces.map_batches(face_key, batch_format="pyarrow").union(
+        ds.map_batches(cell_key, batch_format="pyarrow")
+    )
+    return tagged.groupby("cell").map_groups(attach, batch_format="pyarrow")
