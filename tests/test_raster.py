@@ -116,3 +116,32 @@ def test_vectorize_negative_coords(ray_session):
     assert round(alg.area(g)) == 20
     env = alg.envelope(g)
     assert tuple(round(x) for x in env) == (-3, -2, 2, 2)
+
+
+def test_random_grid_roundtrip_exact(ray_session):
+    """Adversarial property: vectorize a random labeled grid (gaps,
+    diagonal contacts, nested islands all arise at random), then
+    rasterize the region polygons back — the exact original cell set
+    must reappear, value for value."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(77)
+    for trial in range(3):
+        # ~60% fill with 3 labels over a 12x12 window (negative-offset)
+        lab = rng.integers(0, 5, size=(12, 12))
+        rows = [
+            (ix - 4, iy - 6, int(lab[iy, ix]))
+            for iy in range(12)
+            for ix in range(12)
+            if lab[iy, ix] < 3
+        ]
+        src = cells_ds(rows)
+        regions = vectorize(src, tile=3, num_partitions=3)
+        back = rasterize(
+            regions.map_batches(
+                lambda b: pa.table({"wkb": b["face_wkb"], "value": b["value"]}),
+                batch_format="pyarrow",
+            )
+        ).to_pandas()
+        got = {(r.ix, r.iy, r.value) for r in back.itertuples()}
+        assert got == set(rows), f"trial {trial}: {len(got)} vs {len(rows)} cells"
