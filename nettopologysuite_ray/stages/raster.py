@@ -327,7 +327,9 @@ def vectorize(
             return pa.schema(
                 [("face_wkb", pa.binary()), ("value", pa.int64())]
             ).empty_table()
-        val = int(vals[cell_rows[0]])
+        # duplicate cell rows (pre-resolve inputs) settle to max(value),
+        # matching rasterize's overlap rule — deterministic at any order
+        val = int(vals[cell_rows].max())
         wk = g["face_wkb"].to_pylist()
         return pa.table(
             {
