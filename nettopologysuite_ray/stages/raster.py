@@ -125,22 +125,24 @@ def rasterize(
     if not resolve:
         return burned
 
+    # co-locate by 64x64-cell bucket (NOT per cell: per-cell groups would
+    # mean one Python group call per raster cell) and run the arrow
+    # groupby-max vectorized over each whole bucket
     def key(b: pa.Table) -> pa.Table:
         if len(b) == 0:
-            return b.append_column("cell", pa.array([], type=pa.int64()))
+            return b.append_column("bucket", pa.array([], type=pa.int64()))
         k = _pack_cell(
-            b["ix"].to_numpy(zero_copy_only=False),
-            b["iy"].to_numpy(zero_copy_only=False),
+            b["ix"].to_numpy(zero_copy_only=False) >> 6,
+            b["iy"].to_numpy(zero_copy_only=False) >> 6,
         )
-        return b.append_column("cell", pa.array(k, type=pa.int64()))
+        return b.append_column("bucket", pa.array(k, type=pa.int64()))
 
     def final_max(g: pa.Table) -> pa.Table:
-        out = _partial_max(g.select(["ix", "iy", "value"]))
-        return out
+        return _partial_max(g.select(["ix", "iy", "value"]))
 
     return (
         burned.map_batches(key, batch_format="pyarrow")
-        .groupby("cell")
+        .groupby("bucket")
         .map_groups(final_max, batch_format="pyarrow")
     )
 
@@ -279,22 +281,28 @@ def vectorize(
         num_partitions=num_partitions,
     )
 
-    # value assignment: route each face through its interior cell's key
-    # and co-group with the cells (kind 0 = cell value, kind 1 = face)
+    # value assignment: route each face through its interior cell, co-
+    # grouped with the cells by 64x64-cell BUCKET (per-cell groups would
+    # cost one Python group call per raster cell); within a bucket the
+    # lookup is one dict pass (kind 0 = cell value, kind 1 = face)
     def face_key(b: pa.Table) -> pa.Table:
-        cells_, kinds, vals_, wkbs = [], [], [], []
+        bks, ixs, iys, kinds, vals_, wkbs = [], [], [], [], [], []
         for w in b["face_wkb"].to_pylist():
             f = from_wkb(w)
             ip = alg.interior_point(f)
             cxx = int(np.floor((float(ip.data[0]) - ox) / cell))
             cyy = int(np.floor((float(ip.data[1]) - oy) / cell))
-            cells_.append(int(_pack_cell(np.int64(cxx), np.int64(cyy))))
+            bks.append(int(_pack_cell(np.int64(cxx >> 6), np.int64(cyy >> 6))))
+            ixs.append(cxx)
+            iys.append(cyy)
             kinds.append(1)
             vals_.append(0)
             wkbs.append(w)
         return pa.table(
             {
-                "cell": pa.array(cells_, type=pa.int64()),
+                "bucket": pa.array(bks, type=pa.int64()),
+                "ix": pa.array(ixs, type=pa.int64()),
+                "iy": pa.array(iys, type=pa.int64()),
                 "kind": pa.array(kinds, type=pa.int8()),
                 "value": pa.array(vals_, type=pa.int64()),
                 "face_wkb": pa.array(wkbs, type=pa.binary()),
@@ -303,42 +311,53 @@ def vectorize(
 
     def cell_key(b: pa.Table) -> pa.Table:
         n = len(b)
-        k = _pack_cell(
-            b["ix"].to_numpy(zero_copy_only=False),
-            b["iy"].to_numpy(zero_copy_only=False),
-        )
+        ix = b["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = b["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = _pack_cell(ix >> 6, iy >> 6)
         return pa.table(
             {
-                "cell": pa.array(k, type=pa.int64()),
+                "bucket": pa.array(k, type=pa.int64()),
+                "ix": pa.array(ix),
+                "iy": pa.array(iy),
                 "kind": pa.array(np.zeros(n, dtype=np.int8)),
-                "value": b["value"],
+                "value": b["value"].cast(pa.int64()),
                 "face_wkb": pa.array([b""] * n, type=pa.binary()),
             }
         )
 
     def attach(g: pa.Table) -> pa.Table:
         kinds = g["kind"].to_numpy(zero_copy_only=False)
-        vals = g["value"].to_numpy(zero_copy_only=False)
-        cell_rows = np.nonzero(kinds == 0)[0]
         face_rows = np.nonzero(kinds == 1)[0]
-        if len(cell_rows) == 0 or len(face_rows) == 0:
-            # face over no-data (a hole face) or a cell interior to a
-            # region (no face routed here): nothing to emit
+        if len(face_rows) == 0:
             return pa.schema(
                 [("face_wkb", pa.binary()), ("value", pa.int64())]
             ).empty_table()
-        # duplicate cell rows (pre-resolve inputs) settle to max(value),
-        # matching rasterize's overlap rule — deterministic at any order
-        val = int(vals[cell_rows].max())
+        ix = g["ix"].to_numpy(zero_copy_only=False)
+        iy = g["iy"].to_numpy(zero_copy_only=False)
+        vals = g["value"].to_numpy(zero_copy_only=False)
+        lut: dict = {}
+        for r in np.nonzero(kinds == 0)[0]:
+            key = (int(ix[r]), int(iy[r]))
+            v = int(vals[r])
+            # duplicate cell rows (pre-resolve inputs) settle to
+            # max(value), matching rasterize's overlap rule
+            if key not in lut or v > lut[key]:
+                lut[key] = v
         wk = g["face_wkb"].to_pylist()
+        out_w, out_v = [], []
+        for r in face_rows:
+            v = lut.get((int(ix[r]), int(iy[r])))
+            if v is not None:  # faces over no-data (hole faces) drop out
+                out_w.append(wk[r])
+                out_v.append(v)
         return pa.table(
             {
-                "face_wkb": pa.array([wk[i] for i in face_rows], type=pa.binary()),
-                "value": pa.array([val] * len(face_rows), type=pa.int64()),
+                "face_wkb": pa.array(out_w, type=pa.binary()),
+                "value": pa.array(out_v, type=pa.int64()),
             }
         )
 
     tagged = faces.map_batches(face_key, batch_format="pyarrow").union(
         ds.map_batches(cell_key, batch_format="pyarrow")
     )
-    return tagged.groupby("cell").map_groups(attach, batch_format="pyarrow")
+    return tagged.groupby("bucket").map_groups(attach, batch_format="pyarrow")
