@@ -595,3 +595,132 @@ class Vector3D:
 
     def __repr__(self) -> str:
         return f"[{self.x}, {self.y}, {self.z}]"
+
+
+# ---------------------------------------------------------------------------
+# affine transformation toolbox
+# (reference: Geometries/Utilities/AffineTransformation.cs — matrices are
+#  6-tuples (m00, m01, m02, m10, m11, m12), the exact parameter order of
+#  stages/geometry.py affine_stage: x' = m00 x + m01 y + m02, etc.)
+
+AFFINE_IDENTITY = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+
+
+def affine_compose(after, first):
+    """after . first (apply ``first``, then ``after``) — the reference's
+    AffineTransformation.Compose (AffineTransformation.cs:905)."""
+    a2, b2, c2, d2, e2, f2 = after
+    a1, b1, c1, d1, e1, f1 = first
+    return (
+        a2 * a1 + b2 * d1,
+        a2 * b1 + b2 * e1,
+        a2 * c1 + b2 * f1 + c2,
+        d2 * a1 + e2 * d1,
+        d2 * b1 + e2 * e1,
+        d2 * c1 + e2 * f1 + f2,
+    )
+
+
+def affine_apply(m, x: float, y: float):
+    a, b, c, d, e, f = m
+    return (a * x + b * y + c, d * x + e * y + f)
+
+
+def affine_translation(dx: float, dy: float):
+    return (1.0, 0.0, float(dx), 0.0, 1.0, float(dy))
+
+
+def affine_rotation(theta: float, x: float = 0.0, y: float = 0.0):
+    """CCW rotation by theta about (x, y) (RotationInstance)."""
+    s, c = math.sin(theta), math.cos(theta)
+    return (c, -s, x - x * c + y * s, s, c, y - x * s - y * c)
+
+
+def affine_scaling(sx: float, sy: float):
+    return (float(sx), 0.0, 0.0, 0.0, float(sy), 0.0)
+
+
+def affine_shear(sx: float, sy: float):
+    return (1.0, float(sx), 0.0, float(sy), 1.0, 0.0)
+
+
+def affine_reflection(x0: float, y0: float, x1: float = None, y1: float = None):
+    """Reflection about the line (x0,y0)-(x1,y1), or (0,0)-(x0,y0) when
+    only one point is given (SetToReflection)."""
+    if x1 is None:
+        x0, y0, x1, y1 = 0.0, 0.0, x0, y0
+    dx, dy = x1 - x0, y1 - y0
+    ln = math.hypot(dx, dy)
+    if ln == 0.0:
+        raise ValueError("reflection line has zero length")
+    s, c = dy / ln, dx / ln
+    # translate to origin, rotate line to x-axis, flip y, rotate/translate back
+    m = affine_compose(affine_rotation(0.0), affine_translation(-x0, -y0))
+    m = affine_compose((c, s, 0.0, -s, c, 0.0), m)
+    m = affine_compose(affine_scaling(1.0, -1.0), m)
+    m = affine_compose((c, -s, 0.0, s, c, 0.0), m)
+    return affine_compose(affine_translation(x0, y0), m)
+
+
+def affine_from_control_vectors(src, dest):
+    """Affine matrix mapping 1-3 source control points onto their images
+    (reference: AffineTransformationFactory.cs:25-114,
+    AffineTransformationBuilder.cs:46).  Three vectors solve the full
+    affine (None when the source points are collinear); two vectors give
+    rotation + uniform scale + translation (None for a zero-length
+    source baseline); one vector gives a translation.
+
+    Documented deviation: the reference's two-vector rule measures the
+    rotation against the raw dest delta as an absolute point
+    (AffineTransformationFactory.cs:51), which only maps src1 onto dest1
+    when src0 is the origin; here the delta is re-anchored at src0 (as
+    the reference's own CreateFromBaseLines does at line 135) so both
+    control points map exactly for any src0."""
+    import numpy as np
+
+    if len(src) != len(dest):
+        raise ValueError("src and dest must have the same length")
+    if not 1 <= len(src) <= 3:
+        raise ValueError("between 1 and 3 control vectors required")
+    if len(src) == 1:
+        return affine_translation(dest[0][0] - src[0][0], dest[0][1] - src[0][1])
+    if len(src) == 2:
+        (s0, s1), (d0, d1) = src, dest
+        src_dist = math.hypot(s1[0] - s0[0], s1[1] - s0[1])
+        if src_dist == 0.0:
+            return None
+        rot_pt = (s0[0] + d1[0] - d0[0], s0[1] + d1[1] - d0[1])
+        ang = angle_between_oriented(s1, s0, rot_pt)
+        scale = math.hypot(d1[0] - d0[0], d1[1] - d0[1]) / src_dist
+        m = affine_translation(-s0[0], -s0[1])
+        m = affine_compose(affine_rotation(ang), m)
+        m = affine_compose(affine_scaling(scale, scale), m)
+        return affine_compose(affine_translation(d0[0], d0[1]), m)
+    # three vectors: solve the two 3x3 systems (builder Compute/Solve)
+    A = np.array([[p[0], p[1], 1.0] for p in src], dtype=np.float64)
+    if np.linalg.det(A) == 0.0:
+        return None
+    bx = np.array([p[0] for p in dest], dtype=np.float64)
+    by = np.array([p[1] for p in dest], dtype=np.float64)
+    try:
+        row0 = np.linalg.solve(A, bx)
+        row1 = np.linalg.solve(A, by)
+    except np.linalg.LinAlgError:
+        return None
+    return (row0[0], row0[1], row0[2], row1[0], row1[1], row1[2])
+
+
+def affine_from_baselines(src0, src1, dest0, dest1):
+    """Baseline-to-baseline transform: translate src0->dest0, rotate
+    through the baseline angle, scale by the length ratio; identity for
+    a zero-length source baseline (AffineTransformationFactory.cs:131)."""
+    src_dist = math.hypot(src1[0] - src0[0], src1[1] - src0[1])
+    if src_dist == 0.0:
+        return AFFINE_IDENTITY
+    rot_pt = (src0[0] + dest1[0] - dest0[0], src0[1] + dest1[1] - dest0[1])
+    ang = angle_between_oriented(src1, src0, rot_pt)
+    scale = math.hypot(dest1[0] - dest0[0], dest1[1] - dest0[1]) / src_dist
+    m = affine_translation(-src0[0], -src0[1])
+    m = affine_compose(affine_rotation(ang), m)
+    m = affine_compose(affine_scaling(scale, scale), m)
+    return affine_compose(affine_translation(dest0[0], dest0[1]), m)

@@ -273,3 +273,105 @@ def test_vector3d_ops():
     assert Vector3D.from_points((1, 1, 1), (2, 3, 4)) == Vector3D(1, 2, 3)
     assert Vector3D.dot4((0, 0, 0), (1, 0, 0), (0, 0, 0), (0, 1, 0)) == 0
     assert Vector3D.dot4((0, 0, 0), (1, 2, 3), (0, 0, 0), (4, 5, 6)) == 32
+
+
+# ---------------------------------------------------------------------------
+# affine toolbox — ports of the reference's
+# Geometries/Utility/AffineTransformationBuilderTest.cs
+
+
+def _run_ctl3(src, dest):
+    from nettopologysuite_ray.geom.mathutil import (
+        affine_apply,
+        affine_from_control_vectors,
+    )
+
+    m = affine_from_control_vectors(src, dest)
+    assert m is not None
+    for s, d in zip(src, dest):
+        got = affine_apply(m, *s)
+        assert abs(got[0] - d[0]) < 5e-5 and abs(got[1] - d[1]) < 5e-5, (s, d, got)
+
+
+def test_affine_builder_rotate_scale_translate_linear():
+    _run_ctl3([(0, 0), (1, 0), (0, 1)], [(0, 0), (0, 1), (-1, 0)])  # rotate1
+    _run_ctl3([(0, 0), (1, 0), (0, 1)], [(0, 0), (0, -1), (1, 0)])  # rotate2
+    _run_ctl3([(0, 0), (1, 0), (0, 1)], [(0, 0), (2, 0), (0, 2)])   # scale1
+    _run_ctl3([(0, 0), (1, 0), (0, 1)], [(5, 6), (6, 6), (5, 7)])   # translate1
+    _run_ctl3([(0, 0), (1, 0), (0, 1)], [(0, 0), (0, 0), (5, 7)])   # linear1
+
+
+def test_affine_builder_singular():
+    from nettopologysuite_ray.geom.mathutil import affine_from_control_vectors
+
+    assert affine_from_control_vectors(
+        [(0, 0), (1, 1), (2, 2)], [(0, 0), (10, 10), (30, 30)]) is None
+    assert affine_from_control_vectors(
+        [(0, 0), (1, 1), (2, 2)], [(0, 0), (10, 10), (20, 20)]) is None
+    assert affine_from_control_vectors(
+        [(0, 0), (1, 1), (2, 2)], [(0, 0), (1, 2), (1, 3)]) is None
+
+
+def test_affine_factory_one_and_two_vectors():
+    from nettopologysuite_ray.geom.mathutil import (
+        affine_apply,
+        affine_from_control_vectors,
+    )
+
+    m = affine_from_control_vectors([(0, 0)], [(5, 6)])
+    assert affine_apply(m, 0, 0) == (5.0, 6.0)
+    for src, dest in (
+        ([(0, 0), (1, 1)], [(5, 5), (6, 6)]),   # dual translation
+        ([(0, 0), (1, 1)], [(5, 5), (6, 9)]),   # dual general
+        ([(3, 2), (5, 2)], [(10, 0), (10, 4)]),  # src0 off-origin (deviation case)
+    ):
+        m = affine_from_control_vectors(src, dest)
+        for s, d in zip(src, dest):
+            got = affine_apply(m, *s)
+            assert abs(got[0] - d[0]) < 5e-5 and abs(got[1] - d[1]) < 5e-5
+
+    # zero-length source baseline is undefined
+    assert affine_from_control_vectors([(1, 1), (1, 1)], [(0, 0), (2, 2)]) is None
+
+
+def test_affine_builder_recovers_composites():
+    from nettopologysuite_ray.geom.mathutil import (
+        affine_compose,
+        affine_reflection,
+        affine_rotation,
+        affine_scaling,
+        affine_shear,
+        affine_translation,
+    )
+
+    ctl = [(-10, -10), (10, 20), (10, -20)]
+    # transform1: rotate(1) then translate(10,10) then scale(2,2)
+    m1 = affine_rotation(1.0)
+    m1 = affine_compose(affine_translation(10, 10), m1)
+    m1 = affine_compose(affine_scaling(2, 2), m1)
+    # transform2: rotate(3), translate(10,10), scale(2,10), shear(5,2),
+    # reflect about (5,8)-(10,2)
+    m2 = affine_rotation(3.0)
+    m2 = affine_compose(affine_translation(10, 10), m2)
+    m2 = affine_compose(affine_scaling(2, 10), m2)
+    m2 = affine_compose(affine_shear(5, 2), m2)
+    m2 = affine_compose(affine_reflection(5, 8, 10, 2), m2)
+    from nettopologysuite_ray.geom.mathutil import affine_apply
+
+    for m in (m1, m2):
+        dest = [affine_apply(m, *p) for p in ctl]
+        _run_ctl3(ctl, dest)
+
+
+def test_affine_from_baselines():
+    from nettopologysuite_ray.geom.mathutil import (
+        AFFINE_IDENTITY,
+        affine_apply,
+        affine_from_baselines,
+    )
+
+    m = affine_from_baselines((0, 0), (2, 0), (1, 1), (1, 5))
+    # src0 -> dest0; src1 -> dest1 (rotation + scale 2)
+    assert all(abs(a - b) < 1e-12 for a, b in zip(affine_apply(m, 0, 0), (1, 1)))
+    assert all(abs(a - b) < 1e-9 for a, b in zip(affine_apply(m, 2, 0), (1, 5)))
+    assert affine_from_baselines((3, 3), (3, 3), (0, 0), (1, 1)) == AFFINE_IDENTITY
