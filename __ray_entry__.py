@@ -609,7 +609,7 @@ def _q_event_sketch_stats(sf_dir: str):
     )
 
 
-def _q_raster_roundtrip(sf_dir: str):
+def _q_raster_roundtrip(sf_dir: str, rep: int = 1):
     """Raster <-> vector round trip (stages/raster.py — the north-star
     rule's raster<->vector tiling): per document one deterministic shape
     (solid square / donut / right triangle by doc_id % 3, side
@@ -617,7 +617,11 @@ def _q_raster_roundtrip(sf_dir: str):
     is center-sample rasterized at cell=1 (strict-interior rule), then
     vectorized back into region polygons with tile=4 halo extraction and
     cross-tile stitching; the per-region inventory (hole count, integer
-    area, bbox) is a closed form the SQL oracle replays."""
+    area, bbox) is a closed form the SQL oracle replays.
+
+    ``rep`` (scaling studies only; the gate uses 1) replicates each
+    document's shape at rep disjoint vertical bands so the job can be
+    grown until compute dominates fixed stitch/scheduling overhead."""
     import numpy as np
     import pyarrow as pa
 
@@ -634,26 +638,33 @@ def _q_raster_roundtrip(sf_dir: str):
             dtype=np.float64,
         )
 
+    band = 1 << 22  # vertical stride per replica band (cell indices)
+
     def build(batch: pa.Table) -> pa.Table:
-        wkbs = []
+        wkbs, vals = [], []
         for d in batch["doc_id"].to_pylist():
             s = 6 + (d % 5) * 2
-            x0, y0 = (d % 64) * 32, (d // 64) * 32
             k = d % 3
-            if k == 0:
-                rings = [_sq(x0, y0, s)]
-            elif k == 1:
-                rings = [_sq(x0, y0, s), _sq(x0 + 2, y0 + 2, s - 4)]
-            else:
-                rings = [
-                    np.array(
-                        [(x0, y0), (x0 + s, y0), (x0, y0 + s), (x0, y0)],
-                        dtype=np.float64,
-                    )
-                ]
-            wkbs.append(to_wkb(Geom(POLYGON, rings)))
+            for r in range(rep):
+                x0, y0 = (d % 64) * 32, (d // 64) * 32 + r * band
+                if k == 0:
+                    rings = [_sq(x0, y0, s)]
+                elif k == 1:
+                    rings = [_sq(x0, y0, s), _sq(x0 + 2, y0 + 2, s - 4)]
+                else:
+                    rings = [
+                        np.array(
+                            [(x0, y0), (x0 + s, y0), (x0, y0 + s), (x0, y0)],
+                            dtype=np.float64,
+                        )
+                    ]
+                wkbs.append(to_wkb(Geom(POLYGON, rings)))
+                vals.append(d)
         return pa.table(
-            {"wkb": pa.array(wkbs, type=pa.binary()), "value": batch["doc_id"]}
+            {
+                "wkb": pa.array(wkbs, type=pa.binary()),
+                "value": pa.array(vals, type=pa.int64()),
+            }
         )
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])

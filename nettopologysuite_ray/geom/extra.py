@@ -312,8 +312,8 @@ class LengthIndexedLine:
 # ---------------------------------------------------------------------------
 # geometry fixer (make-valid)
 # (reference: Geometries/Utilities/GeometryFixer.cs:46 — semantic rules
-#  re-implemented on this engine's numpy ring model; per-ring repair is
-#  even-odd face parity, the exact semantics of the reference's
+#  re-implemented on this engine's numpy ring model; per-ring repair keeps
+#  nonzero-winding faces, the exact semantics of the reference's
 #  BufferOp.BufferByZero(poly, bothOrientations) at GeometryFixer.cs:413.)
 
 

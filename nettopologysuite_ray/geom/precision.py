@@ -117,3 +117,135 @@ def _reduce(g: Geom, grid: float, remove_collapsed: bool, pointwise: bool) -> Ge
             return polys[0]
         return Geom(MULTIPOLYGON, [p.data for p in polys])
     raise ValueError(t)
+
+
+# ---------------------------------------------------------------------------
+# common-bits precision enhancement
+# (reference: Precision/CommonBits.cs, CommonBitsRemover.cs:16,
+#  CommonBitsOp.cs:18, EnhancedPrecisionOp.cs:14 — translate operands to a
+#  common-bits origin, run the overlay, translate back)
+
+import struct as _struct
+
+
+def _d2bits(x: float) -> int:
+    return _struct.unpack(">q", _struct.pack(">d", x))[0]
+
+
+def _bits2d(b: int) -> float:
+    return _struct.unpack(">d", _struct.pack(">q", b & 0xFFFFFFFFFFFFFFFF))[0]
+
+
+class CommonBits:
+    """Maximum common most-significant bit prefix of a stream of doubles
+    (Precision/CommonBits.cs); ``common`` is the double those shared bits
+    represent (0.0 when sign/exponent differ)."""
+
+    def __init__(self) -> None:
+        self._first = True
+        self._bits = 0
+
+    def add(self, num: float) -> None:
+        nb = _d2bits(num)
+        if self._first:
+            self._bits = nb
+            self._first = False
+            return
+        if (nb >> 52) != (self._bits >> 52):
+            self._bits = 0
+            return
+        count = 0
+        for i in range(52, -1, -1):
+            if ((nb >> i) & 1) != ((self._bits >> i) & 1):
+                break
+            count += 1
+        count = min(count, 52)  # the hidden bit is not counted (ref cap)
+        n_zero = 64 - (12 + count)
+        self._bits &= ~((1 << n_zero) - 1)
+
+    @property
+    def common(self) -> float:
+        return _bits2d(self._bits)
+
+
+class CommonBitsRemover:
+    """Computes the common coordinate offset of added geometries and
+    translates geometries by it and back (CommonBitsRemover.cs:16)."""
+
+    def __init__(self) -> None:
+        self._cx = CommonBits()
+        self._cy = CommonBits()
+
+    def add(self, g: Geom) -> None:
+        for x, y in g.all_coords():
+            self._cx.add(float(x))
+            self._cy.add(float(y))
+
+    @property
+    def common_coordinate(self) -> tuple[float, float]:
+        return (self._cx.common, self._cy.common)
+
+    def _translate(self, g: Geom, dx: float, dy: float) -> Geom:
+        def tx(arr):
+            a = np.asarray(arr, dtype=np.float64).reshape(-1, 2).copy()
+            a[:, 0] += dx
+            a[:, 1] += dy
+            return a
+
+        t = g.gtype
+        if g.is_empty:
+            return g
+        if t == POINT:
+            return Geom(t, tx(g.data)[0], tag=g.tag, extra=g.extra)
+        if t == LINESTRING:
+            return Geom(t, tx(g.data), tag=g.tag, extra=g.extra)
+        if t == POLYGON:
+            return Geom(t, [tx(r) for r in g.data], tag=g.tag, extra=g.extra)
+        if t == MULTIPOINT:
+            return Geom(t, [tx(p)[0] for p in g.data], tag=g.tag, extra=g.extra)
+        if t == MULTILINESTRING:
+            return Geom(t, [tx(ls) for ls in g.data], tag=g.tag, extra=g.extra)
+        if t == MULTIPOLYGON:
+            return Geom(
+                t, [[tx(r) for r in rings] for rings in g.data], tag=g.tag, extra=g.extra
+            )
+        return Geom(t, [self._translate(c, dx, dy) for c in g.data], tag=g.tag)
+
+    def remove_common_bits(self, g: Geom) -> Geom:
+        cx, cy = self.common_coordinate
+        if cx == 0.0 and cy == 0.0:
+            return g
+        return self._translate(g, -cx, -cy)
+
+    def add_common_bits(self, g: Geom) -> Geom:
+        cx, cy = self.common_coordinate
+        if cx == 0.0 and cy == 0.0:
+            return g
+        return self._translate(g, cx, cy)
+
+
+def common_bits_op(a: Geom, b: Geom, op: str, return_to_original: bool = True) -> Geom:
+    """Overlay computed in common-bits-removed coordinates
+    (CommonBitsOp.cs:18): both operands are translated so their shared
+    high mantissa bits cancel, the op runs near the origin, and the
+    result is translated back (unless return_to_original=False)."""
+    from .overlay import overlay
+
+    rem = CommonBitsRemover()
+    rem.add(a)
+    rem.add(b)
+    ra = rem.remove_common_bits(a)
+    rb = rem.remove_common_bits(b)
+    res = overlay(ra, rb, op)
+    return rem.add_common_bits(res) if return_to_original else res
+
+
+def enhanced_precision_op(a: Geom, b: Geom, op: str) -> Geom:
+    """EnhancedPrecisionOp.cs:14: try the plain overlay; on failure retry
+    with common-bits removal."""
+    from .overlay import overlay
+
+    try:
+        return overlay(a, b, op)
+    except Exception:  # noqa: BLE001 - the reference catches all and retries
+        return common_bits_op(a, b, op)

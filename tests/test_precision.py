@@ -83,3 +83,58 @@ def test_reduce_precision_pointwise_and_keep_collapsed():
     assert to_wkt(pw) == "LINESTRING (1 1, 3 3, 9 9, 5 5, 2 2)"
     sq = reduce_precision(from_wkt("POLYGON (( 0 0, 0 1.4, 1.4 1.4, 1.4 0, 0 0 ))"), 1, pointwise=True)
     assert to_wkt(sq) == "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"
+
+
+# ---------------------------------------------------------------------------
+# common-bits ops (reference: Precision/CommonBitsOpTest.cs + semantics)
+
+
+def test_common_bits_op_matches_direct_intersection():
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.overlay import overlay
+    from nettopologysuite_ray.geom.precision import common_bits_op
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    g0 = from_wkt("POLYGON ((210 210, 210 220, 220 220, 220 210, 210 210))")
+    g1 = from_wkt("POLYGON ((225 225, 225 215, 215 215, 215 225, 225 225))")
+    res = common_bits_op(g0, g1, "intersection")
+    exp = overlay(g0, g1, "intersection")
+    assert alg.equals_exact(alg.normalize(res), alg.normalize(exp))
+
+
+def test_common_bits_remover_roundtrip_far_from_origin():
+    from nettopologysuite_ray.geom.precision import CommonBitsRemover
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    g = from_wkt(
+        "POLYGON ((10000010 10000010, 10000020 10000010, "
+        "10000020 10000020, 10000010 10000020, 10000010 10000010))"
+    )
+    rem = CommonBitsRemover()
+    rem.add(g)
+    cx, cy = rem.common_coordinate
+    assert cx != 0.0 and cy != 0.0  # a large shared offset was detected
+    small = rem.remove_common_bits(g)
+    assert abs(small.all_coords()).max() < 1e7 / 2
+    back = rem.add_common_bits(small)
+    import numpy as np
+
+    assert np.array_equal(back.all_coords(), g.all_coords())
+
+
+def test_enhanced_precision_op_large_offset():
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.precision import common_bits_op, enhanced_precision_op
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    a = from_wkt(
+        "POLYGON ((10000000 10000000, 10000004 10000000, "
+        "10000004 10000004, 10000000 10000004, 10000000 10000000))"
+    )
+    b = from_wkt(
+        "POLYGON ((10000002 10000002, 10000006 10000002, "
+        "10000006 10000006, 10000002 10000006, 10000002 10000002))"
+    )
+    for fn in (common_bits_op, enhanced_precision_op):
+        res = fn(a, b, "intersection")
+        assert abs(alg.area(res) - 4.0) < 1e-6
