@@ -669,7 +669,7 @@ def _q_raster_roundtrip(sf_dir: str, rep: int = 1):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     cells = rasterize(docs.map_batches(build, batch_format="pyarrow"), cell=1.0)
-    regions = vectorize(cells, cell=1.0, tile=4, num_partitions=8)
+    regions = vectorize(cells, cell=1.0, tile=4)  # num_partitions: auto (CPU count)
 
     def inventory(batch: pa.Table) -> pa.Table:
         vals, kinds, holes, areas, env = [], [], [], [], []

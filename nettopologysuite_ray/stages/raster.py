@@ -256,7 +256,7 @@ def vectorize(
     cell: float = 1.0,
     origin=(0.0, 0.0),
     tile: int = 64,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     polygonize_cell: float | None = None,
 ):
     """Dataset of (ix, iy, value) cells -> Dataset of (face_wkb, value):
@@ -268,9 +268,16 @@ def vectorize(
     independent of the halo ``tile``; the default (8 x tile x cell) lets
     typical region rings complete in the local walk instead of
     escalating the whole workload through the stitch hierarchy (measured
-    2.3x on the sf0.1 round trip vs grouping at tile size)."""
+    2.3x on the sf0.1 round trip vs grouping at tile size).
+
+    ``num_partitions`` bounds the stitcher's per-level exchanges; the
+    default sizes it to the cluster CPU count so the stitch phases are
+    not parallelism-capped below the rest of the pipeline."""
+    import ray
     import ray.data  # noqa: F401
 
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 16)))
     ox, oy = float(origin[0]), float(origin[1])
 
     edges = (
