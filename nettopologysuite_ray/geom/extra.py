@@ -664,7 +664,8 @@ def fix_geometry(g: Geom, keep_collapsed: bool = False, keep_multi: bool = True)
     """Repair a geometry to validity while preserving as much shape and
     vertex data as possible (GeometryFixer.cs:46-75 semantic rules):
     non-finite ordinates and repeated points are removed, self-crossing
-    rings are re-noded into faces by even-odd parity, holes intersecting
+    rings are re-noded into faces keeping nonzero winding (BufferByZero
+    both-orientations semantics — +/- overlaps cancel), holes intersecting
     the shell are subtracted, holes outside the shell become shells, and
     collapses become EMPTY (or lower-dimension parts with
     ``keep_collapsed``).  ``keep_multi`` keeps single-item MULTI results

@@ -523,8 +523,8 @@ def _check_and_retry_overlay(a: Geom, b: Geom, op: str, res: Geom, merge_line_ou
     # raw rings can satisfy the inclusion-exclusion system, so the snap
     # ladder can never accept a candidate.  Repair the operands the way
     # the reference repairs invalid polygonal input (GeometryFixer.cs:46,
-    # even-odd / buffer(0) semantics) and accept a mutually-consistent
-    # system over the FIXED pair.
+    # nonzero-winding / buffer(0)-both-orientations semantics) and accept
+    # a mutually-consistent system over the FIXED pair.
     from .validity import is_valid as _operand_valid
 
     va, vb = _operand_valid(a), _operand_valid(b)

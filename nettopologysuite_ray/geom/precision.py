@@ -133,7 +133,9 @@ def _d2bits(x: float) -> int:
 
 
 def _bits2d(b: int) -> float:
-    return _struct.unpack(">d", _struct.pack(">q", b & 0xFFFFFFFFFFFFFFFF))[0]
+    # mask to unsigned then pack as Q: negative bit patterns (negative
+    # doubles) masked to > 2^63-1 would overflow a signed '>q' pack
+    return _struct.unpack(">d", _struct.pack(">Q", b & 0xFFFFFFFFFFFFFFFF))[0]
 
 
 class CommonBits:

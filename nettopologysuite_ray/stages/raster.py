@@ -214,7 +214,15 @@ def _extract_edges(
     iy = g["iy"].to_numpy(zero_copy_only=False)
     v = g["value"].to_numpy(zero_copy_only=False)
     ghost = g["ghost"].to_numpy(zero_copy_only=False)
-    vals = {(int(a), int(b)): int(c) for a, b, c in zip(ix, iy, v)}
+    # duplicate (ix, iy) rows (pre-resolve inputs) settle to max(value) —
+    # the same rule as rasterize's overlap resolve and attach(); a
+    # last-write-wins dict would emit spurious edges nondeterministically
+    vals: dict = {}
+    for a, b, c in zip(ix, iy, v):
+        key = (int(a), int(b))
+        c = int(c)
+        if key not in vals or c > vals[key]:
+            vals[key] = c
     wkbs = []
 
     def seg(x0, y0, x1, y1):
@@ -233,10 +241,9 @@ def _extract_edges(
             )
         )
 
-    for a, b, val, gh in zip(ix, iy, v, ghost):
-        if gh:
-            continue
-        a, b, val = int(a), int(b), int(val)
+    own = sorted({(int(a), int(b)) for a, b, gh in zip(ix, iy, ghost) if not gh})
+    for a, b in own:
+        val = vals[(a, b)]
         e = vals.get((a + 1, b))
         if e is None or e != val:
             seg(a + 1, b, a + 1, b + 1)
@@ -279,6 +286,11 @@ def vectorize(
     if num_partitions is None:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 16)))
     ox, oy = float(origin[0]), float(origin[1])
+
+    # the cells feed TWO consumers (edge extraction and the value-attach
+    # branch); checkpoint once so a lazy upstream (e.g. a full rasterize
+    # burn + resolve shuffle) is not re-executed per branch
+    ds = ds.materialize()
 
     edges = (
         ds.map_batches(lambda b: _route_tiles(b, tile), batch_format="pyarrow")

@@ -138,3 +138,27 @@ def test_enhanced_precision_op_large_offset():
     for fn in (common_bits_op, enhanced_precision_op):
         res = fn(a, b, "intersection")
         assert abs(alg.area(res) - 4.0) < 1e-6
+
+
+def test_common_bits_negative_coordinates():
+    """Negative ordinates have the sign bit set — the packed int64 is
+    negative and must round-trip through the unsigned pack (used to
+    raise struct.error, killing enhanced_precision_op on quadrant III)."""
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.precision import CommonBitsRemover, common_bits_op
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    a = from_wkt(
+        "POLYGON ((-1000010 -2000010, -1000000 -2000010, "
+        "-1000000 -2000000, -1000010 -2000000, -1000010 -2000010))"
+    )
+    b = from_wkt(
+        "POLYGON ((-1000005 -2000005, -999995 -2000005, "
+        "-999995 -1999995, -1000005 -1999995, -1000005 -2000005))"
+    )
+    rem = CommonBitsRemover()
+    rem.add(a)
+    cx, cy = rem.common_coordinate
+    assert cx < 0 and cy < 0
+    res = common_bits_op(a, b, "intersection")
+    assert abs(alg.area(res) - 25.0) < 1e-6

@@ -145,3 +145,15 @@ def test_random_grid_roundtrip_exact(ray_session):
         ).to_pandas()
         got = {(r.ix, r.iy, r.value) for r in back.itertuples()}
         assert got == set(rows), f"trial {trial}: {len(got)} vs {len(rows)} cells"
+
+
+def test_vectorize_duplicate_cell_rows(ray_session):
+    """Pre-resolve inputs with duplicate (ix, iy) rows settle to
+    max(value) everywhere (edge extraction AND value attach): both cells
+    here are value 2, one region of area 2 — a last-write-wins dict used
+    to emit a spurious internal edge and split the region."""
+    rows = [(0, 0, 1), (0, 0, 2), (1, 0, 2)]
+    out = vectorize(cells_ds(rows), tile=2, num_partitions=2).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].value == 2
+    assert round(alg.area(from_wkb(out.iloc[0].face_wkb))) == 2

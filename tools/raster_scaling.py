@@ -50,8 +50,12 @@ def child(nc: int) -> None:
     import __ray_entry__ as e
 
     # warm the pipeline code path once at tiny scale so the timed run
-    # measures steady-state engine throughput, not imports/forks
-    e.queries()["raster_roundtrip"]("/root/testdata/sf0.001").materialize()
+    # measures steady-state engine throughput, not imports/forks (falls
+    # back to the measured dir when the tiny fixture is absent)
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    e.queries()["raster_roundtrip"](warm_dir).materialize()
     # rep grows the job (disjoint replica bands) until compute dominates
     # fixed stitch/scheduling overhead — the same methodology as
     # bench.py --scaling's GRAFT_SCALING_REP
@@ -84,6 +88,9 @@ def main() -> None:
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 timeout=1800,
             )
+            if proc.returncode != 0 or not proc.stdout.strip():
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(f"child leg nc={nc} failed (rc={proc.returncode})")
             line = proc.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             if best is None or r["sec"] < best["sec"]:
