@@ -40,14 +40,24 @@ _CELLS_SCHEMA = pa.schema(
 )
 
 
-def _partial_max(t: pa.Table) -> pa.Table:
-    """Arrow-native per-batch (ix, iy) -> max(value) combine."""
+def _partial_combine(t: pa.Table, combine: str = "max") -> pa.Table:
+    """Arrow-native per-batch (ix, iy) -> combine(value).  ``max`` is
+    the overlap-resolution rule; ``sum`` and ``count`` turn rasterize
+    into a density/heatmap grid (count burns 1 per covering polygon —
+    both are mergeable, so the same map-side partial + one groupby
+    works: count partials re-merge with sum)."""
     if len(t) == 0:
         return _CELLS_SCHEMA.empty_table()
+    agg = "sum" if combine == "count" else combine
     g = pa.TableGroupBy(t.select(["ix", "iy", "value"]), ["ix", "iy"]).aggregate(
-        [("value", "max")]
+        [("value", agg)]
     )
-    return g.rename_columns(["ix", "iy", "value"])
+    out = g.rename_columns(["ix", "iy", "value"])
+    return out.set_column(2, "value", out["value"].cast(pa.int64()))
+
+
+def _partial_max(t: pa.Table) -> pa.Table:
+    return _partial_combine(t, "max")
 
 
 def rasterize_batch(
@@ -57,12 +67,19 @@ def rasterize_batch(
     value_col: str = "value",
     cell: float = 1.0,
     origin=(0.0, 0.0),
+    combine: str = "max",
 ) -> pa.Table:
     """Burn one batch of polygons into (ix, iy, value) rows (already
-    combined to max(value) within the batch)."""
+    combined within the batch).  combine='count' burns 1 per covering
+    polygon (value_col ignored), 'sum'/'max' aggregate the value."""
     ox, oy = float(origin[0]), float(origin[1])
     oix, oiy, ov = [], [], []
-    for v, w in zip(batch[value_col].to_pylist(), batch[wkb_col].to_pylist()):
+    vals = (
+        [1] * len(batch)
+        if combine == "count"
+        else batch[value_col].to_pylist()
+    )
+    for v, w in zip(vals, batch[wkb_col].to_pylist()):
         g = from_wkb(w)
         for comp in g.flatten():
             if comp.gtype != POLYGON or comp.is_empty:
@@ -100,7 +117,8 @@ def rasterize_batch(
             "value": pa.array(np.concatenate(ov)),
         }
     )
-    return _partial_max(t)
+    # partials are mergeable: count partials re-merge via sum
+    return _partial_combine(t, "sum" if combine in ("sum", "count") else "max")
 
 
 def rasterize(
@@ -111,15 +129,21 @@ def rasterize(
     cell: float = 1.0,
     origin=(0.0, 0.0),
     resolve: bool = True,
+    combine: str = "max",
 ):
     """Dataset of polygons (wkb + integer value) -> Dataset of
-    (ix, iy, value) covered cells.  With ``resolve`` (default) burns
-    from overlapping polygons are resolved to max(value) with one
-    key-colocating groupby over pre-aggregated partials; pass
+    (ix, iy, value) covered cells.  ``combine`` picks the overlap rule:
+    'max' (default, GDAL-style burn precedence), 'sum' (additive burn),
+    or 'count' (coverage density — how many polygons cover each cell).
+    With ``resolve`` (default) the rule is applied globally with one
+    key-colocating groupby over pre-aggregated map-side partials; pass
     resolve=False when inputs are known disjoint (map-only)."""
+    if combine not in ("max", "sum", "count"):
+        raise ValueError("combine must be 'max', 'sum' or 'count'")
     burned = ds.map_batches(
         lambda b: rasterize_batch(
-            b, wkb_col=wkb_col, value_col=value_col, cell=cell, origin=origin
+            b, wkb_col=wkb_col, value_col=value_col, cell=cell, origin=origin,
+            combine=combine,
         ),
         batch_format="pyarrow",
     )
@@ -128,7 +152,7 @@ def rasterize(
 
     # co-locate by 64x64-cell bucket (NOT per cell: per-cell groups would
     # mean one Python group call per raster cell) and run the arrow
-    # groupby-max vectorized over each whole bucket
+    # groupby vectorized over each whole bucket
     def key(b: pa.Table) -> pa.Table:
         if len(b) == 0:
             return b.append_column("bucket", pa.array([], type=pa.int64()))
@@ -138,13 +162,15 @@ def rasterize(
         )
         return b.append_column("bucket", pa.array(k, type=pa.int64()))
 
-    def final_max(g: pa.Table) -> pa.Table:
-        return _partial_max(g.select(["ix", "iy", "value"]))
+    merge_rule = "sum" if combine in ("sum", "count") else "max"
+
+    def final(g: pa.Table) -> pa.Table:
+        return _partial_combine(g.select(["ix", "iy", "value"]), merge_rule)
 
     return (
         burned.map_batches(key, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(final_max, batch_format="pyarrow")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 

@@ -157,3 +157,18 @@ def test_vectorize_duplicate_cell_rows(ray_session):
     assert len(out) == 1
     assert out.iloc[0].value == 2
     assert round(alg.area(from_wkb(out.iloc[0].face_wkb))) == 2
+
+
+def test_rasterize_combine_sum_and_count(ray_session):
+    """combine='count' burns coverage density (1 per covering polygon);
+    combine='sum' adds the values; partials stay mergeable across the
+    resolve groupby."""
+    a = Geom(POLYGON, [sq(0, 0, 4)])   # value 10
+    b = Geom(POLYGON, [sq(2, 0, 4)])   # value 7, overlaps a on x in [2,4)
+    cnt = rasterize(shapes_ds([(a, 10), (b, 7)]), combine="count").to_pandas()
+    m = {(r.ix, r.iy): r.value for r in cnt.itertuples()}
+    assert m[(0, 0)] == 1 and m[(2, 0)] == 2 and m[(5, 3)] == 1
+    assert sum(m.values()) == 16 + 16  # total burns
+    tot = rasterize(shapes_ds([(a, 10), (b, 7)]), combine="sum").to_pandas()
+    m2 = {(r.ix, r.iy): r.value for r in tot.itertuples()}
+    assert m2[(0, 0)] == 10 and m2[(2, 0)] == 17 and m2[(5, 3)] == 7
