@@ -331,6 +331,27 @@ def _classify_pieces(fs, fo, splits, overlaps, bump, transpose: bool):
                 mx = p0[0] + (p1[0] - p0[0]) * tm
                 my = p0[1] + (p1[1] - p0[1]) * tm
                 loc = alg.locate_in_geom(mx, my, other)
+                if loc == B:
+                    # a NON-structural piece cannot lie along the other's
+                    # boundary (the exact kernel classified every candidate
+                    # pair as 'point', not collinear 'overlap'), so a B
+                    # sample is a measure-zero accident: the parametric
+                    # midpoint of a near-parallel piece can round exactly
+                    # onto the other's edge for ~1-ulp plateaus of t,
+                    # operand-order-dependently (found by the hypothesis
+                    # relate-transpose fuzz, seed 712111).  Re-sample at
+                    # golden-ratio offsets and take the first off-boundary
+                    # location.
+                    for frac in (0.381966011250105, 0.763932022500210):
+                        ts = t0 + (t1 - t0) * frac
+                        l2 = alg.locate_in_geom(
+                            p0[0] + (p1[0] - p0[0]) * ts,
+                            p0[1] + (p1[1] - p0[1]) * ts,
+                            other,
+                        )
+                        if l2 != B:
+                            loc = l2
+                            break
                 if is_ring and not (ring_in_int and ring_in_ext):
                     if loc == E:
                         ring_in_ext = True

@@ -800,3 +800,26 @@ def test_overlay_invalid_operand_fixer_rung_regression():
     assert abs(alg.area(overlay(b, empty, "difference")) - ab) <= tol
     assert alg.area(overlay(empty, b, "difference")) <= tol
     assert alg.area(overlay(b, empty, "intersection")) <= tol
+
+
+def test_relate_midpoint_plateau_regression():
+    """Regression (hypothesis seed 712111): B's near-vertical edge
+    crosses A's exact edge x=5; the parametric midpoint of one split
+    piece rounds exactly onto x=5.0 in one operand order only, which
+    used to bump boundary-boundary to dim 1 asymmetrically.  The exact
+    kernel says the edges cross at a point, so dim 0 is correct both
+    ways."""
+    from nettopologysuite_ray.geom import predicates as pred
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    a = from_wkt("POLYGON ((1 2, 5 2, 5 5, 1 5, 1 2))")
+    b = from_wkt(
+        "POLYGON ((4.999999999999998 1.9999999999999991, "
+        "7.000000000000001 1.9999999999999996, 6.999999999999999 3, "
+        "5.000000000000001 2.999999999999999, "
+        "4.999999999999998 1.9999999999999991))"
+    )
+    m1 = pred.relate(a, b)
+    m2 = pred.relate(b, a)
+    assert m1 == "212101212"
+    assert "".join(m1[j * 3 + i] for i in range(3) for j in range(3)) == m2
