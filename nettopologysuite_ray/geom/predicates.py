@@ -132,7 +132,20 @@ class _Features:
 def relate(a: Geom, b: Geom, rule: str = "mod2") -> str:
     """rule selects the BoundaryNodeRule variant: "mod2" (OGC SFS,
     default), "endpoint", "multivalent", "monovalent" (reference:
-    Algorithm/BoundaryNodeRule.cs:56-81, RelateOp.Relate(g1,g2,bnRule))."""
+    Algorithm/BoundaryNodeRule.cs:56-81, RelateOp.Relate(g1,g2,bnRule)).
+
+    Transpose symmetry: relate(a, b) equals the transpose of
+    relate(b, a) except for SUB-ULP-DEGENERATE pairs — edges of the two
+    operands nearly coincident within a few ulp at large coordinate
+    magnitudes — where the true matrix depends on geometry below float
+    resolution and node rounding (whose 1-ulp placement follows operand
+    order, see segment_intersection) legitimately decides between two
+    answers.  Canonicalizing operand order here would force symmetry
+    but flips two TestRelateAA-big reference matrices whose expected
+    values encode the operand-order convention; conformance wins (the
+    relate-transpose fuzz documents the exception, seed 202901 @ +1e7,
+    and asserts the asymmetry vanishes once coordinates are snapped out
+    of the ambiguity band)."""
     fa = _Features(a, rule)
     fb = _Features(b, rule)
     M = [[F, F, F], [F, F, F], [F, F, 2]]
