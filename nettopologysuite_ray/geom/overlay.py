@@ -1691,6 +1691,52 @@ def _area_resolution(ring: np.ndarray) -> float:
     return 2.0 * perimeter * float(np.spacing(m))
 
 
+def _weld_unbalanced_micro_nodes(edges):
+    """Close micro-gaps in the result boundary graph.  Noding can place
+    the SAME geometric node at two floats a few ulp apart via different
+    operand edges (an operand corner vs the crossing computed on the
+    other operand's near-coincident edge), and the sub-1e-14-parameter
+    piece connecting the twins is dropped by the piece-length floor —
+    leaving one node with surplus in-degree and its twin with surplus
+    out-degree, which silently breaks the orbit walk and loses the whole
+    component (found by the union permutation fuzz, seed 601405).  Weld
+    each surplus-in node onto the nearest complementary surplus-out node
+    within an ulp-scaled tolerance; the vertex displacement is below the
+    ring area resolution by construction."""
+    from collections import Counter
+
+    out_deg = Counter(e[0] for e in edges)
+    in_deg = Counter(e[1] for e in edges)
+    nodes = set(out_deg) | set(in_deg)
+    surplus_out = [p for p in nodes if out_deg[p] > in_deg[p]]
+    surplus_in = [p for p in nodes if in_deg[p] > out_deg[p]]
+    if not surplus_out or not surplus_in:
+        return edges
+    remap = {}
+    used = set()
+    for p in surplus_in:
+        tol = 16.0 * float(np.spacing(max(abs(p[0]), abs(p[1]), 1.0)))
+        best = None
+        for q in surplus_out:
+            if q in used:
+                continue
+            d = max(abs(p[0] - q[0]), abs(p[1] - q[1]))
+            if d <= tol and (best is None or d < best[0]):
+                best = (d, q)
+        if best is not None:
+            remap[p] = best[1]
+            used.add(best[1])
+    if not remap:
+        return edges
+    out = []
+    for e in edges:
+        p0 = remap.get(e[0], e[0])
+        p1 = remap.get(e[1], e[1])
+        if p0 != p1:
+            out.append((p0, p1))
+    return list(dict.fromkeys(out))
+
+
 def _assemble_polygons(directed_edges, degenerate_out=None):
     """Directed edges (interior on LEFT) → polygons (rings lists).
     Zero-area rings (collapsed slivers, out-and-back walks) are appended to
@@ -1699,6 +1745,7 @@ def _assemble_polygons(directed_edges, degenerate_out=None):
         return []
     # dedup identical directed edges
     directed_edges = list({(e[0], e[1]) for e in directed_edges})
+    directed_edges = _weld_unbalanced_micro_nodes(directed_edges)
     rings = _trace_rings(directed_edges)
     # shells CCW (interior left), holes CW
     shells = []

@@ -839,3 +839,41 @@ def test_relate_midpoint_plateau_regression():
     m2 = pred.relate(b, a)
     assert m1 == "212101212"
     assert "".join(m1[j * 3 + i] for i in range(3) for j in range(3)) == m2
+
+
+def test_union_micro_gap_weld_regression():
+    """Regression (union permutation fuzz seeds 601405/601965/602712):
+    noding placed the same geometric node at two floats ~1 ulp apart
+    (operand corner vs crossing on a near-coincident edge) and the
+    micro-piece between them fell under the piece-length floor — the
+    orbit walk silently dropped the whole bottom component cluster
+    (union of 24+9 returned 17).  _weld_unbalanced_micro_nodes closes
+    the gap at assembly."""
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.overlay import overlay
+    from nettopologysuite_ray.geom.validity import is_valid
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    acc = from_wkt(
+        "MULTIPOLYGON (((-5.999999999999999 3.999999999999999, "
+        "-5.000000000000003 4.000000000000001, -4.999999999999997 "
+        "0.9999999999999998, -4 1, -4 0, -3 0, -3 0.9999999999999998, "
+        "-0.9999999999999998 0.9999999999999998, -1.0000000000000007 "
+        "4.000000000000002, -4.999999999999999 4.000000000000001, -4 "
+        "4.000000000000003, -4.000000000000003 5.000000000000001, "
+        "-5.999999999999998 4.999999999999999, -5.999999999999999 "
+        "3.999999999999999)), ((-6.000000000000003 -1.9999999999999996, "
+        "-5.999999999999999 -3.0000000000000004, -4.000000000000002 -3, "
+        "-3.9999999999999982 -2.0000000000000013, -6.000000000000003 "
+        "-1.9999999999999996)), ((-4 -6, -3 -6, -3 -4, -1 -4, -1 -2, "
+        "-3 -2, -3 -3, -4 -3, -4 -6)))"
+    )
+    p = from_wkt(
+        "POLYGON ((-2 -3.9999999999999973, 1.0000000000000004 "
+        "-4.000000000000001, 1.0000000000000004 -1.0000000000000007, "
+        "-2.0000000000000004 -1.0000000000000002, -2 "
+        "-3.9999999999999973))"
+    )
+    u = overlay(acc, p, "union")
+    assert is_valid(u)
+    assert abs(alg.area(u) - 31.0) < 1e-6
