@@ -253,12 +253,62 @@ def length(g: Geom) -> float:
 # point location (ray crossing)
 
 
-def locate_point_in_rings(px: float, py: float, rings) -> int:
+def _ring_envs(rings):
+    """Per-ring (minx, miny, maxx, maxy) for the locate prefilter."""
+    out = []
+    for r in rings:
+        r = np.asarray(r)
+        if len(r) == 0:
+            out.append((0.0, 0.0, -1.0, -1.0))  # empty: excludes everything
+        else:
+            out.append(
+                (
+                    float(r[:, 0].min()),
+                    float(r[:, 1].min()),
+                    float(r[:, 0].max()),
+                    float(r[:, 1].max()),
+                )
+            )
+    return out
+
+
+def geom_ring_envs(g: Geom):
+    """Cached per-ring envelopes of a POLYGON, or per-component
+    (component_env, ring_envs) list of a MULTIPOLYGON (lazy, stored on the
+    Geom; the scalar locate kernel was O(total vertices) per probe, which
+    made piece classification against large accumulated unions the
+    dominant cost of cascaded union_all)."""
+    env = g._env
+    if env is None:
+        if g.gtype == POLYGON:
+            env = _ring_envs(g.data)
+        else:  # MULTIPOLYGON
+            env = []
+            for rings in g.data:
+                res = _ring_envs(rings)
+                shell = res[0]
+                env.append((shell, res))
+        g._env = env
+    return env
+
+
+def locate_point_in_rings(px: float, py: float, rings, ring_envs=None) -> int:
     """Even-odd location of a point against a set of rings (shell+holes).
     Returns INTERIOR / BOUNDARY / EXTERIOR.
-    Semantics of Algorithm/RayCrossingCounter.cs:34."""
+    Semantics of Algorithm/RayCrossingCounter.cs:34.
+
+    ring_envs: optional per-ring envelopes; a ring whose envelope strictly
+    excludes the point is skipped — it contributes an even number of ray
+    crossings (a closed ring crosses the horizontal line y=py an even
+    number of times, and when the whole ring is on one side of px they
+    all count or none do), so parity is invariant, and the point cannot
+    lie on its boundary."""
     crossings = 0
-    for ring in rings:
+    for ri, ring in enumerate(rings):
+        if ring_envs is not None:
+            e = ring_envs[ri]
+            if py < e[1] or py > e[3] or px < e[0] or px > e[2]:
+                continue
         n = len(ring)
         for i in range(n - 1):
             x1, y1 = ring[i]
@@ -360,12 +410,14 @@ def locate_in_geom(px: float, py: float, g: Geom) -> int:
     if t == MULTILINESTRING:
         return _locate_on_lines(px, py, list(g.data))
     if t == POLYGON:
-        return locate_point_in_rings(px, py, g.data)
+        return locate_point_in_rings(px, py, g.data, geom_ring_envs(g))
     if t == MULTIPOLYGON:
         # boundary wins; interior of any part wins over exterior
         best = EXTERIOR
-        for rings in g.data:
-            loc = locate_point_in_rings(px, py, rings)
+        for (ce, renvs), rings in zip(geom_ring_envs(g), g.data):
+            if py < ce[1] or py > ce[3] or px < ce[0] or px > ce[2]:
+                continue
+            loc = locate_point_in_rings(px, py, rings, renvs)
             if loc == BOUNDARY:
                 return BOUNDARY
             if loc == INTERIOR:

@@ -871,6 +871,7 @@ class _Edges:
         self.segs = []  # (p0, p1, kind, interior_left) kind: 'ring'|'line'
         self.points = []
         self.dim = g.dimension
+        self._area_comps = None  # lazy [(comp_env, ring_envs, rings)]
         for comp in g.flatten():
             if comp.gtype == POINT:
                 self.points.append((float(comp.data[0]), float(comp.data[1])))
@@ -902,6 +903,21 @@ class _Edges:
                             )
                         )
 
+    def area_comps(self):
+        """Cached [(component_env, ring_envs, rings)] of the operand's
+        polygon components, so per-piece side probes prefilter by envelope
+        instead of ray-crossing every ring of the whole operand (the
+        dominant cost of large cascaded unions before caching)."""
+        if self._area_comps is None:
+            comps = []
+            for comp in self.geom.flatten():
+                if comp.gtype != POLYGON:
+                    continue
+                renvs = alg._ring_envs(comp.data)
+                comps.append((renvs[0], renvs, comp.data))
+            self._area_comps = comps
+        return self._area_comps
+
 
 def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float | None = None, hot: bool = True):
     """Split both edge sets at mutual intersections.
@@ -927,7 +943,7 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float |
     if ea.segs and eb.segs:
         sa = np.array([(s[0][0], s[0][1], s[1][0], s[1][1]) for s in ea.segs])
         sb = np.array([(s[0][0], s[0][1], s[1][0], s[1][1]) for s in eb.segs])
-        cand = _bbox_pairs(sa, sb)
+        cand = _candidate_pairs(sa, sb)
         for ia, ib in cand:
             s1 = ea.segs[ia]
             s2 = eb.segs[ib]
@@ -964,25 +980,29 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float |
     # segment is an arrangement node; plain chain vertices are not.
     for es, splits in ((ea, splits_a), (eb, splits_b)):
         segs = es.segs
-        for i9 in range(len(segs)):
+        if len(segs) > 1:
+            s_arr = np.array([(s[0][0], s[0][1], s[1][0], s[1][1]) for s in segs])
+            self_cand = _candidate_pairs(s_arr)
+        else:
+            self_cand = ()
+        for i9, j9 in self_cand:
             s1 = segs[i9]
-            for j9 in range(i9 + 1, len(segs)):
-                s2 = segs[j9]
-                kind, pts = alg.segment_intersection(s1[0], s1[1], s2[0], s2[1])
-                if kind == "none":
-                    continue
-                for p in pts if kind == "overlap" else pts[:1]:
-                    p = (float(p[0]), float(p[1]))
-                    if node_grid:
-                        p = _snap_round_pt(p, node_grid)
-                    in1 = p != s1[0] and p != s1[1]
-                    in2 = p != s2[0] and p != s2[1]
-                    if in1:
-                        splits[i9].append(_param_t(s1, p))
-                    if in2:
-                        splits[j9].append(_param_t(s2, p))
-                    if in1 or in2:
-                        node_pts.add(p)
+            s2 = segs[j9]
+            kind, pts = alg.segment_intersection(s1[0], s1[1], s2[0], s2[1])
+            if kind == "none":
+                continue
+            for p in pts if kind == "overlap" else pts[:1]:
+                p = (float(p[0]), float(p[1]))
+                if node_grid:
+                    p = _snap_round_pt(p, node_grid)
+                in1 = p != s1[0] and p != s1[1]
+                in2 = p != s2[0] and p != s2[1]
+                if in1:
+                    splits[i9].append(_param_t(s1, p))
+                if in2:
+                    splits[j9].append(_param_t(s2, p))
+                if in1 or in2:
+                    node_pts.add(p)
         for v in es.points:
             for i9, s1 in enumerate(segs):
                 if v != s1[0] and v != s1[1] and alg.on_segment(
@@ -1059,6 +1079,136 @@ def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float |
         node_pts,
         revisit,
     )
+
+
+def _candidate_pairs(sa, sb=None):
+    """Bbox-overlap candidate pairs (MCIndexNoder/monotone-chain role,
+    reference Noding/MCIndexNoder.cs): dense vectorized mask for small
+    inputs, hashed uniform-grid buckets beyond — the dense matrix is
+    O(n·m) memory and the all-pairs scalar probe it replaced made the
+    self-noding of large accumulated unions quadratic (3.7M
+    segment_intersection calls in a 600-part cascade).  With sb=None,
+    returns within-set pairs (i < j); else cross pairs."""
+    n = len(sa)
+    m = n if sb is None else len(sb)
+    if n * m <= 1_000_000:
+        if sb is None:
+            return [(i, j) for i, j in _bbox_pairs(sa, sa) if i < j]
+        return list(_bbox_pairs(sa, sb))
+
+    def _ext(s):
+        return (
+            np.minimum(s[:, 0], s[:, 2]),
+            np.minimum(s[:, 1], s[:, 3]),
+            np.maximum(s[:, 0], s[:, 2]),
+            np.maximum(s[:, 1], s[:, 3]),
+        )
+
+    aminx, aminy, amaxx, amaxy = _ext(sa)
+    if sb is None:
+        bminx, bminy, bmaxx, bmaxy = aminx, aminy, amaxx, amaxy
+    else:
+        bminx, bminy, bmaxx, bmaxy = _ext(sb)
+    gx0 = min(float(aminx.min()), float(bminx.min()))
+    gy0 = min(float(aminy.min()), float(bminy.min()))
+    span = max(
+        max(float(amaxx.max()), float(bmaxx.max())) - gx0,
+        max(float(amaxy.max()), float(bmaxy.max())) - gy0,
+        0.0,
+    )
+    avg = (
+        float(np.mean(amaxx - aminx))
+        + float(np.mean(amaxy - aminy))
+        + float(np.mean(bmaxx - bminx))
+        + float(np.mean(bmaxy - bminy))
+    ) / 4.0
+    cell = max(avg * 2.0, span / 2048.0)
+    if cell <= 0.0:
+        # all segments degenerate to one point: everything is a candidate
+        if sb is None:
+            return [(i, j) for i in range(n) for j in range(i + 1, n)]
+        return [(i, j) for i in range(n) for j in range(m)]
+
+    def _insert(buckets, oversize, minxs, minys, maxxs, maxys, slot):
+        ix0 = np.floor((minxs - gx0) / cell).astype(np.int64)
+        iy0 = np.floor((minys - gy0) / cell).astype(np.int64)
+        ix1 = np.floor((maxxs - gx0) / cell).astype(np.int64)
+        iy1 = np.floor((maxys - gy0) / cell).astype(np.int64)
+        for i in range(len(minxs)):
+            # a bbox spanning many cells (long near-diagonal segment) would
+            # blow up insertion; pair it against everything instead
+            if (ix1[i] - ix0[i] + 1) * (iy1[i] - iy0[i] + 1) > 1024:
+                oversize[slot].append(i)
+                continue
+            for cx in range(ix0[i], ix1[i] + 1):
+                for cy in range(iy0[i], iy1[i] + 1):
+                    buckets.setdefault((cx, cy), ([], []))[slot].append(i)
+
+    buckets: dict = {}
+    oversize: tuple = ([], [])
+    _insert(buckets, oversize, aminx, aminy, amaxx, amaxy, 0)
+    if sb is not None:
+        _insert(buckets, oversize, bminx, bminy, bmaxx, bmaxy, 1)
+    pairs = set()
+    if oversize[0] or oversize[1]:
+        if sb is None:
+            for i in oversize[0]:
+                for j in range(n):
+                    if i == j:
+                        continue
+                    a, b = (i, j) if i < j else (j, i)
+                    if (
+                        aminx[a] <= amaxx[b]
+                        and amaxx[a] >= aminx[b]
+                        and aminy[a] <= amaxy[b]
+                        and amaxy[a] >= aminy[b]
+                    ):
+                        pairs.add((a, b))
+        else:
+            for i in oversize[0]:
+                for j in range(m):
+                    if (
+                        aminx[i] <= bmaxx[j]
+                        and amaxx[i] >= bminx[j]
+                        and aminy[i] <= bmaxy[j]
+                        and amaxy[i] >= bminy[j]
+                    ):
+                        pairs.add((i, j))
+            for j in oversize[1]:
+                for i in range(n):
+                    if (
+                        aminx[i] <= bmaxx[j]
+                        and amaxx[i] >= bminx[j]
+                        and aminy[i] <= bmaxy[j]
+                        and amaxy[i] >= bminy[j]
+                    ):
+                        pairs.add((i, j))
+    if sb is None:
+        for la, _ in buckets.values():
+            for pi in range(len(la)):
+                i = la[pi]
+                for pj in range(pi + 1, len(la)):
+                    j = la[pj]
+                    a, b = (i, j) if i < j else (j, i)
+                    if (a, b) not in pairs and (
+                        aminx[a] <= amaxx[b]
+                        and amaxx[a] >= aminx[b]
+                        and aminy[a] <= amaxy[b]
+                        and amaxy[a] >= aminy[b]
+                    ):
+                        pairs.add((a, b))
+    else:
+        for la, lb in buckets.values():
+            for i in la:
+                for j in lb:
+                    if (i, j) not in pairs and (
+                        aminx[i] <= bmaxx[j]
+                        and amaxx[i] >= bminx[j]
+                        and aminy[i] <= bmaxy[j]
+                        and amaxy[i] >= bminy[j]
+                    ):
+                        pairs.add((i, j))
+    return sorted(pairs)
 
 
 def _bbox_pairs(sa, sb):
@@ -1247,10 +1397,10 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
         mx = (piece["p0"][0] + piece["p1"][0]) / 2.0
         my = (piece["p0"][1] + piece["p1"][1]) / 2.0
         crossings = 0
-        for comp in other.geom.flatten():
-            if comp.gtype != POLYGON:
+        for ce, renvs, rings in other.area_comps():
+            if my < ce[1] or my > ce[3] or mx < ce[0] or mx > ce[2]:
                 continue
-            loc = alg.locate_point_in_rings(mx, my, comp.data)
+            loc = alg.locate_point_in_rings(mx, my, rings, renvs)
             if loc == B:
                 return I  # on a ring not detected as overlap: treat covered
             if loc == I:
@@ -1283,10 +1433,10 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
 
                 def _loc_own(px, py):
                     cr = 0
-                    for comp in (ea if own_is_a else eb).geom.flatten():
-                        if comp.gtype != POLYGON:
+                    for ce, renvs, rings in (ea if own_is_a else eb).area_comps():
+                        if py < ce[1] or py > ce[3] or px < ce[0] or px > ce[2]:
                             continue
-                        lo = alg.locate_point_in_rings(px, py, comp.data)
+                        lo = alg.locate_point_in_rings(px, py, rings, renvs)
                         if lo == B:
                             return I
                         if lo == I:
@@ -2173,6 +2323,112 @@ def segment_extracting_noder():
     return _noder
 
 
+def _hilbert_sorted(polys):
+    """Order parts along a Hilbert curve of their envelope centers so that
+    tree-merge siblings are spatial neighbors (reference:
+    Operation/Union/CascadedPolygonUnion.cs:37 builds an STRtree for the
+    same locality; the curve gives the identical clustering effect without
+    the tree)."""
+    if len(polys) <= 2:
+        return polys
+    from .hilbert import hilbert_encode
+
+    envs = [alg.envelope(p) for p in polys]
+    cx = np.array([(e[0] + e[2]) / 2.0 for e in envs])
+    cy = np.array([(e[1] + e[3]) / 2.0 for e in envs])
+    sx = cx.max() - cx.min()
+    sy = cy.max() - cy.min()
+    if sx <= 0 and sy <= 0:
+        return polys
+    ix = np.clip((cx - cx.min()) / (sx or 1.0) * 65535.0, 0, 65535).astype(np.uint64)
+    iy = np.clip((cy - cy.min()) / (sy or 1.0) * 65535.0, 0, 65535).astype(np.uint64)
+    order = np.argsort(hilbert_encode(ix, iy, 16), kind="stable")
+    return [polys[i] for i in order]
+
+
+def _cascaded_union_fold(polys, pair):
+    """Binary-tree union over Hilbert-ordered parts (cascaded semantics,
+    reference CascadedPolygonUnion.cs:37).  Replaces the linear fold, whose
+    k-th merge re-noded and re-validated the WHOLE accumulator — O(n²)
+    total edge work (measured: 60 scattered rectangles took 55 s linear;
+    the tree with the disjoint-concat shortcut is milliseconds).  Exactly
+    n-1 pair calls, same as the linear fold (UnionStrategy contract)."""
+    parts = _hilbert_sorted(polys)
+    while len(parts) > 1:
+        nxt = []
+        for i in range(0, len(parts) - 1, 2):
+            nxt.append(pair(parts[i], parts[i + 1]))
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0] if parts else None
+
+
+def _union_components_pruned(a: Geom, b: Geom, pair_overlay, grid_size: float | None) -> Geom:
+    """Union of two polygonal operands that only overlays the components
+    near the OTHER operand (reference role: OverlayNG's envelope clipping,
+    Operation/OverlayNG/OverlayUtil.cs ClippingEnvelope; CascadedPolygonUnion
+    gets the same effect from its STRtree grouping).  Components whose
+    envelope is separated from every component envelope of the other
+    operand by more than the retry-ladder tolerance cannot interact — they
+    pass through unchanged, so a tree merge of n scattered parts costs the
+    interacting frontier only, not a full re-noding of both operands."""
+    acomp = [c for c in a.flatten() if c.gtype == POLYGON]
+    bcomp = [c for c in b.flatten() if c.gtype == POLYGON]
+    if not acomp:
+        return b
+    if not bcomp:
+        return a
+    aenvs = [alg.envelope(c) for c in acomp]
+    benvs = [alg.envelope(c) for c in bcomp]
+    mx = max(
+        max(abs(e[0]), abs(e[1]), abs(e[2]), abs(e[3]))
+        for e in aenvs + benvs
+    )
+    margin = max(2.0 * (grid_size or 0.0), mx * 1e-7)
+
+    def _near(envs_mine, envs_other):
+        near = []
+        for i, e in enumerate(envs_mine):
+            hit = False
+            for f in envs_other:
+                if (
+                    f[0] <= e[2] + margin
+                    and e[0] <= f[2] + margin
+                    and f[1] <= e[3] + margin
+                    and e[1] <= f[3] + margin
+                ):
+                    hit = True
+                    break
+            near.append(hit)
+        return near
+
+    near_a = _near(aenvs, benvs)
+    near_b = _near(benvs, aenvs)
+    far_rings = [c.data for c, n in zip(acomp, near_a) if not n] + [
+        c.data for c, n in zip(bcomp, near_b) if not n
+    ]
+    na = [c for c, n in zip(acomp, near_a) if n]
+    nb = [c for c, n in zip(bcomp, near_b) if n]
+    if not na and not nb:
+        core_rings = []
+    elif not na:
+        core_rings = [c.data for c in nb]
+    elif not nb:
+        core_rings = [c.data for c in na]
+    else:
+        ga = na[0] if len(na) == 1 else Geom(MULTIPOLYGON, [c.data for c in na])
+        gb = nb[0] if len(nb) == 1 else Geom(MULTIPOLYGON, [c.data for c in nb])
+        core = pair_overlay(ga, gb)
+        core_rings = [c.data for c in core.flatten() if c.gtype == POLYGON]
+    rings = core_rings + far_rings
+    if not rings:
+        return Geom.empty(POLYGON)
+    if len(rings) == 1:
+        return Geom(POLYGON, rings[0])
+    return Geom(MULTIPOLYGON, rings)
+
+
 def union_all(geoms, grid_size: float | None = None, weld: bool = False, strategy=None) -> Geom:
     """Unary union (reference: Operation/Union/UnaryUnionOp.cs:46): fold
     polygonal components through binary union (cascaded semantics,
@@ -2201,14 +2457,19 @@ def union_all(geoms, grid_size: float | None = None, weld: bool = False, strateg
                 lines.append(comp.data)
             elif comp.gtype == POINT:
                 points.append((float(comp.data[0]), float(comp.data[1])))
-    acc = None
-    for p in polys:
-        if acc is None:
-            acc = p
-        elif strategy is not None:
-            acc = strategy(acc, p)
-        else:
-            acc = overlay(acc, p, "union", grid_size, weld=weld)
+    if strategy is not None:
+        acc = _cascaded_union_fold(polys, strategy)
+    else:
+
+        def _pair(a, b):
+            return _union_components_pruned(
+                a,
+                b,
+                lambda x, y: overlay(x, y, "union", grid_size, weld=weld),
+                grid_size,
+            )
+
+        acc = _cascaded_union_fold(polys, _pair)
     if strategy is None and grid_size is None and acc is not None and len(polys) > 1:
         # robust-union fallback (reference: UnaryUnionOp -> OverlayNGRobust
         # snap retries, OverlayNGRobust.cs:178): float noise between
@@ -2232,18 +2493,27 @@ def union_all(geoms, grid_size: float | None = None, weld: bool = False, strateg
                 # a multi-component result is the NORMAL outcome for
                 # genuinely disjoint inputs (cascaded union of disjoint
                 # cells); only pay the ~2x retry when a merge is plausible:
-                # some two components' envelopes within the weld tolerance
-                envs = sorted(alg.envelope(c) for c in out0)
+                # two components whose BOUNDARIES sit a strictly-positive
+                # sub-tolerance gap apart (the float-noise signature).
+                # Envelope contact alone is far weaker — exact corner/edge
+                # touches (distance exactly 0) are topology the per-op
+                # self-heal already certified, and they occur in every
+                # union of lattice-aligned cells.
+                envs = sorted(
+                    (alg.envelope(c), ci) for ci, c in enumerate(out0)
+                )
                 plausible = False
                 for ei in range(len(envs)):
-                    x0, y0, x1, y1 = envs[ei]
+                    (x0, y0, x1, y1), ca = envs[ei]
                     for ej in range(ei + 1, len(envs)):
-                        bx0, by0, bx1, by1 = envs[ej]
+                        (bx0, by0, bx1, by1), cb = envs[ej]
                         if bx0 > x1 + tol:
                             break  # sorted by minx: no later env can touch
                         if by0 <= y1 + tol and by1 >= y0 - tol:
-                            plausible = True
-                            break
+                            d = alg.distance(out0[ca], out0[cb])
+                            if 0.0 < d <= tol:
+                                plausible = True
+                                break
                     if plausible:
                         break
                 if not plausible:
@@ -2271,18 +2541,27 @@ def union_all(geoms, grid_size: float | None = None, weld: bool = False, strateg
                 snap_tol = mx / 1e12
                 for _try in range(5):
                     snapped = _snap_cluster(polys, snap_tol)
-                    accs = None
-                    for p in snapped:
-                        accs = p if accs is None else overlay(accs, p, "union")
+                    accs = _cascaded_union_fold(
+                        snapped,
+                        lambda a, b: _union_components_pruned(
+                            a, b, lambda x, y: overlay(x, y, "union"), None
+                        ),
+                    )
                     acc2 = _accept(accs) if accs is not None else None
                     if acc2 is not None:
                         break
                     snap_tol *= 10.0
                 if acc2 is None:
                     tol = 2.0 ** (math.floor(math.log2(mx)) - 40)
-                    accw = None
-                    for p in polys:
-                        accw = p if accw is None else overlay(accw, p, "union", tol, weld=True)
+                    accw = _cascaded_union_fold(
+                        polys,
+                        lambda a, b: _union_components_pruned(
+                            a,
+                            b,
+                            lambda x, y: overlay(x, y, "union", tol, weld=True),
+                            tol,
+                        ),
+                    )
                     acc2 = _accept(accw) if accw is not None else None
                 if acc2 is not None:
                     acc = acc2
@@ -2366,9 +2645,7 @@ def snap_round_inputs(a: Geom, b: Geom, grid: float):
                     hot.add(_snap_round_pt((float(p[0]), float(p[1])), grid))
     if segs:
         sarr = np.array([(s[0][0], s[0][1], s[1][0], s[1][1]) for s in segs])
-        for i, j in _bbox_pairs(sarr, sarr):
-            if j <= i:
-                continue
+        for i, j in _candidate_pairs(sarr):
             _k, pts = alg.segment_intersection(segs[i][0], segs[i][1], segs[j][0], segs[j][1])
             for p in pts:
                 hot.add(_snap_round_pt((float(p[0]), float(p[1])), grid))

@@ -75,7 +75,7 @@ class Geom:
     operators build new Geoms without ``extra``, i.e. they drop Z/M —
     only the WKT/WKB/GML codecs read and write it."""
 
-    __slots__ = ("gtype", "data", "tag", "extra")
+    __slots__ = ("gtype", "data", "tag", "extra", "_env")
 
     def __init__(self, gtype: str, data, tag: str | None = None, extra=None):
         if gtype not in _TYPES:
@@ -84,6 +84,17 @@ class Geom:
         self.data = data
         self.tag = tag
         self.extra = extra
+        # lazily-built per-ring envelope cache for the point-locate
+        # kernels (never compared, never round-tripped; rebuilt on demand
+        # after (de)serialization)
+        self._env = None
+
+    def __getstate__(self):
+        return (self.gtype, self.data, self.tag, self.extra)
+
+    def __setstate__(self, state):
+        self.gtype, self.data, self.tag, self.extra = state
+        self._env = None
 
     # ---- constructors -------------------------------------------------
 

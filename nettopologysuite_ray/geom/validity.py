@@ -99,22 +99,27 @@ def _ring_self_intersection(ring: np.ndarray) -> str | None:
     overlap) beyond adjacent-segment shared endpoints is invalid."""
     n = len(ring) - 1
     segs = [(ring[i], ring[i + 1]) for i in range(n)]
-    for i in range(n):
-        for j in range(i + 1, n):
-            adjacent = j == i + 1 or (i == 0 and j == n - 1)
-            kind, pts = alg.segment_intersection(segs[i][0], segs[i][1], segs[j][0], segs[j][1])
-            if kind == "none":
+    if n > 64:
+        from .overlay import _candidate_pairs
+
+        cand = _candidate_pairs(np.column_stack([ring[:-1], ring[1:]]))
+    else:
+        cand = ((i, j) for i in range(n) for j in range(i + 1, n))
+    for i, j in cand:
+        adjacent = j == i + 1 or (i == 0 and j == n - 1)
+        kind, pts = alg.segment_intersection(segs[i][0], segs[i][1], segs[j][0], segs[j][1])
+        if kind == "none":
+            continue
+        if kind == "overlap":
+            return "ring self-intersection (collinear)"
+        p = pts[0]
+        if adjacent:
+            # allowed only at the shared endpoint
+            shared = segs[i][1] if j == i + 1 else segs[i][0]
+            if p[0] == shared[0] and p[1] == shared[1]:
                 continue
-            if kind == "overlap":
-                return "ring self-intersection (collinear)"
-            p = pts[0]
-            if adjacent:
-                # allowed only at the shared endpoint
-                shared = segs[i][1] if j == i + 1 else segs[i][0]
-                if p[0] == shared[0] and p[1] == shared[1]:
-                    continue
-                return "ring self-intersection"
             return "ring self-intersection"
+        return "ring self-intersection"
     return None
 
 
@@ -138,21 +143,29 @@ def _rings_cross(r1: np.ndarray, r2: np.ndarray) -> tuple[str | None, list]:
     touches = []
     n1 = len(r1) - 1
     n2 = len(r2) - 1
-    for i in range(n1):
-        for j in range(n2):
-            kind, pts = alg.segment_intersection(r1[i], r1[i + 1], r2[j], r2[j + 1])
-            if kind == "none":
-                continue
-            if kind == "overlap":
-                return "rings share a line segment", []
-            p = pts[0]
-            # proper crossing = intersection point interior to both segments
-            if _strictly_inside_seg(p, r1[i], r1[i + 1]) and _strictly_inside_seg(
-                p, r2[j], r2[j + 1]
-            ):
-                return "rings cross", []
-            if p not in touches:
-                touches.append(p)
+    if n1 * n2 > 4096:
+        from .overlay import _candidate_pairs
+
+        cand = _candidate_pairs(
+            np.column_stack([r1[:-1], r1[1:]]),
+            np.column_stack([r2[:-1], r2[1:]]),
+        )
+    else:
+        cand = ((i, j) for i in range(n1) for j in range(n2))
+    for i, j in cand:
+        kind, pts = alg.segment_intersection(r1[i], r1[i + 1], r2[j], r2[j + 1])
+        if kind == "none":
+            continue
+        if kind == "overlap":
+            return "rings share a line segment", []
+        p = pts[0]
+        # proper crossing = intersection point interior to both segments
+        if _strictly_inside_seg(p, r1[i], r1[i + 1]) and _strictly_inside_seg(
+            p, r2[j], r2[j + 1]
+        ):
+            return "rings cross", []
+        if p not in touches:
+            touches.append(p)
     # vertex-touch that actually crosses (vertex of r1 ON r2 with r1 passing
     # through) is caught by the containment checks downstream
     return None, touches
@@ -250,14 +263,36 @@ def _check_shells_not_nested(polys) -> str | None:
     only meet at finitely many points.  Shell-in-hole nesting falls out of
     even-odd location against ALL of the other polygon's rings."""
     polys = [rings for rings in polys if rings and len(rings[0]) > 0]
+    # dedup + envelope once per polygon (previously recomputed inside the
+    # pair loop, and every midpoint probe ray-crossed every ring of the
+    # other polygon — O(P² V²) on large multipolygons; component pairs
+    # with disjoint envelopes cannot nest, overlap, or duplicate)
+    dd = [[_dedup_ring(r) for r in rings] for rings in polys]
+    envs = [alg._ring_envs(d) for d in dd]
     for i in range(len(polys)):
-        shell_i = _dedup_ring(polys[i][0])
+        shell_i = dd[i][0]
+        ei = envs[i][0]
         for j in range(len(polys)):
             if i == j:
                 continue
-            rings_j = [_dedup_ring(r) for r in polys[j]]
+            ej = envs[j][0]
+            if (
+                ej[0] > ei[2]
+                or ei[0] > ej[2]
+                or ej[1] > ei[3]
+                or ei[1] > ej[3]
+            ):
+                continue
+            rings_j = dd[j]
             if i < j:
-                for rj in rings_j:
+                for rj, erj in zip(rings_j, envs[j]):
+                    if (
+                        erj[0] > ei[2]
+                        or ei[0] > erj[2]
+                        or erj[1] > ei[3]
+                        or ei[1] > erj[3]
+                    ):
+                        continue
                     err, _t = _rings_cross(shell_i, rj)
                     if err:
                         return err
@@ -265,13 +300,19 @@ def _check_shells_not_nested(polys) -> str | None:
             # segments cannot cross d(poly j) except at touch points at their
             # ends, so the midpoint decides each segment's side (even-odd
             # across shell+holes: inside-a-hole comes out EXTERIOR)
-            for ring_i in polys[i]:
-                ri = _dedup_ring(ring_i)
+            for ri, eri in zip(dd[i], envs[i]):
+                if (
+                    eri[0] > ej[2]
+                    or ej[0] > eri[2]
+                    or eri[1] > ej[3]
+                    or ej[1] > eri[3]
+                ):
+                    continue  # every midpoint exterior to j: nothing to flag
                 any_probe = False
                 for k in range(len(ri) - 1):
                     mx = (ri[k, 0] + ri[k + 1, 0]) / 2.0
                     my = (ri[k, 1] + ri[k + 1, 1]) / 2.0
-                    loc = alg.locate_point_in_rings(mx, my, rings_j)
+                    loc = alg.locate_point_in_rings(mx, my, rings_j, envs[j])
                     if loc == alg.INTERIOR:
                         return "nested or overlapping shells"
                     if loc != alg.BOUNDARY:

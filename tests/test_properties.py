@@ -877,3 +877,64 @@ def test_union_micro_gap_weld_regression():
     u = overlay(acc, p, "union")
     assert is_valid(u)
     assert abs(alg.area(u) - 31.0) < 1e-6
+
+
+def test_candidate_pairs_grid_matches_dense():
+    """The hashed-grid candidate generator (used by noding and the
+    validity kernels above the dense-matrix threshold) must return exactly
+    the bbox-overlapping pairs the dense mask returns, including for
+    oversize near-diagonal segments routed through the all-pairs
+    fallback."""
+    from nettopologysuite_ray.geom.overlay import _bbox_pairs, _candidate_pairs
+
+    rng = np.random.default_rng(3)
+
+    def rand_segs(n, spread=100.0, maxlen=3.0):
+        p0 = rng.uniform(-spread, spread, (n, 2))
+        d = rng.uniform(-maxlen, maxlen, (n, 2))
+        return np.column_stack([p0, p0 + d])
+
+    n, m = 1100, 1100  # above the 1M dense threshold
+    sa = rand_segs(n)
+    sa[:3] = [
+        [-100, -100, 100, 100],
+        [-100, 100, 100, -100],
+        [0, -100, 0, 100],
+    ]
+    sb = rand_segs(m)
+    assert set(map(tuple, _candidate_pairs(sa, sb))) == set(_bbox_pairs(sa, sb))
+    assert set(map(tuple, _candidate_pairs(sa))) == {
+        (i, j) for i, j in _bbox_pairs(sa, sa) if i < j
+    }
+
+
+def test_union_all_cascade_scaling():
+    """Cascaded (tree) union with component pruning: 400 scattered
+    rectangles union in well under a second (the linear fold took tens of
+    seconds) and produce the exact lattice area."""
+    import time
+
+    rng = np.random.default_rng(17)
+    parts = []
+    for _ in range(400):
+        x0 = float(rng.integers(-40, 40))
+        y0 = float(rng.integers(-40, 40))
+        w, h = (float(v) for v in rng.integers(1, 6, 2))
+        parts.append(
+            Geom.polygon([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)])
+        )
+    t0 = time.time()
+    u = union_all(parts)
+    dt = time.time() - t0
+    from nettopologysuite_ray.geom.validity import is_valid
+
+    assert is_valid(u)
+    # exact rasterized truth on the integer lattice (all corners integral)
+    grid = np.zeros((90, 90), dtype=bool)
+    for p in parts:
+        r = p.data[0]
+        x0, y0 = int(r[:, 0].min()) + 45, int(r[:, 1].min()) + 45
+        x1, y1 = int(r[:, 0].max()) + 45, int(r[:, 1].max()) + 45
+        grid[x0:x1, y0:y1] = True
+    assert abs(alg.area(u) - float(grid.sum())) < 1e-9
+    assert dt < 5.0, f"cascaded union too slow: {dt:.2f}s"
