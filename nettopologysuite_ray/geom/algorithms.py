@@ -357,9 +357,17 @@ def locate_points_in_rings(pts: np.ndarray, rings) -> np.ndarray:
     down = straddle & ~up
     crossings = ((up & (o > 0)) | (down & (o < 0))).sum(axis=1)
     loc = np.where(crossings % 2 == 1, INTERIOR, EXTERIOR).astype(np.int8)
-    # boundary suspects: any straddling edge with o == 0, or point in the
-    # bbox of a horizontal/degenerate edge touching its y
-    suspect = (straddle & (o == 0.0)).any(axis=1)
+    # boundary suspects: any straddling edge whose cross product is within
+    # the float-filter error bound of zero (same band orient2d escalates
+    # to exact arithmetic for — |o| == 0.0 alone under-flags points a few
+    # ulp off an edge whose double cross product rounds to the wrong
+    # sign), or point in the bbox of a horizontal/degenerate edge
+    # touching its y
+    errb = 8.0 * np.finfo(np.float64).eps * (
+        np.abs((x2 - x1)[None, :] * (py - y1[None, :]))
+        + np.abs((px - x1[None, :]) * (y2 - y1)[None, :])
+    )
+    suspect = (straddle & (np.abs(o) <= errb)).any(axis=1)
     horiz = (y1 == y2)[None, :] & (py == y1[None, :])
     if horiz.any():
         inx = (px >= np.minimum(x1, x2)[None, :]) & (px <= np.maximum(x1, x2)[None, :])

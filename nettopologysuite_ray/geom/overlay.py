@@ -801,22 +801,27 @@ def _clean_ring(arr: np.ndarray, grid: float | None = None):
     n = len(pts) - 1
     segs = [(pts[i], pts[i + 1]) for i in range(n)]
     splits = [[] for _ in segs]
-    for i in range(n):
-        for j in range(i + 1, n):
-            kind, ipts = alg.segment_intersection(segs[i][0], segs[i][1], segs[j][0], segs[j][1])
-            if kind == "none":
-                continue
-            for p in ipts:
-                p = (float(p[0]), float(p[1]))
-                if grid:
-                    p = (
-                        float(np.floor(p[0] / grid + 0.5) * grid),
-                        float(np.floor(p[1] / grid + 0.5) * grid),
-                    )
-                if p != segs[i][0] and p != segs[i][1]:
-                    splits[i].append(p)
-                if p != segs[j][0] and p != segs[j][1]:
-                    splits[j].append(p)
+    if n > 64:
+        cand = _candidate_pairs(
+            np.column_stack([arr[: n], arr[1 : n + 1]])
+        )
+    else:
+        cand = ((i, j) for i in range(n) for j in range(i + 1, n))
+    for i, j in cand:
+        kind, ipts = alg.segment_intersection(segs[i][0], segs[i][1], segs[j][0], segs[j][1])
+        if kind == "none":
+            continue
+        for p in ipts:
+            p = (float(p[0]), float(p[1]))
+            if grid:
+                p = (
+                    float(np.floor(p[0] / grid + 0.5) * grid),
+                    float(np.floor(p[1] / grid + 0.5) * grid),
+                )
+            if p != segs[i][0] and p != segs[i][1]:
+                splits[i].append(p)
+            if p != segs[j][0] and p != segs[j][1]:
+                splits[j].append(p)
     path = []
     for i, (p0, p1) in enumerate(segs):
         path.append(p0)
@@ -917,6 +922,42 @@ class _Edges:
                 comps.append((renvs[0], renvs, comp.data))
             self._area_comps = comps
         return self._area_comps
+
+
+def _batch_area_side(mids: np.ndarray, comps) -> np.ndarray:
+    """Vectorized equivalent of classify_area_side for many midpoints:
+    even-odd interior parity across the operand's polygon components,
+    with any on-boundary hit coercing to Interior (covered).  Uses the
+    batch ray-crossing kernel, whose boundary-suspect band matches the
+    scalar orient2d exact-arithmetic filter, so results are identical to
+    the per-point robust probe."""
+    P = len(mids)
+    crossings = np.zeros(P, dtype=np.int64)
+    on_b = np.zeros(P, dtype=bool)
+    for ce, _renvs, rings in comps:
+        sel = (
+            (mids[:, 0] >= ce[0])
+            & (mids[:, 0] <= ce[2])
+            & (mids[:, 1] >= ce[1])
+            & (mids[:, 1] <= ce[3])
+        )
+        if not sel.any():
+            continue
+        pts = mids[sel]
+        nseg = sum(len(r) for r in rings)
+        chunk = max(64, 2_000_000 // max(nseg, 1))  # bound the P×E matrix
+        if len(pts) <= chunk:
+            loc = alg.locate_points_in_rings(pts, rings)
+        else:
+            loc = np.concatenate(
+                [
+                    alg.locate_points_in_rings(pts[i : i + chunk], rings)
+                    for i in range(0, len(pts), chunk)
+                ]
+            )
+        on_b[sel] |= loc == B
+        crossings[sel] += loc == I
+    return np.where(on_b | (crossings % 2 == 1), I, E)
 
 
 def _node_edges(ea: _Edges, eb: _Edges, point_noding: bool = True, grid: float | None = None, hot: bool = True):
@@ -1394,6 +1435,9 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
         """Location of the piece's 2-D SIDES w.r.t. the other operand's
         AREA components only — lineal features have measure zero beside a
         2-D neighborhood and never make a side Interior."""
+        memo = piece.get("_side")
+        if memo is not None:
+            return memo
         mx = (piece["p0"][0] + piece["p1"][0]) / 2.0
         my = (piece["p0"][1] + piece["p1"][1]) / 2.0
         crossings = 0
@@ -1527,7 +1571,27 @@ def _overlay_general(a: Geom, b: Geom, op: str, merge_line_output: bool = True, 
                     (piece["p0"], piece["p1"], "shared", ("a" if own_is_a else "b", piece["comp"], piece["segidx"], piece["t0"]))
                 )
 
-    # area boundaries
+    # area boundaries — classify every ring piece's midpoint against the
+    # other operand in ONE vectorized pass per side (the scalar per-piece
+    # probe scanned the other operand's whole boundary per call and was
+    # the hot loop of large cascaded unions); classify_area_side consults
+    # the memo, falling back to the scalar kernel only for pieces built
+    # after this point (collapsed-line probes use offset points anyway)
+    for pieces, other in ((pa, eb), (pb, ea)):
+        ring_ps = [p for p in pieces if p["kind"] == "ring"]
+        if ring_ps and other.area_comps():
+            mids = np.array(
+                [
+                    (
+                        (p["p0"][0] + p["p1"][0]) / 2.0,
+                        (p["p0"][1] + p["p1"][1]) / 2.0,
+                    )
+                    for p in ring_ps
+                ]
+            )
+            sides = _batch_area_side(mids, other.area_comps())
+            for p, s in zip(ring_ps, sides):
+                p["_side"] = int(s)
     for piece in pa:
         if piece["kind"] == "ring":
             handle_area_piece(piece, True, eb, b)
