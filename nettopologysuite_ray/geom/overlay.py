@@ -605,16 +605,29 @@ def _snap_result(g: Geom, grid: float, op: str, protected_lines: set | None = No
             if not shells and holes:
                 shells = [h[::-1].copy() for h in holes]
                 holes = []
+            comp_start = len(polys)
             for s in shells:
                 if not alg.is_ccw_robust(s):
                     s = s[::-1].copy()
                 polys.append([s])
             for h in holes:
-                hx, hy = float(h[0, 0]), float(h[0, 1])
-                for rings in polys:
-                    probe = _ring_probe_not_on(h, rings[0])
-                    if probe and alg.locate_point_in_rings(probe[0], probe[1], [rings[0]]) == I:
-                        rings.append(h)
+                # assign to the INNERMOST containing shell (nested donuts:
+                # the outer shell contains the inner polygon's hole too, but
+                # the hole belongs to the smallest shell around it); prefer
+                # this component's own shells, fall back to earlier comps
+                # only if none of them contains the hole
+                for cand in (polys[comp_start:], polys[:comp_start]):
+                    best = None
+                    best_area = math.inf
+                    for rings in cand:
+                        probe = _ring_probe_not_on(h, rings[0])
+                        if probe and alg.locate_point_in_rings(probe[0], probe[1], [rings[0]]) == I:
+                            sa = abs(alg.ring_signed_area(rings[0]))
+                            if sa < best_area:
+                                best_area = sa
+                                best = rings
+                    if best is not None:
+                        best.append(h)
                         break
     polys = _split_touching_holes(polys)
     # drop lines covered by polygons, dedup

@@ -896,3 +896,38 @@ def test_coverage_simplify_exact_rectangle_recovery():
         assert len(g.data[0]) - 1 == 4
         assert int(round(alg.area(g))) == a
         assert int(round(alg.length(g))) == p
+
+
+def test_negative_buffer_nested_donuts():
+    """Fuzz regression (round-4 campaign, origin frame i=1255): a
+    MULTIPOLYGON of two concentric donuts eroded by a small distance must
+    SHRINK, and the result's hole must stay attached to the INNERMOST
+    containing shell — the grid-welded assembly used to hand the inner
+    donut's hole to the outer shell (a point-set no-op there), silently
+    filling the inner donut when the pieces were re-unioned."""
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.buffer import buffer
+    from nettopologysuite_ray.geom.validity import is_valid
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    g = from_wkt(
+        "MULTIPOLYGON (((3 0, 11 0, 11 8, 3 8, 3 0),"
+        " (4 1, 10 1, 10 7, 4 7, 4 1)),"
+        " ((5 2, 9 2, 9 6, 5 6, 5 2), (6 3, 8 3, 8 5, 6 5, 6 3)))"
+    )
+    assert alg.area(g) == 40.0
+    # mitre keeps square corners: closed-form band areas
+    for d, exp in [(-0.05, 36.0), (-0.1, 32.0), (-0.2, 24.0), (-0.3, 16.0)]:
+        m = buffer(g, d, join="mitre", cap="flat")
+        assert abs(alg.area(m) - exp) < 1e-3, (d, alg.area(m))
+        assert is_valid(m)
+        # round join differs only by the rounded hole corners: within
+        # 2 rings * 4 corners * (4-pi) * d^2 of the mitre area, never more
+        r = buffer(g, d, join="round", cap="flat")
+        assert is_valid(r)
+        assert exp - 1e-3 <= alg.area(r) <= exp + 8 * (4 - 3.14159) * d * d + 1e-3
+        # both donuts keep their holes: 2 polygons x 2 rings each
+        comps = [c for c in r.flatten()]
+        assert sorted(len(c.data) for c in comps) == [2, 2], [
+            len(c.data) for c in comps
+        ]
