@@ -1413,6 +1413,66 @@ def _q_within_distance_join(sf_dir: str):
     return out.select_columns(["event_id", "doc_id", "entity_idx", "dist2"])
 
 
+def _q_cluster_dbscan(sf_dir: str):
+    """Deterministic distributed DBSCAN (stages/cluster.py) over points
+    synthesized from event ids: 48 tight clusters (60% of points; one
+    band with wide jitter supplies border/noise candidates) plus a
+    uniform scattered field.  The oracle recomputes the exact semantics
+    (integer dist2 <= eps^2; clusters = CCs of the core-core graph with
+    MIN-core-id labels; border = MIN cluster over core neighbors) with a
+    recursive CTE."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.cluster import dbscan
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = eid[eid % 4 == 0]
+        m10 = eid % 10
+        member = m10 < 5
+        wide = m10 == 4
+        cid = (eid // 4) % 48
+        jx = np.where(wide, (eid * 7919) % 281 - 140, (eid * 7919) % 81 - 40)
+        jy = np.where(wide, (eid * 104729) % 281 - 140, (eid * 104729) % 81 - 40)
+        x = np.where(member, (cid * 4409) % 30000 - 15000 + jx,
+                     (eid * 7919) % 36000 - 18000)
+        y = np.where(member, (cid * 6829) % 15000 - 7500 + jy,
+                     (eid * 104729) % 18000 - 9000)
+        return pa.table(
+            {"pt_id": pa.array(eid), "lon_1e2": pa.array(x), "lat_1e2": pa.array(y)}
+        )
+
+    pts = events.map_batches(synth, batch_format="pyarrow")
+    return dbscan(pts, eps_1e2=150, min_pts=4, id_col="pt_id", level=6)
+
+
+def _q_relational_rollups(sf_dir: str):
+    """Merged gate row for the two broadcast-join relational rollups
+    (top-k order selection + per-region customer counts), folded into one
+    long-schema table so the 50-query driver cap keeps every component
+    covered (VERDICT r3 item 1).  Both sub-results are driver-small
+    (10 + #regions rows)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    top = _q_top_orders(sf_dir).to_pandas()
+    reg = _q_customers_per_region(sf_dir).to_pandas()
+    out = pd.DataFrame(
+        {
+            "tag": ["top_order"] * len(top) + ["region"] * len(reg),
+            "key": [str(int(k)) for k in top["o_orderkey"]] + list(reg["r_name"]),
+            "v1": list(top["o_custkey"].astype("int64"))
+            + list(reg["n_customers"].astype("int64")),
+            "v2": list(top["totalprice_1e2"].astype("int64")) + [0] * len(reg),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _q_tile_top_docs(sf_dir: str):
     from nettopologysuite_ray.stages.tiling import assign_cells_batch, grouped_topk_min
 
@@ -2214,6 +2274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_grid": _q_node_grid,
         "overlay_z_docs": _q_overlay_z_docs,
         "within_distance_join": _q_within_distance_join,
+        "cluster_dbscan": _q_cluster_dbscan,
         "geo_extract": _q_geo_extract,
         "spatial_join_modes": _q_spatial_join_modes,
         "tile_curves": _q_tile_curves,
@@ -2225,8 +2286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densify_simplify": _q_densify_simplify,
         "multimodal_decode": _q_multimodal_decode,
         "q1_pricing": _q_q1_pricing,
-        "top_orders": _q_top_orders,
-        "customers_per_region": _q_customers_per_region,
+        "relational_rollups": _q_relational_rollups,
         "events_stats": _q_events_stats,
         "doc_token_stats": _q_doc_token_stats,
         "dedup_exact": _q_dedup_exact,
@@ -2706,18 +2766,73 @@ SELECT l_returnflag, l_linestatus,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
-        "top_orders": """
-SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_1e2
-FROM orders JOIN customer ON c_custkey = o_custkey
-WHERE c_mktsegment = 'BUILDING'
-ORDER BY totalprice_1e2 DESC, o_orderkey LIMIT 10
-""",
-        "customers_per_region": """
-SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        "relational_rollups": """
+SELECT 'top_order' AS tag, CAST(o_orderkey AS VARCHAR) AS "key",
+       o_custkey AS v1, totalprice_1e2 AS v2
+FROM (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_1e2
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  ORDER BY totalprice_1e2 DESC, o_orderkey LIMIT 10
+)
+UNION ALL
+SELECT 'region' AS tag, r_name AS "key",
+       CAST(COUNT(*) AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
+""",
+        "cluster_dbscan": """
+WITH RECURSIVE pts AS (
+  SELECT event_id AS pt_id,
+    CASE WHEN event_id % 10 < 5
+      THEN ((event_id // 4) % 48) * 4409 % 30000 - 15000
+           + CASE WHEN event_id % 10 = 4
+                  THEN (event_id * 7919) % 281 - 140
+                  ELSE (event_id * 7919) % 81 - 40 END
+      ELSE (event_id * 7919) % 36000 - 18000 END AS x,
+    CASE WHEN event_id % 10 < 5
+      THEN ((event_id // 4) % 48) * 6829 % 15000 - 7500
+           + CASE WHEN event_id % 10 = 4
+                  THEN (event_id * 104729) % 281 - 140
+                  ELSE (event_id * 104729) % 81 - 40 END
+      ELSE (event_id * 104729) % 18000 - 9000 END AS y
+  FROM events WHERE event_id % 4 = 0
+),
+nbr AS (
+  SELECT a.pt_id AS ia, b.pt_id AS ib FROM pts a JOIN pts b
+  ON a.pt_id <> b.pt_id
+ AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 22500
+),
+deg AS (SELECT ia AS pt_id, COUNT(*) AS n FROM nbr GROUP BY ia),
+cores AS (SELECT pt_id FROM deg WHERE n >= 3),
+cedge AS (
+  SELECT n.ia, n.ib FROM nbr n
+  JOIN cores c1 ON n.ia = c1.pt_id
+  JOIN cores c2 ON n.ib = c2.pt_id
+),
+reach(id, lbl) AS (
+  SELECT pt_id, pt_id FROM cores
+  UNION
+  SELECT e.ib, r.lbl FROM reach r JOIN cedge e ON e.ia = r.id
+),
+clab AS (SELECT id AS pt_id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+blab AS (
+  SELECT n.ia AS pt_id, MIN(c.cluster) AS cluster
+  FROM nbr n JOIN clab c ON n.ib = c.pt_id
+  WHERE n.ia NOT IN (SELECT pt_id FROM cores)
+  GROUP BY n.ia
+)
+SELECT p.pt_id,
+  CAST(COALESCE(c.cluster, b.cluster, -1) AS BIGINT) AS cluster,
+  CASE WHEN c.pt_id IS NOT NULL THEN 'core'
+       WHEN b.pt_id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role
+FROM pts p
+LEFT JOIN clab c ON p.pt_id = c.pt_id
+LEFT JOIN blab b ON p.pt_id = b.pt_id
 """,
         "events_stats": """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

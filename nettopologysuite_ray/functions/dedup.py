@@ -589,6 +589,10 @@ def _min_label_propagation(
             .union(labels.map_batches(tag_label, batch_format="pyarrow"))
             .groupby("_h")
             .map_groups(merge_bucket, batch_format="pandas")
+            # normalize to ARROW blocks: map_groups can emit empty pandas
+            # blocks for row-less partitions, and the union below feeds a
+            # sort-based aggregate that refuses mixed block types
+            .map_batches(lambda t: t, batch_format="pyarrow")
         )
         labels = (
             labels.union(prop)

@@ -166,11 +166,11 @@ def within_distance_join(
 
     r2 = r * r
 
-    def join_cell(g: pd.DataFrame) -> pd.DataFrame:
+    def join_cell(g: pd.DataFrame) -> pa.Table:
         lefts = g[g["side"] == 0]
         rights = g[g["side"] == 1]
         if lefts.empty or rights.empty:
-            return pd.DataFrame({k: pd.Series([], dtype="int64") for k in lk + rk + ["dist2"]})
+            return pa.table({k: pa.array([], type=pa.int64()) for k in lk + rk + ["dist2"]})
         lx = lefts["lon_1e2"].to_numpy()
         ly = lefts["lat_1e2"].to_numpy()
         rx = rights["lon_1e2"].to_numpy()
@@ -201,6 +201,10 @@ def within_distance_join(
         for k in rk:
             out[k] = rights[k].to_numpy()[jj].astype(np.int64)
         out["dist2"] = d2v.astype(np.int64)
-        return pd.DataFrame(out)
+        # emit ARROW: pandas return blocks here would mix with the Arrow
+        # blocks every downstream map_batches(batch_format="pyarrow")
+        # produces, and Ray refuses mixed block types in one dataset
+        # (0-row pandas blocks in particular survive later map stages)
+        return pa.table(out)
 
     return both.groupby("cell").map_groups(join_cell, batch_format="pandas")

@@ -1,0 +1,372 @@
+"""Distributed density clustering — deterministic DBSCAN over a point
+Dataset (the PostGIS ``ST_ClusterDBSCAN`` role; the reference ships the
+geometric substrate — DistanceOp, STRtree — but no density clustering, so
+this is an engine-level extension in the spirit of SURVEY.md §2.8).
+
+Semantics (the DETERMINISTIC variant — classic DBSCAN's border
+assignment depends on visit order, which has no place in a distributed
+engine where output must be row-identical at any parallelism level):
+
+- ``core``: a point with >= ``min_pts`` points within ``eps`` (the point
+  itself included, the standard convention; distance test is
+  ``dist2 <= eps^2`` in exact integer-cent arithmetic).
+- clusters: connected components of the core-core eps-graph; the cluster
+  label is the MIN core id of the component (an isolated core — no other
+  core within eps — is its own singleton cluster).
+- ``border``: a non-core point with at least one core within eps; it
+  joins the MIN cluster label among its core neighbors (classic DBSCAN
+  assigns the first-visiting core's cluster; min is the canonical
+  deterministic choice).
+- ``noise``: everything else, labelled -1.
+
+Distributed shape (every step is a bounded shuffle, nothing collects to
+the driver, every per-bucket kernel is vectorized pandas/numpy):
+
+1. eps-pairs via the cell-keyed shuffle join (`cell_join.py`) — exact
+   integer arithmetic, report-at-left-cell dedup, optional hot-cell
+   salting; left = right = the point table, so the ordered pair list is
+   symmetric by construction ((a,b) and (b,a) both present exactly once).
+2. core flags: one ``groupby(id).count`` over the pairs gives degrees;
+   the core-id set is a filter over that bounded table.
+3. flag attachment: two hash-bucketed co-group passes (the same
+   fixed-schema union + groupby(_h) + per-bucket `isin` shape
+   `functions/dedup.py` uses for its propagation joins — Ray's native
+   hash join is avoided) classify every ordered pair into core-core
+   edges and border candidacies without ever shipping the point table.
+4. components: min-label propagation to a fixed point (pointer doubling,
+   O(log diameter) rounds — reused verbatim from `functions/dedup.py`).
+5. label assembly: three more bucketed co-groups keyed by core id then
+   point id, all vectorized merges.
+
+At 100 TB the dominant cost is step 1's pair generation (the same join
+the `within_distance_join` gate row exercises, salting included); all
+later exchanges carry at most the edge list or one row per point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .cell_join import within_distance_join
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_bucket(v: np.ndarray, partitions: int) -> np.ndarray:
+    return (
+        ((v.astype(np.uint64) * _GOLD) >> np.uint64(32)) % np.uint64(partitions)
+    ).astype(np.int64)
+
+
+def _sym_pairs(points, id_col: str, eps_1e2: int, level: int, salt_threshold, n_salt):
+    """Symmetric ordered eps-pair list (id_col, _nbr), self-pairs removed."""
+    left = points.select_columns([id_col, "lon_1e2", "lat_1e2"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["_nbr" if c == id_col else c for c in b.column_names])
+
+    right = left.map_batches(rename, batch_format="pyarrow")
+    pairs = within_distance_join(
+        left,
+        right,
+        radius_1e2=eps_1e2,
+        level=level,
+        left_keys=(id_col,),
+        right_keys=("_nbr",),
+        salt_threshold=salt_threshold,
+        n_salt=n_salt,
+    )
+
+    def drop_self(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.not_equal(b[id_col], b["_nbr"])).select(
+            [id_col, "_nbr"]
+        )
+
+    return pairs.map_batches(drop_self, batch_format="pyarrow")
+
+
+def dbscan(
+    points,
+    eps_1e2: int,
+    min_pts: int,
+    id_col: str = "pt_id",
+    level: int = 6,
+    salt_threshold: int | None = None,
+    n_salt: int = 16,
+    shuffle_partitions: int = 16,
+):
+    """Deterministic DBSCAN over a Dataset with integer-cent coordinates
+    (`id_col`, lon_1e2, lat_1e2).  Returns (`id_col`, cluster int64,
+    role string) — cluster == -1 for noise, else the min core id of the
+    cluster; role in {'core','border','noise'}.  Output is row-identical
+    at any parallelism level (every tie broken by MIN).
+
+    min_pts must be >= 2 (min_pts == 1 degenerates to "every point is a
+    singleton cluster", which needs no clustering engine)."""
+    if min_pts < 2:
+        raise ValueError("dbscan: min_pts must be >= 2")
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.dedup import _min_label_propagation
+
+    P = int(shuffle_partitions)
+    pairs = _sym_pairs(points, id_col, eps_1e2, level, salt_threshold, n_salt)
+
+    # -- step 2: degrees -> core-id set (one bounded groupby; the core
+    # test is n_neighbors + 1 >= min_pts, self included).
+    deg = pairs.groupby(id_col).aggregate(Count(alias_name="n"))
+    cores = deg.filter(expr=f"n >= {int(min_pts) - 1}").select_columns([id_col])
+
+    # Fixed co-group row schema: (key, v, w, src) — src=1 rows carry the
+    # small side (core ids / labels), src=0 rows the streaming side.
+    def _rows(key, v, w, src, part):
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "v": pa.array(v),
+                "w": pa.array(w),
+                "src": pa.array(np.full(len(key), src, dtype=np.int8)),
+                "_h": pa.array(_hash_bucket(key, part)),
+            }
+        )
+
+    def tag_pairs_a(b: pa.Table) -> pa.Table:
+        a = b[id_col].to_numpy(zero_copy_only=False)
+        nb = b["_nbr"].to_numpy(zero_copy_only=False)
+        return _rows(a, nb, np.zeros(len(a), dtype=np.int64), 0, P)
+
+    def tag_core_set(b: pa.Table) -> pa.Table:
+        c = b[id_col].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(c), dtype=np.int64)
+        return _rows(c, z, z, 1, P)
+
+    # -- step 3a: attach a_core; re-key by the b endpoint in the same
+    # pass (output key=b, v=a, w=a_core).
+    # NOTE: every per-group fn below returns ARROW — Ray passes 0-row
+    # blocks through later map stages unprocessed, so an empty pandas
+    # return would plant a sticky pandas block that crashes the first
+    # sort-based aggregate over a union with Arrow blocks.
+    def flag_a(g: pd.DataFrame) -> pa.Table:
+        core_ids = g.loc[g["src"] == 1, "key"].to_numpy()
+        pr = g[g["src"] == 0]
+        if pr.empty:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.int64()),
+                    "v": pa.array([], type=pa.int64()),
+                    "w": pa.array([], type=pa.int64()),
+                }
+            )
+        a = pr["key"].to_numpy()
+        bb = pr["v"].to_numpy()
+        a_core = np.isin(a, core_ids).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(bb.astype(np.int64)),
+                "v": pa.array(a.astype(np.int64)),
+                "w": pa.array(a_core),
+            }
+        )
+
+    half = (
+        pairs.map_batches(tag_pairs_a, batch_format="pyarrow")
+        .union(cores.map_batches(tag_core_set, batch_format="pyarrow"))
+        .groupby("_h")
+        .map_groups(flag_a, batch_format="pandas")
+    )
+
+    def retag_half(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        return _rows(k, b["v"].to_numpy(zero_copy_only=False), b["w"].to_numpy(zero_copy_only=False), 0, P)
+
+    # -- step 3b: attach b_core and classify.  kind 0 = core-core edge
+    # (emitted once, a<b orientation); kind 1 = border candidacy
+    # (a = border point, b = its core neighbor).
+    def flag_b(g: pd.DataFrame) -> pa.Table:
+        core_ids = g.loc[g["src"] == 1, "key"].to_numpy()
+        pr = g[g["src"] == 0]
+        if pr.empty:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "kind": pa.array([], type=pa.int8()),
+                }
+            )
+        bb = pr["key"].to_numpy()
+        a = pr["v"].to_numpy()
+        a_core = pr["w"].to_numpy().astype(bool)
+        b_core = np.isin(bb, core_ids)
+        cc = a_core & b_core & (a < bb)
+        cand = (~a_core) & b_core
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a[cc], a[cand]]).astype(np.int64)),
+                "b": pa.array(np.concatenate([bb[cc], bb[cand]]).astype(np.int64)),
+                "kind": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(int(cc.sum()), dtype=np.int8),
+                            np.ones(int(cand.sum()), dtype=np.int8),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    edges_all = (
+        half.map_batches(retag_half, batch_format="pyarrow")
+        .union(cores.map_batches(tag_core_set, batch_format="pyarrow"))
+        .groupby("_h")
+        .map_groups(flag_b, batch_format="pandas")
+        .materialize()  # consumed by the CC loop and the border branch
+    )
+    # normalize to ARROW blocks: edges_all's map_groups emits pandas
+    # blocks, and _min_label_propagation unions its input with pyarrow
+    # map_batches output — Ray refuses mixed block types in one dataset
+    core_edges = edges_all.filter(expr="kind == 0").map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    )
+    border_cand = edges_all.filter(expr="kind == 1")  # a=border pt, b=core
+
+    # -- step 4: connected components over core-core edges (only cores
+    # with >=1 core neighbor appear; isolated cores are filled below).
+    labels = _min_label_propagation(
+        core_edges.materialize(), id_col, None, shuffle_partitions
+    )
+
+    # -- step 5a: cluster label for EVERY core (isolated -> own id).
+    def tag_lbl(b: pa.Table) -> pa.Table:
+        k = b[id_col].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(k), dtype=np.int64)
+        return _rows(k, b["rep_id"].to_numpy(zero_copy_only=False), z, 1, P)
+
+    def fill_core(g: pd.DataFrame) -> pa.Table:
+        cr = g[g["src"] == 0][["key"]]
+        lb = g[g["src"] == 1][["key", "v"]].rename(columns={"v": "cluster"})
+        if cr.empty:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                }
+            )
+        m = cr.merge(lb, on="key", how="left")
+        cl = m["cluster"].to_numpy()
+        k = m["key"].to_numpy().astype(np.int64)
+        cl = np.where(np.isnan(cl), k, cl).astype(np.int64)
+        return pa.table({id_col: pa.array(k), "cluster": pa.array(cl)})
+
+    core_labels = (
+        cores.map_batches(tag_core_set, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("src"),
+                "src",
+                pa.array(np.zeros(len(b), dtype=np.int8)),
+            ),
+            batch_format="pyarrow",
+        )
+        .union(labels.map_batches(tag_lbl, batch_format="pyarrow"))
+        .groupby("_h")
+        .map_groups(fill_core, batch_format="pandas")
+        .materialize()  # consumed twice: border attach + final assembly
+    )
+
+    # -- step 5b: border label = MIN cluster over the point's core
+    # neighbors (bucketed co-group keyed by the CORE id).
+    def tag_cand(b: pa.Table) -> pa.Table:
+        core = b["b"].to_numpy(zero_copy_only=False)
+        pt = b["a"].to_numpy(zero_copy_only=False)
+        return _rows(core, pt, np.zeros(len(core), dtype=np.int64), 0, P)
+
+    def tag_core_lbl(b: pa.Table) -> pa.Table:
+        k = b[id_col].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(k), dtype=np.int64)
+        return _rows(k, b["cluster"].to_numpy(zero_copy_only=False), z, 1, P)
+
+    def attach(g: pd.DataFrame) -> pa.Table:
+        lb = g[g["src"] == 1][["key", "v"]].rename(columns={"v": "cluster"})
+        cd = g[g["src"] == 0][["key", "v"]].rename(columns={"v": "pt"})
+        if cd.empty or lb.empty:
+            return pa.table(
+                {
+                    "pt": pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                }
+            )
+        m = cd.merge(lb, on="key", how="inner")
+        return pa.table(
+            {
+                "pt": pa.array(m["pt"].to_numpy().astype(np.int64)),
+                "cluster": pa.array(m["cluster"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    border_labels = (
+        border_cand.map_batches(tag_cand, batch_format="pyarrow")
+        .union(core_labels.map_batches(tag_core_lbl, batch_format="pyarrow"))
+        .groupby("_h")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("pt")
+        .aggregate(Min("cluster", alias_name="cluster"))
+    )
+
+    # -- final assembly keyed by point id: core label wins, else border,
+    # else noise (-1).  Cores and borders are disjoint by construction,
+    # so each id carries at most ONE label row.
+    def tag_point(b: pa.Table) -> pa.Table:
+        k = b[id_col].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(k), dtype=np.int64)
+        return _rows(k, z, z, 0, P)
+
+    def tag_core_final(b: pa.Table) -> pa.Table:
+        k = b[id_col].to_numpy(zero_copy_only=False)
+        return _rows(
+            k,
+            b["cluster"].to_numpy(zero_copy_only=False),
+            np.full(len(k), 2, dtype=np.int64),
+            1,
+            P,
+        )
+
+    def tag_border_final(b: pa.Table) -> pa.Table:
+        k = b["pt"].to_numpy(zero_copy_only=False)
+        return _rows(
+            k,
+            b["cluster"].to_numpy(zero_copy_only=False),
+            np.ones(len(k), dtype=np.int64),
+            1,
+            P,
+        )
+
+    ROLES = np.array(["noise", "border", "core"])
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        pts = g[g["src"] == 0][["key"]]
+        lb = g[g["src"] == 1][["key", "v", "w"]]
+        m = pts.merge(lb, on="key", how="left")
+        w = m["w"].to_numpy()
+        w = np.where(np.isnan(w), 0, w).astype(np.int64)
+        cl = m["v"].to_numpy()
+        cl = np.where(np.isnan(cl), -1, cl).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(m["key"].to_numpy().astype(np.int64)),
+                "cluster": pa.array(np.where(w > 0, cl, np.int64(-1))),
+                "role": pa.array(ROLES[np.minimum(w, 2)]),
+            }
+        )
+
+    return (
+        points.select_columns([id_col])
+        .map_batches(tag_point, batch_format="pyarrow")
+        .union(core_labels.map_batches(tag_core_final, batch_format="pyarrow"))
+        .union(border_labels.map_batches(tag_border_final, batch_format="pyarrow"))
+        .groupby("_h")
+        .map_groups(finalize, batch_format="pandas")
+    )
