@@ -507,6 +507,136 @@ def _q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(ds, k=5)
 
 
+def _q_term_stats(sf_dir: str):
+    """Merged gate row for the two term-statistics pipelines (global
+    top-50 vocabulary head + per-doc top-5 tf-idf terms), folded into one
+    long-schema table so the 50-query driver cap keeps every component
+    covered alongside kmeans_embed."""
+    import pyarrow as pa
+
+    def long_top(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = len(b)
+        return pa.table(
+            {
+                "tag": pa.array(["top"] * n),
+                "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "token": b["token"],
+                "v1": b["n"],
+                "v2": b["rank"],
+                "v3": pa.array(np.zeros(n, dtype=np.int64)),
+                "v4": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def long_tfidf(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "tag": pa.array(["tfidf"] * n),
+                "doc_id": b["doc_id"],
+                "token": b["token"],
+                "v1": b["tf"],
+                "v2": b["df"],
+                "v3": b["score_1e6"],
+                "v4": b["rank"],
+            }
+        )
+
+    top = _q_top_tokens(sf_dir).map_batches(long_top, batch_format="pyarrow")
+    tf = _q_tfidf_terms(sf_dir).map_batches(long_tfidf, batch_format="pyarrow")
+    return top.union(tf)
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_DIM = 64
+KMEANS_SCALE = 10**6
+
+
+def _q_kmeans_embed(sf_dir: str):
+    """Distributed integer-exact Lloyd's k-means over the embeddings
+    table (functions/kmeans.py): quantize half-away at 1e6, seed from the
+    k lowest vec_ids, 3 Lloyd steps with integer-rounded centroid means,
+    final assignment with ties to the lower centroid id.  The oracle
+    replays every step as nested CTEs."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.functions.kmeans import kmeans
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out, _ = kmeans(
+        ds, KMEANS_DIM, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+    return out
+
+
+def _kmeans_oracle_sql() -> str:
+    """Compose the Lloyd-step replay: q (quantized long format), c0
+    (seed centroids), then per iteration an assignment CTE (argmin dist2,
+    ties to lower cid) + a centroid-update CTE (integer-rounded mean,
+    empty cluster keeps its position)."""
+    k, iters, dim, scale = KMEANS_K, KMEANS_ITERS, KMEANS_DIM, KMEANS_SCALE
+    parts = [
+        f"""WITH q AS (
+  SELECT vec_id, t.i AS i,
+         CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * {scale}) AS BIGINT) AS v
+  FROM embeddings, range({dim}) t(i)
+),
+seed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (SELECT s.cid, q.i, q.v FROM seed s JOIN q ON q.vec_id = s.vec_id)"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM (
+    SELECT q.vec_id, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS d2
+    FROM q JOIN {prev} c ON q.i = c.i
+    GROUP BY q.vec_id, c.cid
+  )
+),
+m{it} AS (
+  SELECT a.cid, q.i, SUM(q.v) AS s, COUNT(*) AS n
+  FROM a{it} a JOIN q ON q.vec_id = a.vec_id
+  WHERE a.rn = 1
+  GROUP BY a.cid, q.i
+),
+c{it} AS (
+  SELECT c.cid, c.i,
+         COALESCE(
+           CASE WHEN m.s >= 0 THEN (2 * m.s + m.n) // (2 * m.n)
+                ELSE -((-2 * m.s + m.n) // (2 * m.n)) END,
+           c.v) AS v
+  FROM {prev} c LEFT JOIN m{it} m ON m.cid = c.cid AND m.i = c.i
+)"""
+        )
+    parts.append(
+        f"""afinal AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM (
+    SELECT q.vec_id, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS d2
+    FROM q JOIN c{iters} c ON q.i = c.i
+    GROUP BY q.vec_id, c.cid
+  )
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+FROM afinal WHERE rn = 1"""
+    )
+    head = parts[0]
+    rest = parts[1:]
+    return head + ",\n" + ",\n".join(rest[:-1]) + ",\n" + rest[-1]
+
+
 def _q_pii_redact(sf_dir: str):
     """PII redaction (emails, IPv4s) over documents with deterministic
     PII injected per doc_id so the redaction path is actually exercised;
@@ -2301,8 +2431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": _q_sample_per_lang,
         "raster_roundtrip": _q_raster_roundtrip,
         "split_assign": _q_split_assign,
-        "top_tokens": _q_top_tokens,
-        "tfidf_terms": _q_tfidf_terms,
+        "term_stats": _q_term_stats,
+        "kmeans_embed": _q_kmeans_embed,
         "pii_redact": _q_pii_redact,
         "lang_pred": _q_lang_pred,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -3021,13 +3151,17 @@ SELECT doc_id, n_emails,
        md5(regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS red_md5
 FROM r
 """,
-        # integer tf-idf rank replay: same tokenizer, score
-        # tf*1e6 // (df+1), token-ascending tie-break
-        "tfidf_terms": """
+        # merged term stats (vocabulary head + per-doc tf-idf ranks) in
+        # one long schema; same tokenizer both legs: lowercase,
+        # whitespace runs, empties dropped; ties token-ascending; score
+        # tf*1e6 // (df+1)
+        "term_stats": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '[\\t\\n\\f\\r \\x0b]+')) AS token
   FROM documents
 ),
+c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1),
+r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) - 1 AS rank FROM c),
 tf AS (
   SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
 ),
@@ -3041,18 +3175,19 @@ scored AS (
          ) - 1 AS rank
   FROM tf JOIN df USING (token)
 )
-SELECT doc_id, token, tf, df, score_1e6, rank FROM scored WHERE rank < 5
+SELECT 'top' AS tag, CAST(-1 AS BIGINT) AS doc_id, token,
+       CAST(n AS BIGINT) AS v1, CAST(rank AS BIGINT) AS v2,
+       CAST(0 AS BIGINT) AS v3, CAST(0 AS BIGINT) AS v4
+FROM r WHERE rank < 50
+UNION ALL
+SELECT 'tfidf' AS tag, doc_id, token,
+       CAST(tf AS BIGINT) AS v1, CAST(df AS BIGINT) AS v2,
+       CAST(score_1e6 AS BIGINT) AS v3, CAST(rank AS BIGINT) AS v4
+FROM scored WHERE rank < 5
 """,
-        # same tokenizer: lowercase, whitespace runs, empties dropped;
-        # ties token-ascending
-        "top_tokens": """
-WITH toks AS (
-  SELECT unnest(string_split_regex(lower(text), '[\\t\\n\\f\\r \\x0b]+')) AS token FROM documents
-),
-c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1),
-r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) - 1 AS rank FROM c)
-SELECT token, n, rank FROM r WHERE rank < 50
-""",
+        # full Lloyd replay: quantize half-away at 1e6, seed from the 8
+        # lowest vec_ids, 3 integer-exact iterations, ties to lower cid
+        "kmeans_embed": _kmeans_oracle_sql(),
         # discrete lower quantile at 1-based rank ceil(q*n/100), replayed
         # with a cumulative-sum window over per-value counts
         "raster_roundtrip": """
