@@ -114,12 +114,20 @@ def dbscan(
     from ..functions.dedup import _min_label_propagation
 
     P = int(shuffle_partitions)
-    pairs = _sym_pairs(points, id_col, eps_1e2, level, salt_threshold, n_salt)
+    # pin the eps-pair list: it feeds BOTH the degree groupby and the
+    # flag-attachment pass, and the degree side is re-read through `cores`
+    # three more times — without the pin every consumer re-runs the cell
+    # join (the most expensive exchange in the pipeline)
+    pairs = _sym_pairs(points, id_col, eps_1e2, level, salt_threshold, n_salt).materialize()
 
     # -- step 2: degrees -> core-id set (one bounded groupby; the core
     # test is n_neighbors + 1 >= min_pts, self included).
     deg = pairs.groupby(id_col).aggregate(Count(alias_name="n"))
-    cores = deg.filter(expr=f"n >= {int(min_pts) - 1}").select_columns([id_col])
+    cores = (
+        deg.filter(expr=f"n >= {int(min_pts) - 1}")
+        .select_columns([id_col])
+        .materialize()  # one row per core; consumed by 3 co-group passes
+    )
 
     # Fixed co-group row schema: (key, v, w, src) — src=1 rows carry the
     # small side (core ids / labels), src=0 rows the streaming side.
