@@ -105,13 +105,23 @@ def kmeans(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     scale: int = 10**6,
+    checkpoint_dir: str | None = None,
 ):
     """Lloyd's k-means over ``ds[emb_col]`` (list<float>, width ``dim``).
 
     Returns (assignments Dataset with columns id_col/cluster/dist2,
     centroids int64 ndarray (k, dim) at ``scale``).  ``iters`` full Lloyd
     steps run after init; the returned assignment is computed against the
-    final centroids."""
+    final centroids.
+
+    checkpoint_dir: when set, each completed Lloyd iteration writes its
+    centroids as a lineage done-marker (state/lineage.py); a re-run with
+    the same semantic params resumes from the highest completed iteration
+    (``iters`` itself is NOT part of the hash — iteration i's centroids
+    do not depend on how many more will run, so extending a finished
+    3-iteration run to 5 re-uses the first 3)."""
+    import json as _json
+
     from ..stages.relational import top_k
 
     q = ds.map_batches(
@@ -122,12 +132,40 @@ def kmeans(
     # read + quantize every iteration
     q = q.materialize()
 
-    seed = top_k(q, [id_col], k, descending=False).to_pandas()
-    C = np.stack(seed.sort_values(id_col)["q"].to_numpy()).astype(np.int64)
-    if C.shape != (k, dim):
-        raise ValueError(f"kmeans: expected {k} seed rows of width {dim}, got {C.shape}")
+    log = None
+    start_iter = 0
+    C = None
+    if checkpoint_dir:
+        from ..state.lineage import LineageLog
 
-    for _ in range(int(iters)):
+        log = LineageLog(
+            checkpoint_dir,
+            {
+                "algo": "kmeans-lloyd-int",
+                "k": k,
+                "dim": dim,
+                "scale": scale,
+                "id_col": id_col,
+                "emb_col": emb_col,
+            },
+        )
+        for i in range(int(iters), 0, -1):
+            if log.is_done(f"iter-{i}"):
+                with open(log.marker_path(f"iter-{i}")) as f:
+                    meta = _json.load(f)
+                C = np.asarray(meta["metrics"]["centroids"], dtype=np.int64)
+                start_iter = i
+                break
+
+    if C is None:
+        seed = top_k(q, [id_col], k, descending=False).to_pandas()
+        C = np.stack(seed.sort_values(id_col)["q"].to_numpy()).astype(np.int64)
+        if C.shape != (k, dim):
+            raise ValueError(
+                f"kmeans: expected {k} seed rows of width {dim}, got {C.shape}"
+            )
+
+    for _it in range(start_iter, int(iters)):
         Cl = C  # rebind for closure capture (C mutates per iteration)
 
         def partial(batch: pa.Table, C=Cl) -> pa.Table:
@@ -158,6 +196,13 @@ def kmeans(
         newC = C.copy()
         newC[nz] = _round_div_half_away(s_tot[nz], n_tot[nz][:, None])
         C = newC
+        if log is not None:
+            log.mark_done(
+                f"iter-{_it + 1}",
+                inputs=[],
+                rows=int(n_tot.sum()),
+                metrics={"centroids": C.tolist()},
+            )
 
     Cf = C
 

@@ -135,3 +135,31 @@ def test_kmeans_parallelism_invariant(ray_session):
     a = a.sort_values("vec_id").reset_index(drop=True)
     b = b.sort_values("vec_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_kmeans_checkpoint_resume(ray_session, tmp_path):
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(150, 4)) * 0.2
+    ids = np.arange(150).astype(np.int64)
+    ck = str(tmp_path / "km")
+
+    # direct 3-iteration run (no checkpoint) = ground truth
+    direct, Cd = kmeans(_mk_ds(ids, X), 4, k=3, iters=3)
+    direct = direct.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    # run 2 iterations with checkpointing, then EXTEND to 3 in a second
+    # call against the same dir: the first two Lloyd steps must be reused
+    # (their done-markers exist) and the final result must equal direct
+    kmeans(_mk_ds(ids, X), 4, k=3, iters=2, checkpoint_dir=ck)
+    import os
+
+    assert os.path.exists(os.path.join(ck, "_lineage", "part-iter-2.json"))
+    resumed, Cr = kmeans(_mk_ds(ids, X), 4, k=3, iters=3, checkpoint_dir=ck)
+    resumed = resumed.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert (Cr == Cd).all()
+    assert resumed.equals(direct)
+
+    # a params change invalidates the markers (different hash -> no reuse)
+    out2, C2 = kmeans(_mk_ds(ids, X), 4, k=3, iters=3, scale=10**5, checkpoint_dir=ck)
+    cid, d2, Cb = _brute_kmeans(ids, X, 3, 3, scale=10**5)
+    assert (C2 == Cb).all()
