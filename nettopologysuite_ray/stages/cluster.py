@@ -109,25 +109,15 @@ def dbscan(
     singleton cluster", which needs no clustering engine)."""
     if min_pts < 2:
         raise ValueError("dbscan: min_pts must be >= 2")
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min
 
     from ..functions.dedup import _min_label_propagation
 
     P = int(shuffle_partitions)
-    # pin the eps-pair list: it feeds BOTH the degree groupby and the
-    # flag-attachment pass, and the degree side is re-read through `cores`
-    # three more times — without the pin every consumer re-runs the cell
-    # join (the most expensive exchange in the pipeline)
+    # pin the eps-pair list: both flag passes read it — without the pin
+    # every consumer re-runs the cell join (the most expensive exchange
+    # in the pipeline)
     pairs = _sym_pairs(points, id_col, eps_1e2, level, salt_threshold, n_salt).materialize()
-
-    # -- step 2: degrees -> core-id set (one bounded groupby; the core
-    # test is n_neighbors + 1 >= min_pts, self included).
-    deg = pairs.groupby(id_col).aggregate(Count(alias_name="n"))
-    cores = (
-        deg.filter(expr=f"n >= {int(min_pts) - 1}")
-        .select_columns([id_col])
-        .materialize()  # one row per core; consumed by 3 co-group passes
-    )
 
     # Fixed co-group row schema: (key, v, w, src) — src=1 rows carry the
     # small side (core ids / labels), src=0 rows the streaming side.
@@ -142,84 +132,76 @@ def dbscan(
             }
         )
 
-    def tag_pairs_a(b: pa.Table) -> pa.Table:
-        a = b[id_col].to_numpy(zero_copy_only=False)
-        nb = b["_nbr"].to_numpy(zero_copy_only=False)
-        return _rows(a, nb, np.zeros(len(a), dtype=np.int64), 0, P)
-
     def tag_core_set(b: pa.Table) -> pa.Table:
         c = b[id_col].to_numpy(zero_copy_only=False)
         z = np.zeros(len(c), dtype=np.int64)
         return _rows(c, z, z, 1, P)
 
-    # -- step 3a: attach a_core; re-key by the b endpoint in the same
-    # pass (output key=b, v=a, w=a_core).
+    # -- steps 2+3 fused: TWO bucketed shuffles classify every pair.
+    # Routing a pair row by hash(endpoint) puts that endpoint's ENTIRE
+    # neighbor list in one bucket (the pair list is symmetric), so its
+    # degree — and therefore its core flag (degree >= min_pts - 1, self
+    # counted separately) — is computable in-bucket with one np.unique.
+    # No separate degree groupby, no core-set side to union in.
     # NOTE: every per-group fn below returns ARROW — Ray passes 0-row
     # blocks through later map stages unprocessed, so an empty pandas
     # return would plant a sticky pandas block that crashes the first
     # sort-based aggregate over a union with Arrow blocks.
-    def flag_a(g: pd.DataFrame) -> pa.Table:
-        core_ids = g.loc[g["src"] == 1, "key"].to_numpy()
-        pr = g[g["src"] == 0]
-        if pr.empty:
-            return pa.table(
-                {
-                    "key": pa.array([], type=pa.int64()),
-                    "v": pa.array([], type=pa.int64()),
-                    "w": pa.array([], type=pa.int64()),
-                }
-            )
-        a = pr["key"].to_numpy()
-        bb = pr["v"].to_numpy()
-        a_core = np.isin(a, core_ids).astype(np.int64)
+    thresh = int(min_pts) - 1
+
+    def tag_by_a(b: pa.Table) -> pa.Table:
+        a = b[id_col].to_numpy(zero_copy_only=False)
+        nb = b["_nbr"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "key": pa.array(bb.astype(np.int64)),
-                "v": pa.array(a.astype(np.int64)),
-                "w": pa.array(a_core),
+                "key": pa.array(a),
+                "v": pa.array(nb),
+                "_h": pa.array(_hash_bucket(a, P)),
             }
         )
 
-    half = (
-        pairs.map_batches(tag_pairs_a, batch_format="pyarrow")
-        .union(cores.map_batches(tag_core_set, batch_format="pyarrow"))
-        .groupby("_h")
-        .map_groups(flag_a, batch_format="pandas")
-    )
-
-    def retag_half(b: pa.Table) -> pa.Table:
-        k = b["key"].to_numpy(zero_copy_only=False)
-        return _rows(k, b["v"].to_numpy(zero_copy_only=False), b["w"].to_numpy(zero_copy_only=False), 0, P)
-
-    # -- step 3b: attach b_core and classify.  kind 0 = core-core edge
-    # (emitted once, a<b orientation); kind 1 = border candidacy
-    # (a = border point, b = its core neighbor).
-    def flag_b(g: pd.DataFrame) -> pa.Table:
-        core_ids = g.loc[g["src"] == 1, "key"].to_numpy()
-        pr = g[g["src"] == 0]
-        if pr.empty:
-            return pa.table(
-                {
-                    "a": pa.array([], type=pa.int64()),
-                    "b": pa.array([], type=pa.int64()),
-                    "kind": pa.array([], type=pa.int8()),
-                }
-            )
-        bb = pr["key"].to_numpy()
-        a = pr["v"].to_numpy()
-        a_core = pr["w"].to_numpy().astype(bool)
-        b_core = np.isin(bb, core_ids)
-        cc = a_core & b_core & (a < bb)
-        cand = (~a_core) & b_core
+    def flag_a(g: pd.DataFrame) -> pa.Table:
+        a = g["key"].to_numpy().astype(np.int64)
+        bb = g["v"].to_numpy().astype(np.int64)
+        _, inv, cnt = np.unique(a, return_inverse=True, return_counts=True)
+        a_core = (cnt[inv] >= thresh).astype(np.int64)
+        # re-key by the b endpoint for pass 2
         return pa.table(
             {
-                "a": pa.array(np.concatenate([a[cc], a[cand]]).astype(np.int64)),
-                "b": pa.array(np.concatenate([bb[cc], bb[cand]]).astype(np.int64)),
+                "key": pa.array(bb),
+                "v": pa.array(a),
+                "w": pa.array(a_core),
+                "_h": pa.array(_hash_bucket(bb, P)),
+            }
+        )
+
+    # -- pass 2: b's degree in-bucket -> classify.  kind 0 = core-core
+    # edge (emitted once, a<b orientation); kind 1 = border candidacy
+    # (a = border point, b = its core neighbor); kind 2 = core marker
+    # (one row per core point, isolated cores included).
+    def flag_b(g: pd.DataFrame) -> pa.Table:
+        bb = g["key"].to_numpy().astype(np.int64)
+        a = g["v"].to_numpy().astype(np.int64)
+        a_core = g["w"].to_numpy().astype(bool)
+        ub, inv, cnt = np.unique(bb, return_inverse=True, return_counts=True)
+        b_core = cnt[inv] >= thresh
+        cc = a_core & b_core & (a < bb)
+        cand = (~a_core) & b_core
+        core_ids = ub[cnt >= thresh].astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(
+                    np.concatenate([a[cc], a[cand], core_ids]).astype(np.int64)
+                ),
+                "b": pa.array(
+                    np.concatenate([bb[cc], bb[cand], core_ids]).astype(np.int64)
+                ),
                 "kind": pa.array(
                     np.concatenate(
                         [
                             np.zeros(int(cc.sum()), dtype=np.int8),
                             np.ones(int(cand.sum()), dtype=np.int8),
+                            np.full(len(core_ids), 2, dtype=np.int8),
                         ]
                     )
                 ),
@@ -227,11 +209,15 @@ def dbscan(
         )
 
     edges_all = (
-        half.map_batches(retag_half, batch_format="pyarrow")
-        .union(cores.map_batches(tag_core_set, batch_format="pyarrow"))
+        pairs.map_batches(tag_by_a, batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(flag_a, batch_format="pandas")
         .groupby("_h")
         .map_groups(flag_b, batch_format="pandas")
-        .materialize()  # consumed by the CC loop and the border branch
+        .materialize()  # consumed by the CC loop, border branch and cores
+    )
+    cores = edges_all.filter(expr="kind == 2").map_batches(
+        lambda t: pa.table({id_col: t["b"]}), batch_format="pyarrow"
     )
     # normalize to ARROW blocks: edges_all's map_groups emits pandas
     # blocks, and _min_label_propagation unions its input with pyarrow
