@@ -109,8 +109,6 @@ def dbscan(
     singleton cluster", which needs no clustering engine)."""
     if min_pts < 2:
         raise ValueError("dbscan: min_pts must be >= 2")
-    from ray.data.aggregate import Min
-
     from ..functions.dedup import _min_label_propagation
 
     P = int(shuffle_partitions)
@@ -233,116 +231,98 @@ def dbscan(
         core_edges.materialize(), id_col, None, shuffle_partitions
     )
 
-    # -- step 5a: cluster label for EVERY core (isolated -> own id).
+    # -- steps 5a+5b fused: ONE co-group keyed by the CORE id fills in
+    # isolated-core labels (core absent from the edge graph -> own id)
+    # and attaches every border candidacy to its core's label in the
+    # same bucket.  Output rows are emitted directly in the finalize
+    # co-group schema — key = POINT id, v = cluster, w = 2 (core row,
+    # exactly one per core) or 1 (border candidacy, one per (pt, core
+    # neighbor); the MIN is folded into finalize's bucket).
     def tag_lbl(b: pa.Table) -> pa.Table:
         k = b[id_col].to_numpy(zero_copy_only=False)
         z = np.zeros(len(k), dtype=np.int64)
         return _rows(k, b["rep_id"].to_numpy(zero_copy_only=False), z, 1, P)
 
-    def fill_core(g: pd.DataFrame) -> pa.Table:
-        cr = g[g["src"] == 0][["key"]]
-        lb = g[g["src"] == 1][["key", "v"]].rename(columns={"v": "cluster"})
-        if cr.empty:
-            return pa.table(
-                {
-                    id_col: pa.array([], type=pa.int64()),
-                    "cluster": pa.array([], type=pa.int64()),
-                }
-            )
-        m = cr.merge(lb, on="key", how="left")
-        cl = m["cluster"].to_numpy()
-        k = m["key"].to_numpy().astype(np.int64)
-        cl = np.where(np.isnan(cl), k, cl).astype(np.int64)
-        return pa.table({id_col: pa.array(k), "cluster": pa.array(cl)})
+    def tag_cand(b: pa.Table) -> pa.Table:
+        core = b["b"].to_numpy(zero_copy_only=False)
+        pt = b["a"].to_numpy(zero_copy_only=False)
+        return _rows(core, pt, np.zeros(len(core), dtype=np.int64), 2, P)
 
-    core_labels = (
-        cores.map_batches(tag_core_set, batch_format="pyarrow")
-        .map_batches(
-            lambda b: b.set_column(
-                b.column_names.index("src"),
-                "src",
-                pa.array(np.zeros(len(b), dtype=np.int8)),
+    def fill_attach(g: pd.DataFrame) -> pa.Table:
+        cr = g[g["src"] == 0][["key"]]
+        lb = g[g["src"] == 1][["key", "v"]]
+        cd = g[g["src"] == 2][["key", "v"]].rename(columns={"v": "pt"})
+        if cr.empty:
+            out_k = np.empty(0, dtype=np.int64)
+            out_v = np.empty(0, dtype=np.int64)
+            out_w = np.empty(0, dtype=np.int64)
+        else:
+            m = cr.merge(lb, on="key", how="left")
+            k = m["key"].to_numpy().astype(np.int64)
+            cl = m["v"].to_numpy()
+            cl = np.where(np.isnan(cl), k, cl).astype(np.int64)
+            if cd.empty:
+                bk = np.empty(0, dtype=np.int64)
+                bv = np.empty(0, dtype=np.int64)
+            else:
+                j = cd.merge(
+                    pd.DataFrame({"key": k, "cl": cl}), on="key", how="inner"
+                )
+                bk = j["pt"].to_numpy().astype(np.int64)
+                bv = j["cl"].to_numpy().astype(np.int64)
+            out_k = np.concatenate([k, bk])
+            out_v = np.concatenate([cl, bv])
+            out_w = np.concatenate(
+                [np.full(len(k), 2, dtype=np.int64), np.ones(len(bk), dtype=np.int64)]
+            )
+        return _rows(out_k, out_v, out_w, 1, P)
+
+    labeled = (
+        cores.map_batches(
+            lambda b: _rows(
+                b[id_col].to_numpy(zero_copy_only=False),
+                np.zeros(len(b), dtype=np.int64),
+                np.zeros(len(b), dtype=np.int64),
+                0,
+                P,
             ),
             batch_format="pyarrow",
         )
         .union(labels.map_batches(tag_lbl, batch_format="pyarrow"))
+        .union(border_cand.map_batches(tag_cand, batch_format="pyarrow"))
         .groupby("_h")
-        .map_groups(fill_core, batch_format="pandas")
-        .materialize()  # consumed twice: border attach + final assembly
+        .map_groups(fill_attach, batch_format="pandas")
+        # normalize to ARROW blocks (0-row pandas blocks would otherwise
+        # survive into the finalize union)
+        .map_batches(lambda t: t, batch_format="pyarrow")
     )
 
-    # -- step 5b: border label = MIN cluster over the point's core
-    # neighbors (bucketed co-group keyed by the CORE id).
-    def tag_cand(b: pa.Table) -> pa.Table:
-        core = b["b"].to_numpy(zero_copy_only=False)
-        pt = b["a"].to_numpy(zero_copy_only=False)
-        return _rows(core, pt, np.zeros(len(core), dtype=np.int64), 0, P)
-
-    def tag_core_lbl(b: pa.Table) -> pa.Table:
-        k = b[id_col].to_numpy(zero_copy_only=False)
-        z = np.zeros(len(k), dtype=np.int64)
-        return _rows(k, b["cluster"].to_numpy(zero_copy_only=False), z, 1, P)
-
-    def attach(g: pd.DataFrame) -> pa.Table:
-        lb = g[g["src"] == 1][["key", "v"]].rename(columns={"v": "cluster"})
-        cd = g[g["src"] == 0][["key", "v"]].rename(columns={"v": "pt"})
-        if cd.empty or lb.empty:
-            return pa.table(
-                {
-                    "pt": pa.array([], type=pa.int64()),
-                    "cluster": pa.array([], type=pa.int64()),
-                }
-            )
-        m = cd.merge(lb, on="key", how="inner")
-        return pa.table(
-            {
-                "pt": pa.array(m["pt"].to_numpy().astype(np.int64)),
-                "cluster": pa.array(m["cluster"].to_numpy().astype(np.int64)),
-            }
-        )
-
-    border_labels = (
-        border_cand.map_batches(tag_cand, batch_format="pyarrow")
-        .union(core_labels.map_batches(tag_core_lbl, batch_format="pyarrow"))
-        .groupby("_h")
-        .map_groups(attach, batch_format="pandas")
-        .groupby("pt")
-        .aggregate(Min("cluster", alias_name="cluster"))
-    )
-
-    # -- final assembly keyed by point id: core label wins, else border,
-    # else noise (-1).  Cores and borders are disjoint by construction,
-    # so each id carries at most ONE label row.
+    # -- final assembly keyed by point id: core row wins (w=2, unique),
+    # else the MIN-cluster border candidacy (w=1, one per core
+    # neighbor), else noise (-1).
     def tag_point(b: pa.Table) -> pa.Table:
         k = b[id_col].to_numpy(zero_copy_only=False)
         z = np.zeros(len(k), dtype=np.int64)
         return _rows(k, z, z, 0, P)
-
-    def tag_core_final(b: pa.Table) -> pa.Table:
-        k = b[id_col].to_numpy(zero_copy_only=False)
-        return _rows(
-            k,
-            b["cluster"].to_numpy(zero_copy_only=False),
-            np.full(len(k), 2, dtype=np.int64),
-            1,
-            P,
-        )
-
-    def tag_border_final(b: pa.Table) -> pa.Table:
-        k = b["pt"].to_numpy(zero_copy_only=False)
-        return _rows(
-            k,
-            b["cluster"].to_numpy(zero_copy_only=False),
-            np.ones(len(k), dtype=np.int64),
-            1,
-            P,
-        )
 
     ROLES = np.array(["noise", "border", "core"])
 
     def finalize(g: pd.DataFrame) -> pa.Table:
         pts = g[g["src"] == 0][["key"]]
         lb = g[g["src"] == 1][["key", "v", "w"]]
+        if pts.empty:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                    "role": pa.array([], type=pa.string()),
+                }
+            )
+        # per point: prefer the core row (w=2), else min cluster among
+        # border candidacies — one stable sort + keep-first replaces the
+        # separate groupby(pt).min() exchange
+        lb = lb.sort_values(["key", "w", "v"], ascending=[True, False, True],
+                            kind="mergesort").drop_duplicates("key", keep="first")
         m = pts.merge(lb, on="key", how="left")
         w = m["w"].to_numpy()
         w = np.where(np.isnan(w), 0, w).astype(np.int64)
@@ -359,8 +339,7 @@ def dbscan(
     return (
         points.select_columns([id_col])
         .map_batches(tag_point, batch_format="pyarrow")
-        .union(core_labels.map_batches(tag_core_final, batch_format="pyarrow"))
-        .union(border_labels.map_batches(tag_border_final, batch_format="pyarrow"))
+        .union(labeled)
         .groupby("_h")
         .map_groups(finalize, batch_format="pandas")
     )
