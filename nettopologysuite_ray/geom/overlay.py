@@ -96,6 +96,27 @@ def overlay(a: Geom, b: Geom, op: str, grid_size: float | None = None, merge_lin
         res = _snap_result(res, grid_size, op, protected_lines=protected)
     if res is None or res.is_empty:
         res = _empty_result(op, dim_a, dim_b)
+    # weld-path safety net: weld pre-snaps the inputs and runs the EXACT
+    # overlay (no precision model), so the result must obey the loose area
+    # bounds the same way an unsnapped exact overlay must — but the weld
+    # fast path used to skip the checker entirely, and an arrangement
+    # failure on the SNAPPED pair surfaced as a silent EMPTY union (buffer
+    # fuzz at the 1e7 frame: mitre wedges + cap disks welded at |d|/2^16).
+    # The weld grid is orders of magnitude below the geometry size by
+    # construction, so an area-bound violation is always a bug, never a
+    # legitimate collapse; gate the (2x-cost) retry ladder behind the
+    # three-area cheap check to keep the healthy fold at 1x.
+    if (
+        check != "off"
+        and grid_size
+        and weld
+        and not ng
+        and dim_a == 2
+        and dim_b == 2
+        and not (a.is_empty and b.is_empty)
+        and not _area_invariant_ok(op, alg.area(a), alg.area(b), alg.area(res), False)
+    ):
+        res = _check_and_retry_overlay(a, b, op, res, merge_line_output, ng, check=check)
     # robustness retry (reference: OverlayNGRobust.cs:178 OverlaySnapTries):
     # float noise between nearly-coincident boundaries (e.g. collinear
     # shared edges of rotated inputs) can break the arrangement silently.

@@ -168,13 +168,13 @@ def grouped_topk_min(
             "_bucket", pa.array((b % np.uint64(shuffle_partitions)).astype(np.int64))
         )
 
-    def merge_bucket(g) -> "pd.DataFrame":
-        return merge(pa.Table.from_pandas(g.drop(columns=["_bucket"]), preserve_index=False)).to_pandas()
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        return merge(g.drop_columns(["_bucket"]))
 
     return (
         partials.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(merge_bucket, batch_format="pandas")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
 
 

@@ -898,6 +898,39 @@ def test_coverage_simplify_exact_rectangle_recovery():
         assert int(round(alg.length(g))) == p
 
 
+def test_mitre_buffer_large_offset_not_empty():
+    """Fuzz regression (round-4 buffer campaign at the 1e7 frame, seed
+    424242 case 1818): mitre-join buffers with round/square caps came
+    back EMPTY — the welded piece-union fold hit an arrangement failure
+    on the snapped pair, and the weld path used to bypass the overlay
+    checker entirely (overlay() weld fast path).  The weld grid is
+    orders of magnitude below the geometry, so a union of non-empty
+    pieces collapsing to zero area is always a silent failure; the weld
+    path now routes loose-bound violations through the retry ladder."""
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom.buffer import buffer
+    from nettopologysuite_ray.geom.validity import is_valid
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    line = from_wkt(
+        "LINESTRING (9999999.384483902 10000002.78824554,"
+        " 9999997.411734005 10000004.213728521,"
+        " 9999998.150001876 10000001.337526403,"
+        " 10000000.114376383 9999998.53687684,"
+        " 9999998.856629059 9999995.684333764,"
+        " 9999996.00805641 9999994.249029808)"
+    )
+    round_area = alg.area(buffer(line, 0.3))
+    for join in ("round", "mitre", "bevel"):
+        for cap in ("round", "flat", "square"):
+            res = buffer(line, 0.3, join=join, cap=cap)
+            a = alg.area(res)
+            assert a > 0.9 * round_area * 0.9, (join, cap, a)
+            assert is_valid(res), (join, cap)
+    # mitre corners protrude past the round-join arcs: strictly more area
+    assert alg.area(buffer(line, 0.3, join="mitre")) > round_area
+
+
 def test_negative_buffer_nested_donuts():
     """Fuzz regression (round-4 campaign, origin frame i=1255): a
     MULTIPOLYGON of two concentric donuts eroded by a small distance must
