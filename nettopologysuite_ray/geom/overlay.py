@@ -419,7 +419,12 @@ def _system_result(a2: Geom, b2: Geom, op: str, merge_line_output: bool, ng: boo
     valid.  Mutual consistency over one arrangement does not trust any
     single sibling (the original pair's intersection may itself be
     silently broken — found by fuzz).  Returns the op result or None."""
-    kw = dict(merge_line_output=merge_line_output, ng=ng, weld=True)
+    # check="off": acceptance here is the mutual consistency of the full
+    # sibling system itself; letting the per-op weld checker fire inside a
+    # retry candidate would recurse (weld check -> retry -> _system_result
+    # -> weld check ... — found by the -3.7e7 buffer fuzz as a
+    # RecursionError)
+    kw = dict(merge_line_output=merge_line_output, ng=ng, weld=True, check="off")
     u = overlay(a2, b2, "union", grid, **kw)
     i = overlay(a2, b2, "intersection", grid, **kw)
     d = overlay(a2, b2, "difference", grid, **kw)
@@ -811,6 +816,13 @@ def snap_clean(g: Geom, grid: float) -> Geom:
         return _empty_like(g)
     if len(parts) == 1:
         return parts[0]
+    if all(p.gtype == POLYGON for p in parts):
+        # keep pure-area operands typed as MultiPolygon: downstream
+        # arrangement/retry code treats a GeometryCollection operand as
+        # mixed-dimension, and a MultiPolygon silently degraded to a
+        # collection made every retry rung reject (buffer fuzz at the
+        # -3.7e7 frame: welded piece-union collapsed to EMPTY)
+        return Geom(MULTIPOLYGON, [p.data for p in parts])
     return Geom(GEOMETRYCOLLECTION, parts)
 
 

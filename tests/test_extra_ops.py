@@ -930,6 +930,28 @@ def test_mitre_buffer_large_offset_not_empty():
     # mitre corners protrude past the round-join arcs: strictly more area
     assert alg.area(buffer(line, 0.3, join="mitre")) > round_area
 
+    # second class from the same campaign (-3.7e7 frame, seed 31337 case
+    # 2287): snap_clean degraded a MultiPolygon operand to a
+    # GeometryCollection, making every retry rung reject (EMPTY result;
+    # with the weld checker alone it surfaced as a RecursionError through
+    # _system_result re-entering the weld check)
+    line2 = from_wkt(
+        "LINESTRING (-37000000.48123864 -36999999.32842781,"
+        " -36999999.97915916 -37000002.31723767,"
+        " -36999997.81210598 -37000000.949940555,"
+        " -36999995.148909524 -36999999.95158758,"
+        " -36999997.81272654 -37000000.77405496,"
+        " -36999997.77239322 -37000003.74580531)"
+    )
+    base2 = alg.area(buffer(line2, 3.0))
+    assert base2 > 0
+    for join in ("round", "mitre"):
+        for cap in ("round", "flat", "square"):
+            res = buffer(line2, 3.0, join=join, cap=cap)
+            a = alg.area(res)
+            assert a > 0.7 * base2, (join, cap, a)
+            assert is_valid(res), (join, cap)
+
 
 def test_negative_buffer_nested_donuts():
     """Fuzz regression (round-4 campaign, origin frame i=1255): a
