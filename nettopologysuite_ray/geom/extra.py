@@ -123,19 +123,28 @@ def minimum_bounding_circle(g: Geom) -> tuple[tuple[float, float], float]:
 
 def _covers_all(pts, c, r) -> bool:
     d = np.hypot(pts[:, 0] - c[0], pts[:, 1] - c[1])
-    return bool((d <= r + 1e-9 * max(1.0, r)).all())
+    # ulp slack scaled to the coordinate frame: at |coord|~1e7 the distance
+    # itself is good, but candidate radii differ by frame-level rounding
+    slack = 1e-9 * max(1.0, r) + 4.0 * float(np.spacing(np.abs(pts).max(initial=1.0)))
+    return bool((d <= r + slack).all())
 
 
 def _circumcenter(p, q, r):
+    # translate to a local frame anchored at p before forming the quadratic
+    # terms: the raw formula squares absolute ordinates (~1e14 at a 1e7
+    # frame) and cancels catastrophically — fuzz measured centers off by
+    # ~18 units, leaving input points far outside the returned circle
     ax, ay = p
-    bx, by = q
-    cx, cy = r
-    d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    bx, by = float(q[0]) - ax, float(q[1]) - ay
+    cx, cy = float(r[0]) - ax, float(r[1]) - ay
+    d = 2 * (bx * cy - by * cx)
     if d == 0:
         return None
-    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay) + (cx * cx + cy * cy) * (ay - by)) / d
-    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx) + (cx * cx + cy * cy) * (bx - ax)) / d
-    return (ux, uy)
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    ux = (cy * b2 - by * c2) / d
+    uy = (bx * c2 - cx * b2) / d
+    return (float(ax + ux), float(ay + uy))
 
 
 def minimum_diameter(g: Geom) -> tuple[float, Geom]:
@@ -149,16 +158,29 @@ def minimum_diameter(g: Geom) -> tuple[float, Geom]:
     best = None
     for i in range(len(ring) - 1):
         a, b = ring[i], ring[i + 1]
-        d = np.asarray(
-            alg.point_segments_distance(
-                ring[:-1, 0], ring[:-1, 1],
-                np.full(len(ring) - 1, a[0]), np.full(len(ring) - 1, a[1]),
-                np.full(len(ring) - 1, b[0]), np.full(len(ring) - 1, b[1]),
+        ex, ey = float(b[0] - a[0]), float(b[1] - a[1])
+        el = math.hypot(ex, ey)
+        if el == 0.0:
+            continue
+        # perpendicular distance to the edge's infinite LINE (reference
+        # MinimumDiameter.cs ComputeSegmentForLine ->
+        # DistanceComputer.PointToLinePerpendicular), NOT the clamped
+        # segment distance: on a caliper edge the farthest vertex's foot
+        # can fall outside the segment, and clamping inflated the width
+        # (fuzz: sub-ulp-collinear multipoint whose sliver hull returned
+        # an edge LENGTH as the diameter instead of ~0)
+        d = (
+            np.abs(
+                ex * (ring[:-1, 1] - float(a[1]))
+                - ey * (ring[:-1, 0] - float(a[0]))
             )
+            / el
         )
         k = int(np.argmax(d))
         if best is None or d[k] < best[0]:
             best = (float(d[k]), np.array([a, b]), ring[k])
+    if best is None:
+        return 0.0, Geom.linestring(np.zeros((0, 2)))
     w, seg, far = best
     # supporting segment: perpendicular from far point to the edge
     ax, ay = seg[0]

@@ -40,6 +40,42 @@ def test_minimum_bounding_circle():
     assert (cx1, cy1, r1) == (3.0, 4.0, 0.0)
 
 
+def test_minimum_bounding_circle_large_offset():
+    """Fuzz regression (constructive campaign, +1e7 frame): _circumcenter
+    squared absolute ordinates (~1e14) and cancelled catastrophically —
+    centers came back ~18 units off, leaving inputs far outside the
+    circle.  The circumcenter now forms its quadratic terms in a local
+    frame anchored at the first point."""
+    off = 1e7
+    g = from_wkt(
+        f"MULTIPOINT (({off} {off}), ({off + 10} {off}), ({off + 5} {off + 5}),"
+        f" ({off + 2} {off + 1}), ({off + 7} {off + 2}))"
+    )
+    (cx, cy), r = extra.minimum_bounding_circle(g)
+    assert abs(cx - (off + 5)) < 1e-6 and abs(cy - off) < 1e-6
+    assert abs(r - 5) < 1e-6
+    for p in g.data:
+        assert math.hypot(p[0] - cx, p[1] - cy) <= r + 1e-6
+
+
+def test_minimum_diameter_degenerate_sliver_hull():
+    """Fuzz regression: rotating calipers used the CLAMPED point-segment
+    distance instead of the perpendicular line distance (reference
+    MinimumDiameter.cs uses PointToLinePerpendicular) — a sub-ulp-
+    collinear multipoint whose hull degenerates to a sliver polygon
+    returned an edge LENGTH (~1.17) as the diameter instead of ~0."""
+    import numpy as np
+
+    from nettopologysuite_ray.geom.types import MULTIPOINT, Geom
+
+    t = np.array([1.0, 3.7, 8.2, 13.9, 19.6])
+    d = np.array([-0.70710678118, 0.70710678118])
+    pts = t[:, None] * d  # exactly-computed products: sub-ulp off-line
+    g = Geom(MULTIPOINT, [p for p in pts])
+    w, _seg = extra.minimum_diameter(g)
+    assert w < 1e-9, w
+
+
 def test_minimum_diameter_and_rectangle():
     g = from_wkt("POLYGON ((0 0, 20 0, 20 5, 0 5, 0 0))")
     w, seg = extra.minimum_diameter(g)
