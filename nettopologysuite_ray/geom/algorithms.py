@@ -797,6 +797,31 @@ def _any_point_in_area(pts: np.ndarray, area_geom: Geom) -> bool:
     return False
 
 
+def _segments_intersection_point(sa, sb):
+    """First intersection point between any segment of set A and any of
+    set B, or None (same bbox filter + exact classifier as
+    _segments_intersect; 'overlap' returns the overlap's low endpoint)."""
+    ax1, ay1, ax2, ay2 = sa
+    bx1, by1, bx2, by2 = sb
+    aminx = np.minimum(ax1, ax2)[:, None]
+    amaxx = np.maximum(ax1, ax2)[:, None]
+    aminy = np.minimum(ay1, ay2)[:, None]
+    amaxy = np.maximum(ay1, ay2)[:, None]
+    bminx = np.minimum(bx1, bx2)[None, :]
+    bmaxx = np.maximum(bx1, bx2)[None, :]
+    bminy = np.minimum(by1, by2)[None, :]
+    bmaxy = np.maximum(by1, by2)[None, :]
+    cand = (aminx <= bmaxx) & (amaxx >= bminx) & (aminy <= bmaxy) & (amaxy >= bminy)
+    ii, jj = np.nonzero(cand)
+    for i, j in zip(ii, jj):
+        kind, pts = segment_intersection(
+            (ax1[i], ay1[i]), (ax2[i], ay2[i]), (bx1[j], by1[j]), (bx2[j], by2[j])
+        )
+        if kind != "none" and pts:
+            return (float(pts[0][0]), float(pts[0][1]))
+    return None
+
+
 def _segments_intersect(sa, sb) -> bool:
     """Any segment of set A intersects any of set B (vectorized bbox filter +
     orientation test on survivors)."""
@@ -1444,6 +1469,15 @@ def nearest_points(a: Geom, b: Geom):
     pb = b.all_coords()
     sa = _geom_segments(a)
     sb = _geom_segments(b)
+    # crossing boundaries without any vertex inside the other operand:
+    # distance() returns 0 via the segment-intersection test, so the
+    # nearest pair must be the crossing point itself (reference DistanceOp
+    # computes it from the noded edge intersection) — the vertex-to-segment
+    # scan below would report a positive gap (found by fuzz_metric)
+    if sa is not None and sb is not None:
+        q = _segments_intersection_point(sa, sb)
+        if q is not None:
+            return q, q
 
     def _nearest_pt_to_segs(pts, segs):
         """(best_dist, point, foot) over all (point, segment) pairs —

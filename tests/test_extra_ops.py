@@ -390,6 +390,22 @@ def test_nearest_points():
         assert math.isclose(math.dist(p, q), alg.distance(a, b), abs_tol=1e-12)
     assert alg.nearest_points(a, from_wkt("POINT (15 5)")) == ((10.0, 5.0), (15.0, 5.0))
 
+    # fuzz regression (fuzz_metric): boundaries CROSSING between vertices,
+    # no vertex of either operand inside the other — distance() is 0 via
+    # the segment-intersection test, and nearest_points must return the
+    # crossing point rather than a positive vertex-to-segment gap
+    c = from_wkt("POLYGON ((9 -1, 11 -1, 11 11, 9 11, 9 -1))")
+    p, q = alg.nearest_points(a, c)
+    assert p == q
+    assert math.isclose(alg.distance(a, c), 0.0, abs_tol=1e-15)
+    # the shared point lies on both boundaries
+    assert alg.locate_in_geom(p[0], p[1], a) != alg.EXTERIOR
+    assert alg.locate_in_geom(p[0], p[1], c) != alg.EXTERIOR
+    x = from_wkt("LINESTRING (0 0, 10 10)")
+    y = from_wkt("LINESTRING (0 10, 10 0)")
+    p2, q2 = alg.nearest_points(x, y)
+    assert p2 == q2 == (5.0, 5.0)
+
 
 def test_lsh_dedup_matches_union_find(ray_session):
     """lsh_dedup (linear star-edge label propagation) assigns the same
