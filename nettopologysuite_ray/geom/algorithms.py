@@ -799,8 +799,12 @@ def _any_point_in_area(pts: np.ndarray, area_geom: Geom) -> bool:
 
 def _segments_intersection_point(sa, sb):
     """First intersection point between any segment of set A and any of
-    set B, or None (same bbox filter + exact classifier as
-    _segments_intersect; 'overlap' returns the overlap's low endpoint)."""
+    set B, or None ('overlap' returns the overlap's low endpoint).
+    Vectorized bbox filter, then a vectorized float straddle prefilter
+    (candidates whose float cross-products show a strict same-side
+    separation cannot intersect), then the exact classifier on the
+    survivors — disjoint-but-interleaved sets stay out of the Python
+    loop."""
     ax1, ay1, ax2, ay2 = sa
     bx1, by1, bx2, by2 = sb
     aminx = np.minimum(ax1, ax2)[:, None]
@@ -813,7 +817,25 @@ def _segments_intersection_point(sa, sb):
     bmaxy = np.maximum(by1, by2)[None, :]
     cand = (aminx <= bmaxx) & (amaxx >= bminx) & (aminy <= bmaxy) & (amaxy >= bminy)
     ii, jj = np.nonzero(cand)
-    for i, j in zip(ii, jj):
+    if not len(ii):
+        return None
+    # float straddle prefilter with a conservative error band: only pairs
+    # that could straddle (or are within float noise of it) reach the
+    # exact classifier
+    adx = (ax2 - ax1)[ii]
+    ady = (ay2 - ay1)[ii]
+    c1 = adx * (by1[jj] - ay1[ii]) - ady * (bx1[jj] - ax1[ii])
+    c2 = adx * (by2[jj] - ay1[ii]) - ady * (bx2[jj] - ax1[ii])
+    err_a = 8.0 * np.spacing(np.maximum(np.abs(c1), np.abs(c2)))
+    bdx = (bx2 - bx1)[jj]
+    bdy = (by2 - by1)[jj]
+    c3 = bdx * (ay1[ii] - by1[jj]) - bdy * (ax1[ii] - bx1[jj])
+    c4 = bdx * (ay2[ii] - by1[jj]) - bdy * (ax2[ii] - bx1[jj])
+    err_b = 8.0 * np.spacing(np.maximum(np.abs(c3), np.abs(c4)))
+    keep = ~(((c1 > err_a) & (c2 > err_a)) | ((c1 < -err_a) & (c2 < -err_a))) & ~(
+        ((c3 > err_b) & (c4 > err_b)) | ((c3 < -err_b) & (c4 < -err_b))
+    )
+    for i, j in zip(ii[keep], jj[keep]):
         kind, pts = segment_intersection(
             (ax1[i], ay1[i]), (ax2[i], ay2[i]), (bx1[j], by1[j]), (bx2[j], by2[j])
         )
@@ -823,28 +845,8 @@ def _segments_intersection_point(sa, sb):
 
 
 def _segments_intersect(sa, sb) -> bool:
-    """Any segment of set A intersects any of set B (vectorized bbox filter +
-    orientation test on survivors)."""
-    ax1, ay1, ax2, ay2 = sa
-    bx1, by1, bx2, by2 = sb
-    # bbox overlap filter
-    aminx = np.minimum(ax1, ax2)[:, None]
-    amaxx = np.maximum(ax1, ax2)[:, None]
-    aminy = np.minimum(ay1, ay2)[:, None]
-    amaxy = np.maximum(ay1, ay2)[:, None]
-    bminx = np.minimum(bx1, bx2)[None, :]
-    bmaxx = np.maximum(bx1, bx2)[None, :]
-    bminy = np.minimum(by1, by2)[None, :]
-    bmaxy = np.maximum(by1, by2)[None, :]
-    cand = (aminx <= bmaxx) & (amaxx >= bminx) & (aminy <= bmaxy) & (amaxy >= bminy)
-    ii, jj = np.nonzero(cand)
-    for i, j in zip(ii, jj):
-        kind, _ = segment_intersection(
-            (ax1[i], ay1[i]), (ax2[i], ay2[i]), (bx1[j], by1[j]), (bx2[j], by2[j])
-        )
-        if kind != "none":
-            return True
-    return False
+    """Any segment of set A intersects any of set B."""
+    return _segments_intersection_point(sa, sb) is not None
 
 
 # ---------------------------------------------------------------------------

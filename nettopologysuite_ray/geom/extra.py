@@ -130,21 +130,19 @@ def _covers_all(pts, c, r) -> bool:
 
 
 def _circumcenter(p, q, r):
-    # translate to a local frame anchored at p before forming the quadratic
-    # terms: the raw formula squares absolute ordinates (~1e14 at a 1e7
-    # frame) and cancels catastrophically — fuzz measured centers off by
-    # ~18 units, leaving input points far outside the returned circle
-    ax, ay = p
-    bx, by = float(q[0]) - ax, float(q[1]) - ay
-    cx, cy = float(r[0]) - ax, float(r[1]) - ay
-    d = 2 * (bx * cy - by * cx)
-    if d == 0:
+    # Triangle.circumcentre already forms the quadratic terms in a local
+    # frame (anchored at its third point) — the raw global-frame formula
+    # squared absolute ordinates (~1e14 at a 1e7 frame) and cancelled
+    # catastrophically; fuzz measured centers ~18 units off.  Keep only
+    # the collinear guard here (mathutil's version divides by zero there).
+    from .mathutil import Triangle
+
+    ax, ay = float(p[0]) - float(r[0]), float(p[1]) - float(r[1])
+    bx, by = float(q[0]) - float(r[0]), float(q[1]) - float(r[1])
+    if ax * by - ay * bx == 0.0:
         return None
-    b2 = bx * bx + by * by
-    c2 = cx * cx + cy * cy
-    ux = (cy * b2 - by * c2) / d
-    uy = (bx * c2 - cx * b2) / d
-    return (float(ax + ux), float(ay + uy))
+    cx, cy = Triangle.circumcentre(p, q, r)
+    return (float(cx), float(cy))
 
 
 def minimum_diameter(g: Geom) -> tuple[float, Geom]:

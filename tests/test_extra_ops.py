@@ -977,7 +977,9 @@ def test_mitre_buffer_large_offset_not_empty():
         for cap in ("round", "flat", "square"):
             res = buffer(line, 0.3, join=join, cap=cap)
             a = alg.area(res)
-            assert a > 0.9 * round_area * 0.9, (join, cap, a)
+            # loose floor: flat caps legitimately trim cap area, so 0.8x
+            # the fully-round area is the tightest uniform bound
+            assert a > 0.8 * round_area, (join, cap, a)
             assert is_valid(res), (join, cap)
     # mitre corners protrude past the round-join arcs: strictly more area
     assert alg.area(buffer(line, 0.3, join="mitre")) > round_area
