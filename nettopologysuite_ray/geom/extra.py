@@ -905,7 +905,11 @@ def variable_buffer(line: Geom, radii) -> Geom:
         pieces.append(Geom(POLYGON, [quad]))
     if not pieces:
         return Geom.empty(POLYGON)
-    return union_all(pieces, _buffer_grid(float(max(radii.max(), 1e-9))))
+    # weld=True: the grid is a robustness weld for the piece-union fold
+    # (vertex snapping only), NOT a precision model — the fixed-precision
+    # path's collapse semantics silently dropped whole capsule pieces
+    # (fuzz_offset: a vertex disk vanished, leaving its vertex outside)
+    return union_all(pieces, _buffer_grid(float(max(radii.max(), 1e-9))), weld=True)
 
 
 def offset_curve(line: Geom, dist: float) -> Geom:
@@ -924,50 +928,64 @@ def offset_curve(line: Geom, dist: float) -> Geom:
     out_lines = []
     closed = len(arr) > 1 and (arr[0] == arr[-1]).all()
     nseg = len(arr) - 1
+    def _classify(p):
+        """(is_cap, side_ok) of a probe point vs the input line: nearest
+        segment + side sign; cap = projection clamps to an END vertex of
+        an open line with the probe strictly BEYOND it along the outward
+        tangent (the reference OffsetCurve has no end caps; the terminus
+        directly beside the endpoint is kept)."""
+        best = (math.inf, 0.0, False)
+        for i in range(nseg):
+            a, b = arr[i], arr[i + 1]
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            llen = dx * dx + dy * dy
+            if llen == 0:
+                continue
+            t = max(0.0, min(1.0, ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / llen))
+            cx, cy = a[0] + t * dx, a[1] + t * dy
+            dd = math.hypot(p[0] - cx, p[1] - cy)
+            is_cap = False
+            if not closed:
+                sl = math.sqrt(llen)
+                if i == 0 and t == 0.0:
+                    out_dot = -((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / sl
+                    is_cap = out_dot > 1e-9 * (dd + 1.0)
+                elif i == nseg - 1 and t == 1.0:
+                    out_dot = ((p[0] - b[0]) * dx + (p[1] - b[1]) * dy) / sl
+                    is_cap = out_dot > 1e-9 * (dd + 1.0)
+            if dd < best[0] - 1e-12:
+                side = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+                best = (dd, side, is_cap)
+            elif dd < best[0] + 1e-12 and best[2] and not is_cap:
+                # equally near an interior location: not a cap point
+                side = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+                best = (dd, side, False)
+        ok = best[1] > 0 if dist > 0 else best[1] < 0
+        return best[2], ok
+
     for comp in bnd.flatten():
         coords = comp.all_coords()
+        # classify boundary EDGES by their midpoint, not vertices: when
+        # |dist| is comparable to the line length the welded buffer
+        # boundary can lose a side edge's exact tangent VERTEX into the
+        # adjacent cap arc (the vertex then classifies as cap), but the
+        # edge midpoint still projects onto the line interior — an edge
+        # formulation keeps the parallel section where the vertex one
+        # dropped it entirely (fuzz_offset: short lines came back EMPTY)
+        n_edges = len(coords) - 1
         keep = []
-        for p in coords:
-            # nearest line segment + side sign; cap-arc points (nearest
-            # point is an END vertex of an open line) are excluded — the
-            # reference OffsetCurve has no end caps
-            best = (math.inf, 0.0, False)
-            for i in range(nseg):
-                a, b = arr[i], arr[i + 1]
-                dx, dy = b[0] - a[0], b[1] - a[1]
-                llen = dx * dx + dy * dy
-                if llen == 0:
-                    continue
-                t = max(0.0, min(1.0, ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / llen))
-                cx, cy = a[0] + t * dx, a[1] + t * dy
-                dd = math.hypot(p[0] - cx, p[1] - cy)
-                # cap-arc test: projection clamps to an END vertex of an
-                # open line AND p lies strictly BEYOND it (positive
-                # component along the outward tangent); the offset-curve
-                # terminus directly beside the endpoint is kept
-                is_cap = False
-                if not closed:
-                    sl = math.sqrt(llen)
-                    if i == 0 and t == 0.0:
-                        out_dot = -((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / sl
-                        is_cap = out_dot > 1e-9 * (dd + 1.0)
-                    elif i == nseg - 1 and t == 1.0:
-                        out_dot = ((p[0] - b[0]) * dx + (p[1] - b[1]) * dy) / sl
-                        is_cap = out_dot > 1e-9 * (dd + 1.0)
-                if dd < best[0] - 1e-12:
-                    side = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
-                    best = (dd, side, is_cap)
-                elif dd < best[0] + 1e-12 and best[2] and not is_cap:
-                    # equally near an interior location: not a cap point
-                    side = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
-                    best = (dd, side, False)
-            ok = best[1] > 0 if dist > 0 else best[1] < 0
-            keep.append(ok and not best[2])
-        # extract kept runs
+        for k in range(n_edges):
+            p0, p1 = coords[k], coords[k + 1]
+            mid = ((p0[0] + p1[0]) / 2.0, (p0[1] + p1[1]) / 2.0)
+            is_cap, ok = _classify(mid)
+            keep.append(ok and not is_cap)
+        # chain consecutive kept edges into vertex runs
         run = []
-        for ok, p in zip(keep, coords):
-            if ok:
-                run.append(p)
+        for k in range(n_edges):
+            if keep[k]:
+                if not run:
+                    run = [coords[k]]
+                run.append(coords[k + 1])
             elif len(run) >= 2:
                 out_lines.append(np.array(run))
                 run = []

@@ -181,6 +181,26 @@ def test_variable_buffer_and_offset_curve():
     oc2 = extra.offset_curve(from_wkt("LINESTRING (0 0, 10 0)"), -2.0)
     assert (oc2.all_coords()[:, 1] <= 1e-9).all()
 
+    # fuzz regressions (fuzz_offset):
+    # (1) offset distance comparable to line length — the welded buffer
+    # boundary loses the side edge's exact tangent VERTEX into a cap arc;
+    # edge-midpoint classification must still keep the parallel section
+    short = from_wkt("LINESTRING (0 0, 1.9 0.6)")
+    for d in (1.7, -1.7):
+        oc3 = extra.offset_curve(short, d)
+        assert not oc3.is_empty, d
+        for p in oc3.all_coords():
+            dd = alg.distance(from_wkt(f"POINT ({p[0]} {p[1]})"), short)
+            assert abs(dd - 1.7) < 0.05, (d, dd)
+    # (2) variable_buffer's piece-union grid is a WELD, not a precision
+    # model — the fixed-precision path silently dropped a capsule piece
+    line = from_wkt(
+        "LINESTRING (6.2 4.9, 16.76 13.35, 22.59 18.0, 22.62 18.03)"
+    )
+    vb2 = extra.variable_buffer(line, [0.95, 0.68, 0.24, 0.72])
+    for p in line.all_coords():
+        assert alg.locate_in_geom(float(p[0]), float(p[1]), vb2) != alg.EXTERIOR
+
 
 def test_simplify_vw():
     """Visvalingam-Whyatt (reference: Simplify/VWSimplifier.cs:29)."""
