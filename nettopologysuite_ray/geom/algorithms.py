@@ -821,19 +821,43 @@ def _segments_intersection_point(sa, sb):
         return None
     # float straddle prefilter with a conservative error band: only pairs
     # that could straddle (or are within float noise of it) reach the
-    # exact classifier
+    # exact classifier.  The band must scale with the TERM magnitudes
+    # (Shewchuk detsum-style, like orient2d's filter), not the result
+    # magnitude: under cancellation |c| can be tiny while the rounding
+    # error is eps * (|t1| + |t2|).  Each difference carries rel. err
+    # <= eps/2, each product <= ~1.5 eps, the final subtraction eps/2;
+    # 4*eps*(|t1|+|t2|) is a safely conservative absolute bound.
+    _E4 = 4.0 * np.finfo(np.float64).eps
     adx = (ax2 - ax1)[ii]
     ady = (ay2 - ay1)[ii]
-    c1 = adx * (by1[jj] - ay1[ii]) - ady * (bx1[jj] - ax1[ii])
-    c2 = adx * (by2[jj] - ay1[ii]) - ady * (bx2[jj] - ax1[ii])
-    err_a = 8.0 * np.spacing(np.maximum(np.abs(c1), np.abs(c2)))
+    d1y = by1[jj] - ay1[ii]
+    d1x = bx1[jj] - ax1[ii]
+    d2y = by2[jj] - ay1[ii]
+    d2x = bx2[jj] - ax1[ii]
+    t1a = adx * d1y
+    t1b = ady * d1x
+    t2a = adx * d2y
+    t2b = ady * d2x
+    c1 = t1a - t1b
+    c2 = t2a - t2b
+    e1 = _E4 * (np.abs(t1a) + np.abs(t1b))
+    e2 = _E4 * (np.abs(t2a) + np.abs(t2b))
     bdx = (bx2 - bx1)[jj]
     bdy = (by2 - by1)[jj]
-    c3 = bdx * (ay1[ii] - by1[jj]) - bdy * (ax1[ii] - bx1[jj])
-    c4 = bdx * (ay2[ii] - by1[jj]) - bdy * (ax2[ii] - bx1[jj])
-    err_b = 8.0 * np.spacing(np.maximum(np.abs(c3), np.abs(c4)))
-    keep = ~(((c1 > err_a) & (c2 > err_a)) | ((c1 < -err_a) & (c2 < -err_a))) & ~(
-        ((c3 > err_b) & (c4 > err_b)) | ((c3 < -err_b) & (c4 < -err_b))
+    d3y = ay1[ii] - by1[jj]
+    d3x = ax1[ii] - bx1[jj]
+    d4y = ay2[ii] - by1[jj]
+    d4x = ax2[ii] - bx1[jj]
+    t3a = bdx * d3y
+    t3b = bdy * d3x
+    t4a = bdx * d4y
+    t4b = bdy * d4x
+    c3 = t3a - t3b
+    c4 = t4a - t4b
+    e3 = _E4 * (np.abs(t3a) + np.abs(t3b))
+    e4 = _E4 * (np.abs(t4a) + np.abs(t4b))
+    keep = ~(((c1 > e1) & (c2 > e2)) | ((c1 < -e1) & (c2 < -e2))) & ~(
+        ((c3 > e3) & (c4 > e4)) | ((c3 < -e3) & (c4 < -e4))
     )
     for i, j in zip(ii[keep], jj[keep]):
         kind, pts = segment_intersection(

@@ -139,7 +139,10 @@ def _circumcenter(p, q, r):
 
     ax, ay = float(p[0]) - float(r[0]), float(p[1]) - float(r[1])
     bx, by = float(q[0]) - float(r[0]), float(q[1]) - float(r[1])
-    if ax * by - ay * bx == 0.0:
+    # relative (not exact-zero) collinearity guard: near-degenerate triples
+    # would divide by a tiny denominator and put the center far off
+    t1, t2 = ax * by, ay * bx
+    if abs(t1 - t2) <= 8.0 * np.finfo(np.float64).eps * (abs(t1) + abs(t2)):
         return None
     cx, cy = Triangle.circumcentre(p, q, r)
     return (float(cx), float(cy))
