@@ -1894,6 +1894,108 @@ def _q_cluster_hulls(sf_dir: str):
     )
 
 
+def _q_poly_join(sf_dir: str):
+    """General geometry×geometry distributed spatial join gate
+    (stages/geom_join.py; reference: Index/Strtree/STRtree.cs:32 bulk-load
+    box query + Geometries/Prepared/PreparedPolygon.cs:71 prepared exact
+    predicate, generalized to two large WKB layers).  Three legs under one
+    tag column, each with a closed-form integer oracle:
+
+      - intersects: diamond×diamond.  |x-cx|+|y-cy| <= r is the L-inf
+        square of radius r in (u,v) = (x+y, x-y), so two diamonds
+        intersect iff |du| <= r1+r2 AND |dv| <= r1+r2 — SQL-exact, while
+        the engine runs the real DE-9IM relate on the polygon rings
+        (bbox-overlapping but corner-separated diamonds exercise the
+        exact kernel, not the envelope prefilter).
+      - contains: big diamond contains small diamond iff r1 >= r2 AND
+        |du| <= r1-r2 AND |dv| <= r1-r2.
+      - dwithin: axis-aligned squares within euclidean distance D:
+        gap_x^2 + gap_y^2 <= D^2 with gap = max(0, |dc| - (h1+h2)).
+
+    Left layer: events (event_id % 5 == 0); right layer: documents."""
+    import numpy as np
+    import ray.data as rd
+
+    from nettopologysuite_ray.stages.geom_join import spatial_join
+
+    EXT = (-10000.0, -5000.0, 10000.0, 5000.0)
+
+    def synth(ids: np.ndarray, shape: str, cmul1, cmul2, rbase, rmul, rmod):
+        import pyarrow as pa2
+
+        from nettopologysuite_ray.geom.types import POLYGON, Geom
+        from nettopologysuite_ray.geom.wkb import to_wkb
+
+        cx = (ids * cmul1) % 20000 - 10000
+        cy = (ids * cmul2) % 10000 - 5000
+        r = rbase + (ids * rmul) % rmod
+        wkbs = []
+        for x, y, rr in zip(cx, cy, r):
+            x, y, rr = float(x), float(y), float(rr)
+            if shape == "diamond":
+                ring = np.array(
+                    [[x + rr, y], [x, y + rr], [x - rr, y], [x, y - rr], [x + rr, y]]
+                )
+            else:  # square
+                ring = np.array(
+                    [
+                        [x - rr, y - rr],
+                        [x + rr, y - rr],
+                        [x + rr, y + rr],
+                        [x - rr, y + rr],
+                        [x - rr, y - rr],
+                    ]
+                )
+            wkbs.append(to_wkb(Geom(POLYGON, [ring])))
+        return pa2.array(wkbs, type=pa2.binary())
+
+    def leg(tag: str, shape: str, lparams, rparams, predicate: str, dist=0.0):
+        import pyarrow as pa2
+
+        def l_synth(b: "pa.Table") -> "pa.Table":
+            eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = eid % 5 == 0
+            eid = eid[keep]
+            return pa2.table(
+                {"l_id": pa2.array(eid), "wkb": synth(eid, shape, *lparams)}
+            )
+
+        def r_synth(b: "pa.Table") -> "pa.Table":
+            did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa2.table(
+                {"r_id": pa2.array(did), "wkb": synth(did, shape, *rparams)}
+            )
+
+        lds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"]).map_batches(
+            l_synth, batch_format="pyarrow"
+        )
+        rds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+            r_synth, batch_format="pyarrow"
+        )
+        out = spatial_join(
+            lds,
+            rds,
+            predicate,
+            left_keys=("l_id",),
+            right_keys=("r_id",),
+            extent=EXT,
+            level=5,
+            distance=dist,
+            salt_threshold=40,
+            n_salt=8,
+        )
+
+        def add_tag(b: "pa.Table") -> "pa.Table":
+            return b.append_column("tag", pa2.array([tag] * len(b), type=pa2.string()))
+
+        return out.map_batches(add_tag, batch_format="pyarrow")
+
+    a = leg("intersects", "diamond", (7919, 104729, 50, 37, 200), (6151, 911, 50, 53, 200), "intersects")
+    b = leg("contains", "diamond", (7919, 104729, 300, 37, 200), (6151, 911, 10, 53, 40), "contains")
+    c = leg("dwithin", "square", (7919, 104729, 30, 29, 100), (6151, 911, 30, 41, 100), "dwithin", dist=200.0)
+    return a.union(b).union(c).select_columns(["tag", "l_id", "r_id"])
+
+
 def _q_triangulate_events(sf_dir: str):
     """Constrained-Delaunay triangulation of per-event L-shaped polygons
     (reference: Triangulate/Polygon/ConstrainedDelaunayTriangulator.cs:18).
@@ -2010,6 +2112,42 @@ def _q_voronoi_cells(sf_dir: str):
         .groupby("tile")
         .map_groups(voro_group, batch_format="pandas")
     )
+
+
+def _q_triangulate_voronoi(sf_dir: str):
+    """Consolidates the r4 `triangulate_events` and `voronoi_cells` gate
+    rows under one tag column (the driver gates at most 50 queries; this
+    freed the slot for `poly_join`).  Schemas map to (tag, key, a, b, c):
+      tri:     key=event_id, a=n_tris, b=area2,  c=0
+      voronoi: key=tile,     a=n_sites, b=n_cells, c=area_ppm
+    """
+    import pyarrow as pa2
+
+    tri = _q_triangulate_events(sf_dir).map_batches(
+        lambda t: pa2.table(
+            {
+                "tag": pa2.array(["tri"] * len(t), type=pa2.string()),
+                "key": t["event_id"],
+                "a": t["n_tris"],
+                "b": t["area2"],
+                "c": pa2.array([0] * len(t), type=pa2.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    vor = _q_voronoi_cells(sf_dir).map_batches(
+        lambda t: pa2.table(
+            {
+                "tag": pa2.array(["voronoi"] * len(t), type=pa2.string()),
+                "key": t["tile"],
+                "a": t["n_sites"],
+                "b": t["n_cells"],
+                "c": t["area_ppm"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return tri.union(vor)
 
 
 def _q_buffer_styles(sf_dir: str):
@@ -2440,8 +2578,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gml_kml_coords": _q_gml_kml_coords,
         "coverage_simplify_grid": _q_coverage_simplify_grid,
         "cluster_hulls": _q_cluster_hulls,
-        "triangulate_events": _q_triangulate_events,
-        "voronoi_cells": _q_voronoi_cells,
+        "triangulate_voronoi": _q_triangulate_voronoi,
+        "poly_join": _q_poly_join,
     }
 
 
@@ -2991,29 +3129,68 @@ FROM documents GROUP BY 1
 """,
         # L-shape (0,0)-(a,0)-(a,b)-(c,b)-(c,d)-(0,d): 6-vertex simple
         # polygon -> 4 triangles; doubled area = 2*(a*b + c*(d-b))
-        "triangulate_events": """
+        # consolidated tri + voronoi under one tag column (see
+        # _q_triangulate_voronoi); the per-leg invariants are unchanged
+        # from the r4 rows
+        "triangulate_voronoi": """
 WITH e AS (
   SELECT event_id,
-         1000 + (event_id * 7) % 500 AS a,
-         500 + (event_id * 11) % 300 AS b,
-         (1000 + (event_id * 7) % 500) // 2 AS c,
-         500 + (event_id * 11) % 300 + 200 + (event_id * 13) % 100 AS d
+         1000 + (event_id * 7) % 500 AS aa,
+         500 + (event_id * 11) % 300 AS bb,
+         (1000 + (event_id * 7) % 500) // 2 AS cc,
+         500 + (event_id * 11) % 300 + 200 + (event_id * 13) % 100 AS dd
   FROM events
 )
-SELECT event_id, CAST(4 AS BIGINT) AS n_tris,
-       CAST(2 * (a * b + c * (d - b)) AS BIGINT) AS area2
+SELECT 'tri' AS tag, event_id AS key, CAST(4 AS BIGINT) AS a,
+       CAST(2 * (aa * bb + cc * (dd - bb)) AS BIGINT) AS b,
+       CAST(0 AS BIGINT) AS c
 FROM e
-""",
-        # Voronoi partition invariant: one cell per distinct site, cells
-        # tile the 2w x 2h clip envelope exactly (see _q_voronoi_cells)
-        "voronoi_cells": """
-SELECT tile, n_sites, n_sites AS n_cells, CAST(1000000 AS BIGINT) AS area_ppm
+UNION ALL
+SELECT 'voronoi' AS tag, tile AS key, n_sites AS a, n_sites AS b,
+       CAST(1000000 AS BIGINT) AS c
 FROM (
   SELECT event_id % 16 AS tile,
          CAST(COUNT(DISTINCT (event_id * 7919) % 10000 * 100000
                     + (event_id * 104729) % 10000) AS BIGINT) AS n_sites
   FROM events GROUP BY 1
 )
+""",
+        # diamond/square closed forms in (u,v) = (x+y, x-y) space — see
+        # _q_poly_join for the derivation; integer-exact
+        "poly_join": """
+WITH l AS (
+  SELECT event_id AS l_id,
+         (event_id * 7919) % 20000 - 10000 AS cx,
+         (event_id * 104729) % 10000 - 5000 AS cy,
+         50 + (event_id * 37) % 200 AS r_int,
+         300 + (event_id * 37) % 200 AS r_cont,
+         30 + (event_id * 29) % 100 AS h_dw
+  FROM events WHERE event_id % 5 = 0
+), r AS (
+  SELECT doc_id AS r_id,
+         (doc_id * 6151) % 20000 - 10000 AS cx,
+         (doc_id * 911) % 10000 - 5000 AS cy,
+         50 + (doc_id * 53) % 200 AS r_int,
+         10 + (doc_id * 53) % 40 AS r_cont,
+         30 + (doc_id * 41) % 100 AS h_dw
+  FROM documents
+)
+SELECT 'intersects' AS tag, l.l_id, r.r_id
+FROM l, r
+WHERE abs((l.cx + l.cy) - (r.cx + r.cy)) <= l.r_int + r.r_int
+  AND abs((l.cx - l.cy) - (r.cx - r.cy)) <= l.r_int + r.r_int
+UNION ALL
+SELECT 'contains' AS tag, l.l_id, r.r_id
+FROM l, r
+WHERE l.r_cont >= r.r_cont
+  AND abs((l.cx + l.cy) - (r.cx + r.cy)) <= l.r_cont - r.r_cont
+  AND abs((l.cx - l.cy) - (r.cx - r.cy)) <= l.r_cont - r.r_cont
+UNION ALL
+SELECT 'dwithin' AS tag, l.l_id, r.r_id
+FROM l, r
+WHERE power(greatest(0, abs(l.cx - r.cx) - (l.h_dw + r.h_dw)), 2)
+    + power(greatest(0, abs(l.cy - r.cy) - (l.h_dw + r.h_dw)), 2)
+    <= 200 * 200
 """,
         # connected components over the exact-Jaccard edge set: recursive
         # transitive closure, min label per node (see _q_near_dup_groups)
