@@ -242,9 +242,160 @@ def _write(g: Geom, out: bytearray):
 # batch helpers (used by map_batches stages)
 
 
+def _ragged_gather(data: np.ndarray, starts: np.ndarray, nbytes: np.ndarray):
+    """One fancy-index gather of per-row byte ranges out of the column's
+    contiguous data buffer → float64 coords (N,2) plus row point counts.
+    The classic ragged-arange: global position minus each row's cumulative
+    start, offset by its buffer start."""
+    total = int(nbytes.sum())
+    if total == 0:
+        return np.zeros((0, 2)), (nbytes // 16).astype(np.int64)
+    cum = np.cumsum(nbytes) - nbytes
+    idx = np.arange(total, dtype=np.int64) - np.repeat(cum, nbytes) + np.repeat(
+        starts, nbytes
+    )
+    flat = data[idx]
+    return flat.view("<f8").reshape(-1, 2), (nbytes // 16).astype(np.int64)
+
+
+_GATHER_LIM = 512  # bytes; above this a per-row frombuffer view beats the gather
+
+
+def _decode_runs(geoms: list, data: np.ndarray, rows, starts, cnts, mk):
+    """Fill geoms[rows] from contiguous little-endian coord runs.
+
+    Small runs move through ONE ragged fancy-index gather (per-byte int64
+    indices — cheap when runs are short); large runs are decoded as
+    per-row zero-copy np.frombuffer views of the shared Arrow data buffer
+    (the gather's 8-bytes-of-index-per-byte traffic would dominate)."""
+    nbytes = cnts * 16
+    small = nbytes <= _GATHER_LIM
+    if small.any():
+        coords, npts = _ragged_gather(data, starts[small], nbytes[small])
+        ends = np.cumsum(npts)
+        begs = ends - npts
+        for i, a, b in zip(rows[small], begs, ends):
+            geoms[i] = mk(coords[a:b])
+    if not small.all():
+        big = ~small
+        dmem = data.data  # one memoryview; frombuffer(offset=) is zero-copy
+        for i, a, c in zip(rows[big], starts[big], cnts[big]):
+            geoms[i] = mk(
+                np.frombuffer(dmem, dtype="<f8", count=int(c) * 2, offset=int(a)).reshape(
+                    -1, 2
+                )
+            )
+
+
 def decode_column(col) -> list:
-    """Decode an Arrow/numpy column of WKB binary into a list of Geoms."""
-    return [from_wkb(b) for b in col]
+    """Decode an Arrow/numpy column of WKB binary into a list of Geoms.
+
+    Vectorized single-pass ragged-buffer fast path for the engine's own
+    on-the-wire format (little-endian, 2-D Point / LineString /
+    single-ring Polygon — the overwhelming majority of hot-path rows):
+    headers are classified with one gather over the Arrow offsets buffer
+    and ALL coordinate bytes move in one fancy-index + view('<f8') per
+    type class — no per-row struct.unpack / np.frombuffer.  Anything
+    else (big-endian, Z/M, multi-ring, multi-part, nulls) falls back to
+    the scalar reader row-by-row.  Observable results are identical
+    (asserted in tests/test_geom_core.py round-trip suite)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        out: list = []
+        for ch in col.chunks:
+            out.extend(decode_column(ch))
+        return out
+    if not isinstance(col, pa.Array) or not pa.types.is_binary(col.type):
+        return [from_wkb(b) if b is not None else None for b in col]
+    n = len(col)
+    if n == 0:
+        return []
+    arr = col
+    off0 = arr.offset
+    validity, offbuf, databuf = arr.buffers()
+    offs = np.frombuffer(offbuf, dtype=np.int32, count=n + 1 + off0)[off0:].astype(
+        np.int64
+    )
+    data = np.frombuffer(databuf, dtype=np.uint8)
+    lens = np.diff(offs)
+    starts = offs[:-1]
+    nulls = np.zeros(n, dtype=bool)
+    if validity is not None and arr.null_count:
+        bits = np.unpackbits(
+            np.frombuffer(validity, dtype=np.uint8), bitorder="little"
+        )
+        nulls = ~bits[off0 : off0 + n].astype(bool)
+    geoms: list = [None] * n
+    plain = (~nulls) & (lens >= 9)
+    byte0 = np.zeros(n, dtype=np.uint8)
+    code = np.zeros(n, dtype=np.int64)
+    if plain.any():
+        s = starts[plain]
+        byte0[plain] = data[s]
+        code[plain] = (
+            data[s + 1].astype(np.int64)
+            | (data[s + 2].astype(np.int64) << 8)
+            | (data[s + 3].astype(np.int64) << 16)
+            | (data[s + 4].astype(np.int64) << 24)
+        )
+    le = plain & (byte0 == 1)
+
+    # --- Point: header(5) + 16 coord bytes
+    m = le & (code == 1) & (lens == 21)
+    if m.any():
+        pts, _ = _ragged_gather(data, starts[m] + 5, np.full(int(m.sum()), 16))
+        for k, i in enumerate(np.nonzero(m)[0]):
+            p = pts[k]
+            geoms[i] = (
+                Geom.empty(POINT) if np.isnan(p).all() else Geom(POINT, p.copy())
+            )
+
+    # --- LineString: header(5) + count(4) + n*16
+    m = le & (code == 2) & (lens >= 9)
+    if m.any():
+        s = starts[m]
+        cnt = (
+            data[s + 5].astype(np.int64)
+            | (data[s + 6].astype(np.int64) << 8)
+            | (data[s + 7].astype(np.int64) << 16)
+            | (data[s + 8].astype(np.int64) << 24)
+        )
+        ok = lens[m] == 9 + cnt * 16
+        rows = np.nonzero(m)[0][ok]
+        if len(rows):
+            _decode_runs(
+                geoms, data, rows, s[ok] + 9, cnt[ok], lambda xy: Geom(LINESTRING, xy)
+            )
+
+    # --- Polygon, single ring: header(5) + nrings(4)=1 + npts(4) + n*16
+    m = le & (code == 3) & (lens >= 13)
+    if m.any():
+        s = starts[m]
+        nr = (
+            data[s + 5].astype(np.int64)
+            | (data[s + 6].astype(np.int64) << 8)
+            | (data[s + 7].astype(np.int64) << 16)
+            | (data[s + 8].astype(np.int64) << 24)
+        )
+        cnt = (
+            data[s + 9].astype(np.int64)
+            | (data[s + 10].astype(np.int64) << 8)
+            | (data[s + 11].astype(np.int64) << 16)
+            | (data[s + 12].astype(np.int64) << 24)
+        )
+        ok = (nr == 1) & (lens[m] == 13 + cnt * 16)
+        rows = np.nonzero(m)[0][ok]
+        if len(rows):
+            _decode_runs(
+                geoms, data, rows, s[ok] + 13, cnt[ok], lambda xy: Geom(POLYGON, [xy])
+            )
+
+    # --- fallback: everything still None and not null
+    todo = np.fromiter((g is None for g in geoms), dtype=bool, count=n) & ~nulls
+    for i in np.nonzero(todo)[0]:
+        geoms[int(i)] = from_wkb(data[starts[i] : starts[i] + lens[i]].tobytes())
+    return geoms
 
 
 def encode_column(geoms) -> list:

@@ -15,12 +15,14 @@ import pyarrow as pa
 from ..geom import algorithms as alg
 from ..geom import predicates as pred
 from ..geom.types import Geom
-from ..geom.wkb import from_wkb, to_wkb
+from ..geom.wkb import decode_column, from_wkb, to_wkb
 from ..geom.wkt import from_wkt, to_wkt
 
 
 def _geoms(batch: pa.Table, col: str):
-    return [from_wkb(b) if b is not None else None for b in batch[col].to_pylist()]
+    # vectorized ragged-buffer batch decode (geom/wkb.py decode_column):
+    # one gather per type class instead of a per-row reader walk
+    return decode_column(batch[col])
 
 
 def scalar_stage(fn, out_col: str, out_type):
@@ -192,11 +194,29 @@ _OVERLAY_OPS = {
 }
 
 
+_HEX_WKB = __import__("re").compile(r"^(?:0[01])(?:[0-9A-Fa-f]{2})+$")
+
+
+def from_text(s: str):
+    """Parse a conformance-corpus geometry literal: WKT, or hex WKB (the
+    GEOS-imported robust/overlay files carry big-endian hex WKB in <a>)."""
+    t = s.strip()
+    if _HEX_WKB.match(t.replace("\n", "").replace(" ", "")):
+        return from_wkb(bytes.fromhex(t.replace("\n", "").replace(" ", "")))
+    return from_wkt(t)
+
+
 def run_conformance_case(op, a, b, arg1, arg2, arg3, pm_scale=None):
     """Evaluate one conformance op → (result_str, supported: bool).
 
     Mirrors XmlTest.Run dispatch (reference:
-    test/NetTopologySuite.TestRunner/XmlTest.cs:224,302)."""
+    test/NetTopologySuite.TestRunner/XmlTest.cs:224,302).  The GEOS-
+    imported ops of robust/overlay (unionArea, unionLength,
+    overlayAreaTest, reducePrecision — no implementation exists in the
+    reference's own TestRunner) are engine-defined: union scalars are the
+    measure of the robust unary union; overlayAreaTest asserts the
+    inclusion-exclusion identity area(A)+area(B) == area(A∪B)+area(A∩B)
+    to 1e-6 relative — the invariant those GEOS regressions guard."""
     if (arg1 or "A").upper() == "B":
         a, b = b, a
         arg1 = "A"
@@ -278,6 +298,28 @@ def run_conformance_case(op, a, b, arg1, arg2, arg3, pm_scale=None):
         return str(alg.equals_exact(a, b)).lower(), True
     if op == "equalsNorm":
         return str(alg.equals_exact(alg.normalize(a), alg.normalize(b))).lower(), True
+    if op in ("unionArea", "unionLength"):
+        from ..geom.overlay import overlay, union_all
+
+        u = union_all(list(a.flatten())) if b is None else overlay(a, b, "union")
+        return repr(alg.area(u) if op == "unionArea" else alg.length(u)), True
+    if op.lower() == "overlayareatest":
+        from ..geom.overlay import overlay
+
+        inter = overlay(a, b, "intersection")
+        uni = overlay(a, b, "union")
+        lhs = alg.area(a) + alg.area(b)
+        rhs = alg.area(uni) + alg.area(inter)
+        ok = abs(lhs - rhs) <= 1e-6 * max(lhs, rhs, 1.0)
+        return str(ok).lower(), True
+    if op == "reducePrecision":
+        from ..geom.precision import reduce_precision
+
+        # negative scale sets the grid size directly
+        # (reference: Geometries/PrecisionModel.cs:160-179)
+        sc = float(arg2 if arg2 is not None else arg3)
+        scale = 1.0 / abs(sc) if sc < 0 else sc
+        return to_wkt(reduce_precision(a, scale)), True
     return "", False
 
 
@@ -345,23 +387,27 @@ def compare_buffer(result: str, expected: str, distance: float) -> bool:
     return h <= tol
 
 
-def _compare(result: str, expected: str) -> bool:
+def _compare(result: str, expected: str, tol: float | None = None) -> bool:
+    """tol: run-level <tolerance> from the corpus file (absolute, also the
+    coordinate tolerance of the normalized geometry compare); defaults to
+    the 1e-9 exact-gate used for the general/validate dirs."""
     if expected is None:
         return result == ""
     e = expected.strip()
+    t = 1e-9 if tol is None or tol != tol else float(tol)
     if e.lower() in ("true", "false"):
         return result == e.lower()
     # numeric?
     try:
         ev = float(e)
-        return abs(float(result) - ev) <= 1e-9 + 1e-9 * abs(ev)
+        return abs(float(result) - ev) <= t + 1e-9 * abs(ev)
     except ValueError:
         pass
     # geometry compare: normalize-then-equals-exact
     try:
-        eg = alg.normalize(from_wkt(e))
-        rg = alg.normalize(from_wkt(result))
-        return alg.equals_exact(eg, rg, 1e-9)
+        eg = alg.normalize(from_text(e))
+        rg = alg.normalize(from_text(result))
+        return alg.equals_exact(eg, rg, t)
     except ValueError:
         return False
 
