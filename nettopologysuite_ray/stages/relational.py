@@ -39,13 +39,34 @@ def to_cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
     )
 
 
-def broadcast_join_batch(batch: pa.Table, small_df: pd.DataFrame, key, how: str = "inner"):
-    """Arrow batch ⋈ broadcast pandas dimension table (slow generic path:
-    full pandas copy per batch; BroadcastJoin uses it only for multi-key
-    or duplicate-key dimension tables)."""
-    pdf = batch.to_pandas()
-    out = pdf.merge(small_df, on=key, how=how)
-    return pa.Table.from_pandas(out, preserve_index=False)
+def broadcast_join_batch(batch: pa.Table, small, key, how: str = "inner"):
+    """Arrow batch ⋈ broadcast dimension table, generic path (multi-key or
+    duplicate-key dimensions): pyarrow's hash join, re-sorted to
+    (probe row, dimension row) order so output is deterministic at any
+    parallelism level.  No pandas conversion in either direction."""
+    keys = [key] if isinstance(key, str) else list(key)
+    small_tbl = (
+        small
+        if isinstance(small, pa.Table)
+        else pa.Table.from_pandas(small, preserve_index=False)
+    )
+    b = batch.append_column(
+        "__probe_idx", pa.array(np.arange(len(batch), dtype=np.int64))
+    )
+    s = small_tbl.append_column(
+        "__dim_idx", pa.array(np.arange(len(small_tbl), dtype=np.int64))
+    )
+    joined = b.join(
+        s,
+        keys=keys,
+        join_type="inner" if how == "inner" else "left outer",
+        left_suffix="_x",
+        right_suffix="_y",
+    )
+    joined = joined.sort_by(
+        [("__probe_idx", "ascending"), ("__dim_idx", "ascending")]
+    )
+    return joined.drop_columns(["__probe_idx", "__dim_idx"])
 
 
 class BroadcastJoin:
