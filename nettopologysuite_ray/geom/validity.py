@@ -285,17 +285,23 @@ def _check_shells_not_nested(polys) -> str | None:
                 continue
             rings_j = dd[j]
             if i < j:
-                for rj, erj in zip(rings_j, envs[j]):
-                    if (
-                        erj[0] > ei[2]
-                        or ei[0] > erj[2]
-                        or erj[1] > ei[3]
-                        or ei[1] > erj[3]
-                    ):
-                        continue
-                    err, _t = _rings_cross(shell_i, rj)
-                    if err:
-                        return err
+                # boundaries of DISTINCT polygons may only meet at finitely
+                # many points — a proper crossing or 1-D collinear overlap
+                # between ANY ring pair (incl. hole_i × shell_j: a polygon
+                # nested in another's hole sharing hole-edge segments,
+                # misc/TestInvalidA.xml#72) is invalid
+                for ri, eri in zip(dd[i], envs[i]):
+                    for rj, erj in zip(rings_j, envs[j]):
+                        if (
+                            erj[0] > eri[2]
+                            or eri[0] > erj[2]
+                            or erj[1] > eri[3]
+                            or eri[1] > erj[3]
+                        ):
+                            continue
+                        err, _t = _rings_cross(ri, rj)
+                        if err:
+                            return err
             # every boundary segment of polygon i must stay out of Int(j):
             # segments cannot cross d(poly j) except at touch points at their
             # ends, so the midpoint decides each segment's side (even-odd

@@ -45,6 +45,7 @@ def load_cases(dirs=DEFAULT_DIRS, root: str = CORPUS_ROOT, files=None) -> pa.Tab
             "arg3",
             "expected",
             "pm_scale",
+            "tolerance",
         )
     }
     paths = []
@@ -66,6 +67,8 @@ def load_cases(dirs=DEFAULT_DIRS, root: str = CORPUS_ROOT, files=None) -> pa.Tab
             txt = re.sub(r"&(?!(amp|lt|gt|quot|apos);)", "&amp;", txt)
             tree = ET.ElementTree(ET.fromstring(txt))
         run = tree.getroot()
+        tol = run.findtext("tolerance")
+        tolerance = float(tol) if tol and tol.strip() else None
         pm_scale = None
         pm = run.find("precisionModel")
         if pm is not None:
@@ -93,6 +96,7 @@ def load_cases(dirs=DEFAULT_DIRS, root: str = CORPUS_ROOT, files=None) -> pa.Tab
                 rows["arg3"].append(_clean(op.get("arg3")))
                 rows["expected"].append(_clean(op.text))
                 rows["pm_scale"].append(pm_scale)
+                rows["tolerance"].append(tolerance)
     return pa.table(
         {
             "case_id": pa.array(rows["case_id"]),
@@ -106,5 +110,6 @@ def load_cases(dirs=DEFAULT_DIRS, root: str = CORPUS_ROOT, files=None) -> pa.Tab
             "arg3": pa.array(rows["arg3"]),
             "expected": pa.array(rows["expected"]),
             "pm_scale": pa.array(rows["pm_scale"], type=pa.float64()),
+            "tolerance": pa.array(rows["tolerance"], type=pa.float64()),
         }
     )

@@ -1,0 +1,195 @@
+"""Extended conformance gates: the reference's robust/, misc/ and failure/
+XML dirs (reference: data/NetTopologySuite.TestRunner.Tests/Other.xml lists
+robust + failure as its secondary suite; misc is not in either project
+file).  Much of robust/overlay is imported from GEOS's regression corpus
+(hex-WKB inputs, XMLTester ops unionArea/unionLength/overlayAreaTest).
+
+Per-case status is pinned against an explicit quarantine manifest — a
+regression (new fail) AND a silent improvement (quarantined case that now
+passes) both fail the build, so the manifest always reflects reality.
+
+Quarantine causes:
+  snap-union:     JTS/GEOS's floating noder throws on these near-duplicate
+                  line sets and retries with snapping, merging segments
+                  ~1e-13 apart; our floating noder succeeds un-snapped, so
+                  the union keeps both twins and unionLength comes out
+                  longer.  (geos ticket 1034/1046 class.)
+  noding-variant: overlay result differs from the recorded JTS/GEOS output
+                  only in micro-noding (sym-area <= 1e-6 relative; extra or
+                  missing near-coincident intersection points in MULTIPOINT
+                  line-line intersections).
+  buffer-jagged:  BufferResultMatcher tolerance exceeded on jagged
+                  real-world polygons — mostly negative buffers whose
+                  residual is ~1e-4 of the input area, where tiny corner
+                  differences are large relative to the residual.
+  ref-expects-fail: the reference/GEOS corpus itself documents the case as
+                  failing — TestReducePrecisionFailure expects the known
+                  collapse-to-EMPTY bug (our reducer returns the correct
+                  non-empty snapped polygon); overlayAreaTest cases whose
+                  expected is 'false' record a GEOS area inconsistency our
+                  overlay does not reproduce; TestRobustRelateFloat#0's
+                  desc says the reference's own orientation algorithms
+                  fail it (exact rational evaluation of the stored doubles
+                  gives contains=true — our answer).
+"""
+
+import os
+
+import pytest
+
+from nettopologysuite_ray.sources.conformance import load_cases
+from nettopologysuite_ray.stages.geometry import (
+    _compare,
+    compare_buffer,
+    from_text,
+    run_conformance_case,
+)
+
+QUARANTINE = {
+    "robust/TestRobustRelateFloat.xml#0#0": "ref-expects-fail",
+    "robust/overlay/TestOverlay-geos-1034.xml#0#0": "snap-union",
+    "robust/overlay/TestOverlay-geos-1034.xml#1#0": "snap-union",
+    "robust/overlay/TestOverlay-geos-1034.xml#2#0": "snap-union",
+    "robust/overlay/TestOverlay-geos-1034.xml#3#0": "snap-union",
+    "robust/overlay/TestOverlay-geos-1046-union-lines.xml#0#0": "snap-union",
+    "robust/overlay/TestOverlay-misc-3.xml#0#0": "noding-variant",
+    "robust/overlay/TestOverlay-misc-3.xml#1#0": "noding-variant",
+    "robust/overlay/TestOverlay-misc-3.xml#2#0": "noding-variant",
+    "robust/overlay/TestOverlay-misc-3.xml#3#0": "noding-variant",
+    "robust/overlay/TestOverlay-misc-3.xml#4#0": "noding-variant",
+    "robust/overlay/TestOverlay-pg-2176.xml#0#0": "ref-expects-fail",
+    "robust/overlay/TestOverlay-pg-4182-2.xml#0#0": "ref-expects-fail",
+    "robust/overlay/TestOverlay-pg-4738.xml#0#0": "snap-union",
+    "robust/overlay/TestOverlay-pg-list.xml#0#0": "noding-variant",
+    "robust/overlay/TestOverlay-pg-list.xml#1#0": "noding-variant",
+    "robust/overlay/TestOverlay-pg-list.xml#3#0": "snap-union",
+    "misc/TestBufferExternal.xml#0#0": "buffer-jagged",
+    "misc/TestBufferExternal.xml#1#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#20#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#30#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#33#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#38#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#41#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#49#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#54#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#76#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#81#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#86#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#93#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#94#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#97#0": "buffer-jagged",
+    "misc/TestBufferExternal2.xml#98#0": "buffer-jagged",
+    "misc/TestOverlay.xml#0#0": "noding-variant",
+    "misc/TestOverlay.xml#1#0": "noding-variant",
+    "misc/TestOverlay.xml#2#0": "noding-variant",
+    "misc/TestOverlay.xml#4#0": "noding-variant",
+    "misc/geos-bug838-union.xml#0#0": "noding-variant",
+    "failure/TestReducePrecisionFailure.xml#1#0": "ref-expects-fail",
+    "failure/TestReducePrecisionFailure.xml#2#0": "ref-expects-fail",
+    "failure/TestReducePrecisionFailure.xml#3#0": "ref-expects-fail",
+    "failure/TestReducePrecisionFailure.xml#4#0": "ref-expects-fail",
+}
+
+# files whose cases take >15s total (big jagged buffers, giant overlay
+# unions) — exercised by the heavy test (opt-in, results pinned by the same
+# manifest) so the default suite stays fast.  The 2026-08-20 full run:
+# 364 pass / 42 quarantined / 0 unsupported / 0 errors over 406 ops.
+HEAVY_FILES = {
+    "failure/TestBigNastyBuffer.xml",
+    "misc/TestBufferExternal2.xml",
+    "misc/TestBufferJagged.xml",
+    "robust/TestBufferJagged.xml",
+    "robust/overlay/TestOverlay-geos-1051.xml",
+    "robust/overlay/TestOverlay-geos-358.xml",
+    "robust/overlay/TestOverlay-geos-837.xml",
+    "robust/overlay/TestOverlay-jts-300.xml",
+    "robust/overlay/TestOverlay-pg-4182-2.xml",
+}
+
+DIRS = ("robust", "robust/overlay", "misc", "failure")
+
+
+def _case_status(r) -> str:
+    try:
+        a = from_text(r.a_wkt) if r.a_wkt else None
+        b = from_text(r.b_wkt) if r.b_wkt else None
+        res, sup = run_conformance_case(
+            r.op, a, b, r.arg1, r.arg2, r.arg3, r.pm_scale
+        )
+    except Exception as ex:  # noqa: BLE001
+        return f"error:{type(ex).__name__}"
+    if not sup:
+        return "unsupported"
+    if r.expected is None:
+        # GEOS-imported no-expected case: the test is completion
+        return "pass" if not res.startswith("ERR") else "fail"
+    if r.op in ("buffer", "bufferMitredJoin"):
+        try:
+            d = float(r.arg2 if r.arg2 is not None else r.arg3)
+            ok = compare_buffer(res, r.expected, d)
+        except (TypeError, ValueError):
+            ok = _compare(res, r.expected, r.tolerance)
+    else:
+        ok = _compare(res, r.expected, r.tolerance)
+    return "pass" if ok else "fail"
+
+
+def _run_files(pred):
+    t = load_cases(dirs=DIRS).to_pandas()
+    t = t[[pred(f) for f in t.file]]
+    unexpected_fail = []
+    unexpected_pass = []
+    other = []
+    for _, r in t.iterrows():
+        st = _case_status(r)
+        quarantined = r.case_id in QUARANTINE
+        if st == "pass" and quarantined:
+            unexpected_pass.append(r.case_id)
+        elif st != "pass" and not quarantined:
+            unexpected_fail.append((r.case_id, st))
+        elif st.startswith(("error", "unsupported")):
+            other.append((r.case_id, st))
+    return len(t), unexpected_fail, unexpected_pass, other
+
+
+def test_extended_dirs_pinned_status():
+    """Everything except the HEAVY_FILES, pinned case-by-case."""
+    n, ufail, upass, other = _run_files(lambda f: f not in HEAVY_FILES)
+    assert n > 280
+    assert not ufail, f"regressions vs manifest: {ufail[:10]}"
+    assert not upass, f"quarantined cases now pass - tighten manifest: {upass[:10]}"
+    assert not other, other[:10]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_HEAVY_CONFORMANCE"),
+    reason="~8 min of giant jagged-buffer cases; set RUN_HEAVY_CONFORMANCE=1",
+)
+def test_extended_dirs_heavy_pinned_status():
+    n, ufail, upass, other = _run_files(lambda f: f in HEAVY_FILES)
+    assert n > 100
+    assert not ufail, f"regressions vs manifest: {ufail[:10]}"
+    assert not upass, f"quarantined cases now pass - tighten manifest: {upass[:10]}"
+    assert not other, other[:10]
+
+
+def test_multipolygon_hole_edge_overlap_invalid():
+    """The r5 validity fix: a polygon nested in another polygon's hole that
+    shares hole-edge segments is invalid (misc/TestInvalidA.xml#72;
+    reference rule: MultiPolygon boundaries may only meet at finitely many
+    points)."""
+    from nettopologysuite_ray.geom.validity import is_valid
+    from nettopologysuite_ray.geom.wkt import from_wkt
+
+    bad = from_wkt(
+        "MULTIPOLYGON (((10 90, 90 90, 90 10, 10 10, 10 90),"
+        " (30 70, 70 70, 70 30, 30 30, 30 70)),"
+        " ((30 60, 70 60, 70 40, 30 40, 30 60)))"
+    )
+    assert not is_valid(bad)
+    ok = from_wkt(
+        "MULTIPOLYGON (((10 90, 90 90, 90 10, 10 10, 10 90),"
+        " (30 70, 70 70, 70 30, 30 30, 30 70)),"
+        " ((30 50, 50 60, 50 40, 30 50)))"
+    )
+    assert is_valid(ok)
