@@ -427,8 +427,15 @@ def distributed_polygonize(
     # ---- phase 2: hierarchical boundary stitch ---------------------------
     # escalate residue through super-cells of size cell * K^level; each
     # level is ONE shuffle and shrinks the residue ~K× (perimeter
-    # scaling), so the level count is log_K(extent / cell) — computed
-    # once from a tiny min/max aggregate over the residue
+    # scaling).  The level count is log_K(extent / cell), known UP FRONT
+    # from one tiny min/max aggregate over the (materialized,
+    # residue-scale) phase-1 output — so the whole ladder is built as one
+    # lazy pipeline with NO per-level materialize()/count() driver
+    # barriers (the r4 fixed 5-8 s stitch latency floor, and a full
+    # cluster round-trip per level on a real deployment).  Rings closed
+    # at intermediate levels ride along as pass-through rows in hashed
+    # "done" buckets (negative cell ids) instead of forking the stream
+    # into per-level filter/union branches.
     if resid.count() > 0:
         from ray.data.aggregate import Max, Min
 
@@ -442,46 +449,71 @@ def distributed_polygonize(
         maxy = max(ext["max(y0)"], ext["max(y1)"])
         K = 8.0
         span = max(maxx - minx, maxy - miny)
-        level_cell = float(cell)
+        levels = []
+        lc = float(cell)
+        while lc * K <= span:
+            lc *= K
+            levels.append(lc)
+        final_cell = (levels[-1] if levels else float(cell)) * K
+
+        def route_mixed(batch: pa.Table, lc: float | None) -> pa.Table:
+            """Route kinds 2/3 to super-cells of size lc (or to ONE cell
+            when lc is None: the final whole-extent walk); finished rings
+            (kinds 0/1) to deterministic hashed done-buckets."""
+            kinds = batch["kind"].to_numpy(zero_copy_only=False)
+            live = (kinds == KIND_RESID) | (kinds == KIND_ANCHOR)
+            parts = []
+            if live.any():
+                sub = batch.filter(pa.array(live))
+                if lc is None:
+                    routed = sub.add_column(
+                        0, "cell", pa.array(np.zeros(len(sub), dtype=np.int64))
+                    )
+                else:
+                    routed = _route_stitch(sub, lc, ox, oy)
+                parts.append(routed)
+            if not live.all():
+                done = batch.filter(pa.array(~live))
+                cells = np.fromiter(
+                    (
+                        -1
+                        - (
+                            int.from_bytes(
+                                hashlib.md5(w.as_py()).digest()[:4], "little"
+                            )
+                            % 64
+                        )
+                        for w in done["wkb"]
+                    ),
+                    dtype=np.int64,
+                    count=len(done),
+                )
+                parts.append(done.add_column(0, "cell", pa.array(cells)))
+            if not parts:
+                return _OUT_SCHEMA.empty_table().add_column(
+                    0, "cell", pa.array([], type=pa.int64())
+                )
+            return pa.concat_tables(parts, promote_options="default")
+
+        def stitch_or_pass(g: pa.Table, lc: float | None) -> pa.Table:
+            if int(g["cell"][0].as_py()) < 0:  # done-bucket: rings pass through
+                return g.drop_columns(["cell"])
+            if lc is None:
+                return _stitch_cell(g, cell=final_cell, ox=ox, oy=oy, final=True)
+            return _stitch_cell(g, cell=lc, ox=ox, oy=oy, final=False)
+
         cur = resid.union(anchors)
-        while True:
-            level_cell *= K
-            if level_cell > span:
-                break  # a super-cell covers the extent: walk it whole
-                # (alignment-free — the final walk is one group anyway)
-            lc = level_cell
-            routed = (
+        for lc in levels + [None]:
+            cur = (
                 cur.map_batches(
-                    lambda b, _c=lc: _route_stitch(b, _c, ox, oy),
-                    batch_format="pyarrow",
+                    lambda b, _c=lc: route_mixed(b, _c), batch_format="pyarrow"
                 )
                 .groupby("cell")
                 .map_groups(
-                    lambda g, _c=lc: _stitch_cell(
-                        g, cell=_c, ox=ox, oy=oy, final=False
-                    ),
-                    batch_format="pyarrow",
+                    lambda g, _c=lc: stitch_or_pass(g, _c), batch_format="pyarrow"
                 )
-                # block count would otherwise double per level through the
-                # filter/union branches, making every later exchange pay
-                # O(blocks²)
-                .repartition(max(1, int(num_partitions)))
-                .materialize()  # residue-scale; feeds two branches
             )
-            ring_src = ring_src.union(routed.filter(expr="kind == 0 or kind == 1"))
-            cur = routed.filter(expr="kind == 2 or kind == 3")
-            if cur.count() == 0:
-                cur = None
-                break
-        if cur is not None:
-            final_rings = cur.repartition(1).map_batches(
-                lambda g: _stitch_cell(
-                    g, cell=level_cell, ox=ox, oy=oy, final=True
-                ),
-                batch_format="pyarrow",
-                batch_size=None,
-            )
-            ring_src = ring_src.union(final_rings)
+        ring_src = ring_src.union(cur)
 
     # ---- phase 3: hole assignment ---------------------------------------
     def keyed_rings(batch: pa.Table) -> pa.Table:
