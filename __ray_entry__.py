@@ -1993,7 +1993,70 @@ def _q_poly_join(sf_dir: str):
     a = leg("intersects", "diamond", (7919, 104729, 50, 37, 200), (6151, 911, 50, 53, 200), "intersects")
     b = leg("contains", "diamond", (7919, 104729, 300, 37, 200), (6151, 911, 10, 53, 40), "contains")
     c = leg("dwithin", "square", (7919, 104729, 30, 29, 100), (6151, 911, 30, 41, 100), "dwithin", dist=200.0)
-    return a.union(b).union(c).select_columns(["tag", "l_id", "r_id"])
+
+    # 4th leg: the BROADCAST path for polygon probes — PreparedRelateJoin
+    # (prepared vertex-in-area / segment-index short-circuits, reference:
+    # Geometries/Prepared/PreparedPolygon.cs:31-47) against the same
+    # closed-form diamond oracle, distinct radii from the cell-join leg
+    def bcast_leg():
+        import pyarrow as pa2
+        import pyarrow.parquet as pq
+
+        from nettopologysuite_ray.stages.spatial_join import (
+            PreparedRelateJoin,
+            prepare_admin_geoms,
+        )
+
+        did = (
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+                "doc_id"
+            ]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        admin_tbl = pa2.table(
+            {
+                "admin_id": pa2.array(did),
+                "geometry_wkb": synth(did, "diamond", 6151, 911, 40, 59, 150),
+            }
+        )
+        ref = prepare_admin_geoms(admin_tbl)
+
+        def p_synth(bt: "pa.Table") -> "pa.Table":
+            eid = bt["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            eid = eid[eid % 5 == 0]
+            return pa2.table(
+                {"l_id": pa2.array(eid), "wkb": synth(eid, "diamond", 7919, 104729, 40, 41, 150)}
+            )
+
+        out = (
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+            .map_batches(p_synth, batch_format="pyarrow")
+            .map_batches(
+                PreparedRelateJoin,
+                fn_constructor_args=(ref, "intersects"),
+                # autoscaling pool with min 1: a fixed pool sized at the
+                # CPU count deadlocks small sessions (actors hold every
+                # slot, upstream read tasks starve)
+                concurrency=(1, 4),
+                batch_size=512,
+                batch_format="pyarrow",
+            )
+        )
+
+        def shape_rows(bt: "pa.Table") -> "pa.Table":
+            return pa2.table(
+                {
+                    "tag": pa2.array(["bcast_intersects"] * len(bt), type=pa2.string()),
+                    "l_id": bt["l_id"],
+                    "r_id": bt["admin_id"],
+                }
+            )
+
+        return out.map_batches(shape_rows, batch_format="pyarrow")
+
+    d = bcast_leg()
+    return a.union(b).union(c).union(d).select_columns(["tag", "l_id", "r_id"])
 
 
 def _q_triangulate_events(sf_dir: str):
@@ -3191,6 +3254,23 @@ FROM l, r
 WHERE power(greatest(0, abs(l.cx - r.cx) - (l.h_dw + r.h_dw)), 2)
     + power(greatest(0, abs(l.cy - r.cy) - (l.h_dw + r.h_dw)), 2)
     <= 200 * 200
+UNION ALL
+SELECT 'bcast_intersects' AS tag, l.l_id, r.r_id
+FROM (
+  SELECT event_id AS l_id,
+         (event_id * 7919) % 20000 - 10000 AS cx,
+         (event_id * 104729) % 10000 - 5000 AS cy,
+         40 + (event_id * 41) % 150 AS rr
+  FROM events WHERE event_id % 5 = 0
+) l, (
+  SELECT doc_id AS r_id,
+         (doc_id * 6151) % 20000 - 10000 AS cx,
+         (doc_id * 911) % 10000 - 5000 AS cy,
+         40 + (doc_id * 59) % 150 AS rr
+  FROM documents
+) r
+WHERE abs((l.cx + l.cy) - (r.cx + r.cy)) <= l.rr + r.rr
+  AND abs((l.cx - l.cy) - (r.cx - r.cy)) <= l.rr + r.rr
 """,
         # connected components over the exact-Jaccard edge set: recursive
         # transitive closure, min label per node (see _q_near_dup_groups)

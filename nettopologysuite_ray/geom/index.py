@@ -251,3 +251,39 @@ class GridIndex:
         )
         item_idx = self.items[np.repeat(starts, counts) + offs]
         return point_idx, item_idx
+
+    def query_boxes(self, boxes: np.ndarray):
+        """CSR candidate pairs for a batch of probe ENVELOPES.
+
+        Returns (probe_idx, item_idx), deduplicated (an item bucketed in
+        several cells of one probe's rectangle reports once).  Same
+        vectorized ragged-gather shape as query_points; the per-probe
+        cell rectangle is enumerated with the repeat/offset idiom."""
+        boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+        if self.n == 0 or not len(boxes):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        cx0, cy0, cx1, cy1 = self._cells_of_boxes(boxes)
+        # probes entirely outside the extent still clamp into border cells;
+        # the bbox test the caller applies rejects them
+        ncell = ((cx1 - cx0 + 1) * (cy1 - cy0 + 1)).astype(np.int64)
+        total = int(ncell.sum())
+        pi = np.repeat(np.arange(len(boxes), dtype=np.int64), ncell)
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(ncell) - ncell, ncell
+        )
+        w = np.repeat(cx1 - cx0 + 1, ncell)
+        cell = (np.repeat(cy0, ncell) + off // w) * self.nx + (
+            np.repeat(cx0, ncell) + off % w
+        )
+        starts = self.indptr[cell]
+        counts = self.indptr[cell + 1] - starts
+        tot2 = int(counts.sum())
+        if tot2 == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        probe_idx = np.repeat(pi, counts)
+        offs = np.arange(tot2, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        item_idx = self.items[np.repeat(starts, counts) + offs]
+        pairs = np.unique(probe_idx * np.int64(self.n) + item_idx)
+        return pairs // np.int64(self.n), pairs % np.int64(self.n)

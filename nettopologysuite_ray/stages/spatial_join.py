@@ -113,6 +113,164 @@ class PIPJoin:
         return batch.append_column("admin_id", pa.array(assign, type=pa.int64()))
 
 
+def prepare_admin_geoms(admin_table: pa.Table, wkb_col: str = "geometry_wkb"):
+    """Driver-side: ray.put the raw admin (wkb, id) columns once.  Actors
+    parse + index in __init__ (PreparedRelateJoin) — shipping WKB keeps
+    the broadcast object small and codec-stable."""
+    return ray.put(
+        {
+            "wkbs": admin_table[wkb_col].to_pylist(),
+            "admin_ids": np.asarray(
+                admin_table["admin_id"].to_pylist(), dtype=np.int64
+            ),
+        }
+    )
+
+
+class PreparedRelateJoin:
+    """Actor-pool prepared-relate join: arbitrary probe geometries (WKB
+    column) against the broadcast admin polygon set.
+
+    Generalizes PIPJoin's broadcast idiom from point probes to any
+    geometry, with the reference's prepared short-circuit structure
+    (reference: Geometries/Prepared/PreparedPolygon.cs:31-47 — vertex-in-
+    area test, then segment-index intersection test, then containment
+    probe; full relate only for ambiguous boundary-touch cases):
+
+      intersects(A, B): any B vertex non-exterior to A | any boundary
+        segment pair intersects | A's representative vertex inside areal B.
+        Complete — no fallback needed.
+      contains(A, B): reject when any B vertex is exterior; accept when
+        all B vertices are strictly interior and no boundary segments
+        intersect; else (boundary touches) fall back to the full DE-9IM
+        relate.
+      dwithin(A, B): euclidean distance <= d (candidates from the grid
+        with envelopes expanded by d).
+
+    Admin state (parse, GridIndex, ring arrays, segment arrays) is built
+    ONCE per actor in __init__ from the ray.put broadcast; per batch the
+    candidate set comes from one vectorized GridIndex.query_boxes call.
+    Output ('inner'): probe columns + admin_id, one row per satisfying
+    (probe, admin) pair."""
+
+    def __init__(
+        self,
+        admin_ref,
+        predicate: str = "intersects",
+        wkb_col: str = "wkb",
+        distance: float = 0.0,
+    ):
+        from ..geom import predicates as P
+        from ..geom.wkb import decode_column
+
+        state = ray.get(admin_ref) if isinstance(admin_ref, ray.ObjectRef) else admin_ref
+        wkbs = pa.array(state["wkbs"], type=pa.binary())
+        self.geoms = decode_column(wkbs)
+        self.admin_ids = state["admin_ids"]
+        self.predicate = predicate
+        self.distance = float(distance)
+        self._relate = P
+        n = len(self.geoms)
+        self.boxes = np.empty((n, 4), dtype=np.float64)
+        self.rings = []
+        self.segs = []
+        self.rep = np.empty((n, 2), dtype=np.float64)
+        for i, g in enumerate(self.geoms):
+            env = alg.envelope(g)
+            self.boxes[i] = env if env else (np.nan,) * 4
+            polys = [c for c in g.flatten() if c.gtype == "Polygon"]
+            rs = [r for p in polys for r in p.data]
+            self.rings.append(rs)
+            self.segs.append(alg._geom_segments(g))
+            self.rep[i] = rs[0][0] if rs else (np.nan, np.nan)
+        self.grid = GridIndex(self.boxes)
+        self.wkb_col = wkb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geom.wkb import decode_column
+
+        probes = decode_column(batch[self.wkb_col])
+        m = len(probes)
+        envs = np.empty((m, 4), dtype=np.float64)
+        for i, g in enumerate(probes):
+            e = alg.envelope(g)
+            envs[i] = e if e else (np.nan,) * 4
+        grow = self.distance if self.predicate == "dwithin" else 0.0
+        q = envs + (-grow, -grow, grow, grow) if grow else envs
+        pi, ci = self.grid.query_boxes(q)
+        if len(pi):
+            bx = self.boxes[ci]
+            keep = (
+                (q[pi, 0] <= bx[:, 2])
+                & (q[pi, 2] >= bx[:, 0])
+                & (q[pi, 1] <= bx[:, 3])
+                & (q[pi, 3] >= bx[:, 1])
+            )
+            pi, ci = pi[keep], ci[keep]
+        hits = np.zeros(len(pi), dtype=bool)
+        if self.predicate == "dwithin":
+            for k in range(len(pi)):
+                hits[k] = (
+                    alg.distance(self.geoms[int(ci[k])], probes[int(pi[k])])
+                    <= self.distance
+                )
+        else:
+            # group by admin so each admin's ring arrays run one
+            # vectorized multi-probe locate per batch
+            order = np.argsort(ci, kind="stable")
+            pos = 0
+            while pos < len(order):
+                end = pos
+                a = int(ci[order[pos]])
+                while end < len(order) and int(ci[order[end]]) == a:
+                    end += 1
+                idxs = order[pos:end]
+                rings_a = self.rings[a]
+                segs_a = self.segs[a]
+                for k in idxs:
+                    hits[k] = self._pair(
+                        a, rings_a, segs_a, probes[int(pi[k])]
+                    )
+                pos = end
+        pi_h, ci_h = pi[hits], ci[hits]
+        out = batch.take(pa.array(pi_h, type=pa.int64()))
+        return out.append_column(
+            "admin_id", pa.array(self.admin_ids[ci_h], type=pa.int64())
+        )
+
+    def _pair(self, a: int, rings_a, segs_a, probe) -> bool:
+        P = self._relate
+        pts = probe.all_coords()
+        loc = (
+            alg.locate_points_in_rings(pts, rings_a)
+            if len(rings_a) and len(pts)
+            else np.full(len(pts), alg.EXTERIOR)
+        )
+        if self.predicate == "intersects":
+            if (loc != alg.EXTERIOR).any():
+                return True
+            sb = alg._geom_segments(probe)
+            if sb is not None and segs_a is not None and alg._segments_intersect(
+                segs_a, sb
+            ):
+                return True
+            # A entirely inside areal probe
+            return alg._any_point_in_area(self.rep[a : a + 1], probe)
+        if self.predicate == "contains":
+            if (loc == alg.EXTERIOR).any():
+                return False
+            sb = alg._geom_segments(probe)
+            no_seg_x = (
+                sb is None
+                or segs_a is None
+                or not alg._segments_intersect(segs_a, sb)
+            )
+            if no_seg_x and len(loc) and (loc == alg.INTERIOR).all():
+                return True
+            return P.contains(self.geoms[a], probe)
+        raise ValueError(f"unsupported predicate {self.predicate!r}")
+
+
 class KnnJoin:
     """Actor-pool k-nearest-neighbour stage against the broadcast build side.
 
