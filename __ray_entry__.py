@@ -797,7 +797,10 @@ def _q_raster_roundtrip(sf_dir: str, rep: int = 1):
             }
         )
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    # documents.parquet is one file → one block → the whole build+burn
+    # would run as ONE task; split so the map chain parallelizes (this
+    # was the zero-scaling fixed ~3.3s of the rep=4 scaling study)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).repartition(64)
     cells = rasterize(docs.map_batches(build, batch_format="pyarrow"), cell=1.0)
     regions = vectorize(cells, cell=1.0, tile=4)  # num_partitions: auto (CPU count)
 
@@ -2298,6 +2301,7 @@ def _q_multimodal_decode(sf_dir: str):
     def enc_dec(b: "pa.Table"):
         import pyarrow as pa2
 
+        from nettopologysuite_ray.functions.imagecodec import decode_png, encode_png
         from nettopologysuite_ray.stages.multimodal import (
             decode_bmp,
             decode_ppm,
@@ -2316,8 +2320,19 @@ def _q_multimodal_decode(sf_dir: str):
             h = 8 + (d // 3) % 12
             rgb = np.array([(d * 37) % 256, (d * 59) % 256, (d * 83) % 256], dtype=np.uint8)
             img = np.broadcast_to(rgb, (h, w, 3)).copy()
-            blob = encode_ppm(img) if d % 2 == 0 else encode_bmp(img)
-            dec = decode_ppm(blob) if d % 2 == 0 else decode_bmp(blob)
+            # three real codecs under the same pixel-exact oracle (r5
+            # adds the pure-numpy PNG of functions/imagecodec.py; JPEG
+            # is lossy so it is pinned by pytest instead)
+            codec = d % 3
+            if codec == 0:
+                blob, dec = encode_ppm(img), None
+                dec = decode_ppm(blob)
+            elif codec == 1:
+                blob = encode_bmp(img)
+                dec = decode_bmp(blob)
+            else:
+                blob = encode_png(img)
+                dec = decode_png(blob)
             h_out[i], w_out[i] = dec.shape[:2]
             # first-pixel luminance: identical float64 ops in DuckDB;
             # pix_sum covers EVERY decoded byte integer-exactly

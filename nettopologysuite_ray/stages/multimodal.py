@@ -3,15 +3,19 @@
 Decode support is split honestly:
 
 * REAL decoders, pure numpy/stdlib, no external libs: PPM (P6) and
-  uncompressed 24/32-bit BMP images, and PCM WAV audio (stdlib `wave`).
+  uncompressed 24/32-bit BMP images, PCM WAV audio (stdlib `wave`), and
+  — since r5 — PNG (full non-interlaced 8-bit decode, all filters and
+  color types) and baseline-sequential JPEG (Huffman + IDCT + 4:2:0
+  upsample), both in `functions/imagecodec.py` with matching encoders
+  exercised by exact (PNG) and PSNR/analytic (JPEG) round-trip tests.
   Decode, nearest-neighbor resize, and grayscale-grid / energy-envelope
   feature extraction over these run on actual pixel/sample data.
-* STUBS for compressed formats (jpeg/png/mp3/video — the codecs aren't
-  in this container): clearly marked, swap in PIL/librosa/pyav at deploy
-  time.  The Ray-side plumbing is identical either way and is what the
-  tests pin down: schema contracts, actor-pool signatures, small batch
-  sizes for large binary payloads (size batch_size*avg_bytes*concurrency
-  against the worker heap).
+* STUBS for the remaining compressed formats (mp3/video — the codecs
+  aren't in this container): clearly marked, swap in librosa/pyav at
+  deploy time.  The Ray-side plumbing is identical either way and is
+  what the tests pin down: schema contracts, actor-pool signatures,
+  small batch sizes for large binary payloads (size
+  batch_size*avg_bytes*concurrency against the worker heap).
 """
 
 from __future__ import annotations
@@ -170,11 +174,19 @@ class ImageDecodeStage:
             return grayscale_grid_features(decode_ppm(data), self.grid)
         if mime == "image/bmp":
             return grayscale_grid_features(decode_bmp(data), self.grid)
+        if mime == "image/png":
+            from ..functions.imagecodec import decode_png
+
+            return grayscale_grid_features(decode_png(data), self.grid)
+        if mime in ("image/jpeg", "image/jpg"):
+            from ..functions.imagecodec import decode_jpeg
+
+            return grayscale_grid_features(decode_jpeg(data), self.grid)
         if self.fake_fallback:
             return self._fake_decode(data)
         raise NotImplementedError(
-            f"decoding {mime} requires PIL/opencv, not present in this "
-            "container; deploy-time implementations plug in here"
+            f"decoding {mime} requires a codec library not present in this "
+            "container (mp3/video); deploy-time implementations plug in here"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
