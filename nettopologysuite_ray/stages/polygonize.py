@@ -512,6 +512,10 @@ def distributed_polygonize(
                 .map_groups(
                     lambda g, _c=lc: stitch_or_pass(g, _c), batch_format="pyarrow"
                 )
+                # lazy (no driver sync): map_groups emits one tiny block per
+                # group; unbounded block counts make every later sort pay
+                # O(blocks²) scheduling, which was the post-de-barrier floor
+                .repartition(max(1, int(num_partitions)))
             )
         ring_src = ring_src.union(cur)
 
