@@ -51,19 +51,117 @@ _PREDICATES = {
 }
 
 
+class _Prepared:
+    """Per-geometry derived arrays, built once per kernel group — the
+    prepared-geometry idiom (reference: PreparedPolygon.cs:17) applied
+    inside the cell kernel: vertex array, polygon rings, segment arrays."""
+
+    __slots__ = ("geom", "pts", "rings", "segs")
+
+    def __init__(self, geom):
+        self.geom = geom
+        self.pts = geom.all_coords()
+        self.rings = [
+            r for c in geom.flatten() if c.gtype == "Polygon" for r in c.data
+        ]
+        self.segs = alg._geom_segments(geom)
+
+
+def _any_vertex_inside(pts: np.ndarray, rings) -> bool:
+    return bool(
+        len(rings)
+        and len(pts)
+        and (alg.locate_points_in_rings(pts, rings) != alg.EXTERIOR).any()
+    )
+
+
+def _prep_intersects(a: _Prepared, b: _Prepared) -> bool:
+    """Complete for all geometry mixes: vertex-of-one-in-other covers
+    containment and point components, segment intersection covers
+    boundary crossings, point-set coincidence covers pure points."""
+    if _any_vertex_inside(b.pts, a.rings) or _any_vertex_inside(a.pts, b.rings):
+        return True
+    if a.segs is not None and b.segs is not None and alg._segments_intersect(
+        a.segs, b.segs
+    ):
+        return True
+    if a.segs is None or b.segs is None:
+        # at least one side is pure points: exact coincidence with the
+        # other's vertices or segments decides
+        pp, other = (a, b) if a.segs is None else (b, a)
+        if len(pp.pts):
+            if other.segs is not None:
+                from ..geom.algorithms import points_to_segments_distance
+
+                return bool(points_to_segments_distance(pp.pts, other.segs).min() == 0.0)
+            if len(other.pts):
+                d = np.hypot(
+                    pp.pts[:, 0][:, None] - other.pts[None, :, 0],
+                    pp.pts[:, 1][:, None] - other.pts[None, :, 1],
+                )
+                return bool((d == 0.0).any())
+    return False
+
+
+def _prep_dwithin(a: _Prepared, b: _Prepared, d: float) -> bool:
+    if _prep_intersects(a, b):
+        return True
+    from ..geom.algorithms import points_to_segments_distance
+
+    best = np.inf
+    if b.segs is not None and len(a.pts):
+        best = min(best, float(points_to_segments_distance(a.pts, b.segs).min()))
+    if a.segs is not None and len(b.pts):
+        best = min(best, float(points_to_segments_distance(b.pts, a.segs).min()))
+    if a.segs is None and b.segs is None and len(a.pts) and len(b.pts):
+        dd = np.hypot(
+            a.pts[:, 0][:, None] - b.pts[None, :, 0],
+            a.pts[:, 1][:, None] - b.pts[None, :, 1],
+        )
+        best = min(best, float(dd.min()))
+    return best <= d
+
+
+def _prep_contains(a: _Prepared, b: _Prepared) -> bool:
+    """Fast reject (a B vertex exterior) / fast accept (all strictly
+    interior, boundaries never intersect); full relate on boundary touch
+    — the PreparedPolygon.cs:31-47 ladder."""
+    if not a.rings or not len(b.pts):
+        return P.contains(a.geom, b.geom)
+    loc = alg.locate_points_in_rings(b.pts, a.rings)
+    if (loc == alg.EXTERIOR).any():
+        return False
+    no_seg_x = (
+        a.segs is None
+        or b.segs is None
+        or not alg._segments_intersect(a.segs, b.segs)
+    )
+    if no_seg_x and (loc == alg.INTERIOR).all():
+        return True
+    return P.contains(a.geom, b.geom)
+
+
 def _pred_fn(predicate: str, dist: float):
+    """(fn(a: _Prepared, b: _Prepared) -> bool) for the cell kernel."""
     if predicate == "dwithin":
-        return lambda a, b: alg.distance(a, b) <= dist
+        return lambda a, b: _prep_dwithin(a, b, dist)
+    if predicate == "intersects":
+        return _prep_intersects
+    if predicate == "contains":
+        return _prep_contains
+    if predicate == "within":
+        return lambda a, b: _prep_contains(b, a)
     if predicate.startswith("relate:"):
         pattern = predicate.split(":", 1)[1]
-        return lambda a, b: P.relate_pattern(a, b, pattern)
+        return lambda a, b: P.relate_pattern(a.geom, b.geom, pattern)
     try:
-        return _PREDICATES[predicate]
+        fn = _PREDICATES[predicate]
     except KeyError:
         raise ValueError(
             f"unknown predicate {predicate!r}; one of {sorted(_PREDICATES)}, "
             "'dwithin', or 'relate:<DE-9IM pattern>'"
         ) from None
+    return lambda a, b, _f=fn: _f(a.geom, b.geom)
 
 
 def spatial_join(
@@ -272,23 +370,24 @@ def spatial_join(
             ci, cj = ci[keep], cj[keep]
         if not len(ci):
             return empty
-        # exact predicate with per-geometry parse caching, candidates
-        # grouped by left row so each left geometry parses once
+        # exact predicate with per-geometry PREPARED caching (parse +
+        # vertex/ring/segment arrays built once per geometry per cell,
+        # not per pair), candidates grouped by left row
         order = np.argsort(ci, kind="stable")
-        rgeoms: dict[int, object] = {}
+        rprep: dict[int, _Prepared] = {}
         hits = np.zeros(len(ci), dtype=bool)
         cur_left = -1
-        gl = None
+        pl = None
         wcol = g["_wkb"]
         for pos in order:
             i, j = int(ci[pos]), int(cj[pos])
             if i != cur_left:
-                gl = from_wkb(wcol[int(li[i])].as_py())
+                pl = _Prepared(from_wkb(wcol[int(li[i])].as_py()))
                 cur_left = i
-            gr = rgeoms.get(j)
-            if gr is None:
-                gr = rgeoms[j] = from_wkb(wcol[int(ri[j])].as_py())
-            if fn(gl, gr):
+            pr = rprep.get(j)
+            if pr is None:
+                pr = rprep[j] = _Prepared(from_wkb(wcol[int(ri[j])].as_py()))
+            if fn(pl, pr):
                 hits[pos] = True
         hi = np.nonzero(hits)[0]
         if not len(hi):

@@ -195,11 +195,11 @@ def test_lines_vs_polygons_brute_predicate(ray_session):
 
 
 def test_bad_predicate_raises(ray_session):
-    from nettopologysuite_ray.stages.geom_join import _pred_fn
+    from nettopologysuite_ray.stages.geom_join import _Prepared, _pred_fn
 
     with pytest.raises(ValueError):
         _pred_fn("nope", 0.0)
     # relate pattern path: intersects-equivalent pattern
     fn = _pred_fn("relate:T********", 0.0)
-    a, b = _diamond(0, 0, 10), _diamond(5, 0, 10)
+    a, b = _Prepared(_diamond(0, 0, 10)), _Prepared(_diamond(5, 0, 10))
     assert fn(a, b)
