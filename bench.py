@@ -268,12 +268,18 @@ def run_all() -> dict:
         best, worst = _timed_query(fn)
         queries[q] = round(best, 3)
         spread[q] = round(worst / max(best, 1e-9), 2)
+    # headline total stays r2/r3/r4-comparable (same 6 queries); the r5
+    # general spatial join is reported as a separate key outside `value`
     total = sum(queries.values())
+    best, worst = _timed_query(gate["poly_join"])
+    extra = {"poly_join_r5": round(best, 3)}
+    spread["poly_join_r5"] = round(worst / max(best, 1e-9), 2)
     out = {
         "metric": "spatial-join+tile-assignment throughput (docs/sec) + pipeline wall times",
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "extra_queries": extra,
         "spread_worst_over_best": spread,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
