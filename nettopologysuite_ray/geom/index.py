@@ -287,3 +287,122 @@ class GridIndex:
         item_idx = self.items[np.repeat(starts, counts) + offs]
         pairs = np.unique(probe_idx * np.int64(self.n) + item_idx)
         return pairs // np.int64(self.n), pairs % np.int64(self.n)
+
+
+class HPRtree:
+    """Hilbert-packed R-tree (reference: Index/HPRtree/HPRtree.cs:40,388):
+    items sorted by the Hilbert code of their envelope midpoint, packed
+    bottom-up into fixed-fanout levels stored as flat numpy bound arrays
+    — no node objects, cache-friendly, and query traversal is a fully
+    VECTORIZED frontier expansion: a (probe, node) candidate-pair list
+    descends one level per step with one bbox test + one repeat/gather.
+
+    Role: build-side alternative to GridIndex for SKEWED item sets —
+    a uniform grid degrades when most items pile into a few buckets,
+    while Hilbert packing keeps node occupancy constant by construction.
+    Same (probe_idx, item_idx) candidate-pair contract as GridIndex."""
+
+    def __init__(self, boxes: np.ndarray, node_capacity: int = 16):
+        from .hilbert import hilbert_encode
+
+        boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+        self.n = len(boxes)
+        self.cap = int(node_capacity)
+        if self.n == 0:
+            self.order = np.empty(0, dtype=np.int64)
+            self.boxes = boxes
+            self.levels = []
+            return
+        with np.errstate(invalid="ignore"):
+            minx = float(np.nanmin(boxes[:, 0])) if not np.isnan(boxes[:, 0]).all() else 0.0
+            miny = float(np.nanmin(boxes[:, 1])) if not np.isnan(boxes[:, 1]).all() else 0.0
+            maxx = float(np.nanmax(boxes[:, 2])) if not np.isnan(boxes[:, 2]).all() else 1.0
+            maxy = float(np.nanmax(boxes[:, 3])) if not np.isnan(boxes[:, 3]).all() else 1.0
+        w = (maxx - minx) or 1.0
+        h = (maxy - miny) or 1.0
+        cx = np.nan_to_num((boxes[:, 0] + boxes[:, 2]) * 0.5, nan=minx)
+        cy = np.nan_to_num((boxes[:, 1] + boxes[:, 3]) * 0.5, nan=miny)
+        LEVEL = 16
+        nside = np.int64(1) << np.int64(LEVEL)
+        ix = np.clip(((cx - minx) / w * float(nside)).astype(np.int64), 0, nside - 1)
+        iy = np.clip(((cy - miny) / h * float(nside)).astype(np.int64), 0, nside - 1)
+        self.order = np.argsort(hilbert_encode(ix, iy, LEVEL), kind="stable")
+        self.boxes = np.ascontiguousarray(boxes[self.order])
+        # packed levels bottom-up: levels[0] groups cap leaves per node
+        self.levels: list[np.ndarray] = []
+        cur = self.boxes
+        while len(cur) > 1:
+            m = (len(cur) + self.cap - 1) // self.cap
+            pad = m * self.cap - len(cur)
+            if pad:
+                filler = np.repeat(cur[-1:], pad, axis=0)
+                cur = np.concatenate([cur, filler])
+            g = cur.reshape(m, self.cap, 4)
+            nodes = np.empty((m, 4), dtype=np.float64)
+            # nan-aware: empty-geometry leaves carry NaN boxes and must
+            # not poison their ancestors (they simply never match)
+            with np.errstate(invalid="ignore"):
+                nodes[:, 0] = np.nanmin(g[:, :, 0], axis=1)
+                nodes[:, 1] = np.nanmin(g[:, :, 1], axis=1)
+                nodes[:, 2] = np.nanmax(g[:, :, 2], axis=1)
+                nodes[:, 3] = np.nanmax(g[:, :, 3], axis=1)
+            self.levels.append(nodes)
+            cur = nodes
+
+    def query_boxes(self, qboxes: np.ndarray):
+        """(probe_idx, item_idx) candidate pairs whose envelopes
+        intersect — exact (bbox-tested at every level, no bucket
+        slop), so callers may skip the post bbox filter."""
+        qboxes = np.asarray(qboxes, dtype=np.float64).reshape(-1, 4)
+        nq = len(qboxes)
+        if self.n == 0 or nq == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        # frontier: (probe, node) pairs at the current level
+        top = len(self.levels) - 1
+        if top < 0:  # single item
+            pi = np.arange(nq, dtype=np.int64)
+            b = self.boxes[0]
+            hit = (
+                (qboxes[:, 0] <= b[2])
+                & (qboxes[:, 2] >= b[0])
+                & (qboxes[:, 1] <= b[3])
+                & (qboxes[:, 3] >= b[1])
+            )
+            return pi[hit], np.full(int(hit.sum()), self.order[0], dtype=np.int64)
+        probe = np.arange(nq, dtype=np.int64)
+        node = np.zeros(nq, dtype=np.int64)
+        # filter against the root level first
+        for lvl in range(top, -1, -1):
+            nb = self.levels[lvl]
+            hit = (
+                (qboxes[probe, 0] <= nb[node, 2])
+                & (qboxes[probe, 2] >= nb[node, 0])
+                & (qboxes[probe, 1] <= nb[node, 3])
+                & (qboxes[probe, 3] >= nb[node, 1])
+            )
+            probe, node = probe[hit], node[hit]
+            if not len(probe):
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            # expand to children (next level down has cap children per node)
+            child_count = len(self.levels[lvl - 1]) if lvl else len(self.boxes)
+            first = node * self.cap
+            cnt = np.minimum(self.cap, np.maximum(0, child_count - first))
+            probe = np.repeat(probe, cnt)
+            off = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            node = np.repeat(first, cnt) + off
+        # leaf level: exact bbox test
+        hit = (
+            (qboxes[probe, 0] <= self.boxes[node, 2])
+            & (qboxes[probe, 2] >= self.boxes[node, 0])
+            & (qboxes[probe, 1] <= self.boxes[node, 3])
+            & (qboxes[probe, 3] >= self.boxes[node, 1])
+        )
+        return probe[hit], self.order[node[hit]]
+
+    def query_points(self, xs: np.ndarray, ys: np.ndarray):
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        q = np.column_stack([xs, ys, xs, ys])
+        return self.query_boxes(q)

@@ -60,12 +60,28 @@ class PIPJoin:
                  (intersects semi-join, boundary counts as covering).
     """
 
-    def __init__(self, admin_ref, mode: str = "assign", lon_col: str = "lon", lat_col: str = "lat"):
+    def __init__(
+        self,
+        admin_ref,
+        mode: str = "assign",
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        index: str = "grid",
+    ):
         state = ray.get(admin_ref) if isinstance(admin_ref, ray.ObjectRef) else admin_ref
         self.boxes = state["boxes"]
         self.rings = state["rings"]
         self.admin_ids = state["admin_ids"]
-        self.grid = GridIndex(self.boxes)
+        # 'grid' (CSR uniform grid — fastest on uniform admin sets) or
+        # 'hpr' (Hilbert-packed R-tree, geom/index.py HPRtree — constant
+        # node occupancy on skewed/heavy-tailed admin envelopes where the
+        # grid over-buckets; identical join output either way)
+        if index == "hpr":
+            from ..geom.index import HPRtree
+
+            self.grid = HPRtree(self.boxes)
+        else:
+            self.grid = GridIndex(self.boxes)
         self.mode = mode
         self.lon_col = lon_col
         self.lat_col = lat_col
