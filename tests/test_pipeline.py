@@ -95,8 +95,10 @@ def test_multimodal_image_stage_plumbing(ray_session):
 
 
 def test_multimodal_compressed_decoder_is_explicit_stub():
-    """Compressed formats stay honestly stubbed: without the fake
-    fallback a jpeg payload raises NotImplementedError."""
+    """The remaining compressed formats stay honestly stubbed: without
+    the fake fallback an animated-webp payload raises
+    NotImplementedError.  (jpeg/png are REAL decoders since r5 —
+    functions/imagecodec.py, covered by tests/test_imagecodec.py.)"""
     import pyarrow as pa
 
     from nettopologysuite_ray.stages.multimodal import ImageDecodeStage
@@ -105,8 +107,8 @@ def test_multimodal_compressed_decoder_is_explicit_stub():
     batch = pa.table(
         {
             "doc_id": pa.array([0], type=pa.int64()),
-            "image": pa.array([b"\xff\xd8\xff\xe0 fake jpeg"], type=pa.binary()),
-            "mime": pa.array(["image/jpeg"]),
+            "image": pa.array([b"RIFF....WEBP fake"], type=pa.binary()),
+            "mime": pa.array(["image/webp"]),
         }
     )
     with pytest.raises(NotImplementedError):
