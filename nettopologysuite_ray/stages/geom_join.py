@@ -204,10 +204,12 @@ def spatial_join(
     right_types = {f.name: f.type for f in right_ds.schema().base_schema}
 
     def tag(batch: pa.Table, keys, wkb_col: str, grow: float, side: int) -> pa.Table:
-        wkbs = batch[wkb_col].to_pylist()
-        env = np.empty((len(wkbs), 4), dtype=np.float64)
-        for i, buf in enumerate(wkbs):
-            e = alg.envelope(from_wkb(buf))
+        from ..geom.wkb import decode_column
+
+        geoms = decode_column(batch[wkb_col])  # vectorized ragged decode
+        env = np.empty((len(geoms), 4), dtype=np.float64)
+        for i, g in enumerate(geoms):
+            e = alg.envelope(g) if g is not None else None
             env[i] = e if e else (np.nan,) * 4
         if grow:
             env += (-grow, -grow, grow, grow)
