@@ -13,7 +13,13 @@ Quarantine causes:
                   line sets and retries with snapping, merging segments
                   ~1e-13 apart; our floating noder succeeds un-snapped, so
                   the union keeps both twins and unionLength comes out
-                  longer.  (geos ticket 1034/1046 class.)
+                  longer.  (geos ticket 1034/1046 class.)  Measured:
+                  grid-snapped union (union_all(grid_size=mag/1e9))
+                  recovers most of the twin mass (e.g. 1034#2
+                  58.92→57.66 vs expected 57.59; pg-4738 to within 1e-4)
+                  but bit-parity needs the reference's vertex-adaptive
+                  SnappingNoder, not grid rounding — out of scope, the
+                  default (un-snapped) result is topologically valid.
   noding-variant: overlay result differs from the recorded JTS/GEOS output
                   only in micro-noding (sym-area <= 1e-6 relative; extra or
                   missing near-coincident intersection points in MULTIPOINT

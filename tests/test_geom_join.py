@@ -194,6 +194,81 @@ def test_lines_vs_polygons_brute_predicate(ray_session):
     assert got == truth and len(truth) > 20
 
 
+def test_grid_aligned_boundary_ties(ray_session):
+    """Adversary for the reference-point dedup: squares whose corners are
+    EXACT multiples of the cell size, abutting across cell lines — the
+    floor arithmetic hits exact ties, and `touches` pairs live exactly
+    on the grid boundaries.  Output must match brute force at every
+    grid level."""
+    import ray.data as rd
+
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom import predicates as P
+    from nettopologysuite_ray.stages.geom_join import spatial_join
+
+    rng = np.random.default_rng(99)
+
+    def square(x0, y0, w, h):
+        return Geom(
+            POLYGON,
+            [
+                np.array(
+                    [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]],
+                    dtype=np.float64,
+                )
+            ],
+        )
+
+    NL = NR = 120
+    lx = rng.integers(0, 8, NL) * 128.0
+    ly = rng.integers(0, 8, NL) * 64.0
+    lw = rng.integers(1, 4, NL) * 128.0
+    lh = rng.integers(1, 4, NL) * 64.0
+    rx = rng.integers(0, 8, NR) * 128.0
+    ry = rng.integers(0, 8, NR) * 64.0
+    rw = rng.integers(1, 4, NR) * 128.0
+    rh = rng.integers(1, 4, NR) * 64.0
+    lgs = [square(*v) for v in zip(lx, ly, lw, lh)]
+    rgs = [square(*v) for v in zip(rx, ry, rw, rh)]
+    lt = pa.table(
+        {
+            "l_id": pa.array(np.arange(NL)),
+            "wkb": pa.array([to_wkb(g) for g in lgs], type=pa.binary()),
+        }
+    )
+    rt = pa.table(
+        {
+            "r_id": pa.array(np.arange(NR)),
+            "wkb": pa.array([to_wkb(g) for g in rgs], type=pa.binary()),
+        }
+    )
+    for level, pred in ((2, "intersects"), (3, "touches")):
+        out = spatial_join(
+            rd.from_arrow(lt).repartition(3),
+            rd.from_arrow(rt).repartition(5),
+            pred,
+            left_keys=("l_id",),
+            right_keys=("r_id",),
+            extent=(0.0, 0.0, 1024.0, 512.0),
+            level=level,
+        )
+        df = out.to_pandas()
+        got = (
+            sorted(map(tuple, df[["l_id", "r_id"]].itertuples(index=False)))
+            if "l_id" in df.columns
+            else []
+        )
+        fn = (
+            (lambda a, b: alg.distance(a, b) == 0.0)
+            if pred == "intersects"
+            else P.touches
+        )
+        truth = sorted(
+            (i, j) for i in range(NL) for j in range(NR) if fn(lgs[i], rgs[j])
+        )
+        assert got == truth and len(truth) > 100, (level, pred)
+
+
 def test_bad_predicate_raises(ray_session):
     from nettopologysuite_ray.stages.geom_join import _Prepared, _pred_fn
 
