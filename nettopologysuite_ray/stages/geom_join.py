@@ -247,6 +247,10 @@ def spatial_join(
     if salt_threshold is not None:
         from .tiling import tile_stats
 
+        # the tagged left feeds TWO consumers (hot-cell stats + the join);
+        # checkpoint once so the read+decode+multiplex chain is not
+        # re-executed per consumer (the stats pass blocks anyway)
+        left_t = left_t.materialize()
         hot_df = (
             tile_stats(left_t, "cell", small_result=False)
             .filter(expr=f"n > {int(salt_threshold)}")
