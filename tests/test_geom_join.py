@@ -194,6 +194,74 @@ def test_lines_vs_polygons_brute_predicate(ray_session):
     assert got == truth and len(truth) > 20
 
 
+def test_prepared_ladder_vs_relate_oracle():
+    """The kernel's prepared short-circuit predicates must agree with the
+    full DE-9IM relate on adversarial families: integer-grid squares
+    (exact touches / shared edges), holed polygons, diamonds, segments
+    and points, at 0 and 1e7 frames.  (120k-pair campaign clean offline;
+    this guard pins a 4k-pair slice.)"""
+    from nettopologysuite_ray.geom import algorithms as alg
+    from nettopologysuite_ray.geom import predicates as P
+    from nettopologysuite_ray.geom.types import LINESTRING, POINT
+    from nettopologysuite_ray.stages.geom_join import (
+        _Prepared,
+        _prep_contains,
+        _prep_dwithin,
+        _prep_intersects,
+    )
+
+    rng = np.random.default_rng(20260820)
+
+    def mk(kind, frame):
+        x = frame + rng.integers(-20, 20)
+        y = frame + rng.integers(-10, 10)
+        r = int(rng.integers(1, 8))
+        if kind == 0:
+            return Geom(
+                POLYGON,
+                [np.array([[x, y], [x + r, y], [x + r, y + r], [x, y + r], [x, y]], float)],
+            )
+        if kind == 1:
+            r = max(r, 4)
+            o = np.array([[x, y], [x + r, y], [x + r, y + r], [x, y + r], [x, y]], float)
+            h = np.array(
+                [
+                    [x + 1, y + 1],
+                    [x + 1, y + r - 1],
+                    [x + r - 1, y + r - 1],
+                    [x + r - 1, y + 1],
+                    [x + 1, y + 1],
+                ],
+                float,
+            )
+            return Geom(POLYGON, [o, h])
+        if kind == 2:
+            return _diamond(x, y, r)
+        if kind == 3:
+            return Geom(
+                LINESTRING,
+                np.array(
+                    [[x, y], [x + int(rng.integers(-8, 9)), y + int(rng.integers(-8, 9))]],
+                    float,
+                ),
+            )
+        return Geom(POINT, np.array([float(x), float(y)]))
+
+    for t in range(4000):
+        frame = [0.0, 1e7][t % 2]
+        a = mk(int(rng.integers(0, 5)), frame)
+        b = mk(int(rng.integers(0, 5)), frame)
+        if a.gtype == LINESTRING and alg.length(a) == 0:
+            continue
+        if b.gtype == LINESTRING and alg.length(b) == 0:
+            continue
+        pa_, pb_ = _Prepared(a), _Prepared(b)
+        assert _prep_intersects(pa_, pb_) == P.intersects(a, b)
+        assert _prep_contains(pa_, pb_) == P.contains(a, b)
+        d = float(rng.integers(0, 5))
+        assert _prep_dwithin(pa_, pb_, d) == (alg.distance(a, b) <= d)
+
+
 def test_grid_aligned_boundary_ties(ray_session):
     """Adversary for the reference-point dedup: squares whose corners are
     EXACT multiples of the cell size, abutting across cell lines — the
