@@ -121,11 +121,12 @@ def combine_wkb_groups(ds, key: str, wkb_col: str = "wkb"):
     (key, combined_wkb, n_geoms).  The combine itself is per-group local —
     the only exchange is the key-colocating groupby shuffle."""
     import pandas as pd
+    import pyarrow as pa2
 
-    from ..geom.wkb import from_wkb, to_wkb
+    from ..geom.wkb import decode_column, to_wkb
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        geoms = [from_wkb(w) for w in g[wkb_col]]
+        geoms = decode_column(pa2.array(list(g[wkb_col]), type=pa2.binary()))
         out = combine_geometries(geoms)
         return pd.DataFrame(
             {

@@ -113,11 +113,12 @@ def _unpack_cell(cell_id: int):
 def segments_wkb_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
     """Explode linework WKB into canonical undirected segments
     (p0 < p1 lexicographically), deduplicated within the batch."""
+    from ..geom.wkb import decode_column
+
     seen = set()
-    for buf in batch[wkb_col].to_pylist():
-        if buf is None:
+    for g in decode_column(batch[wkb_col]):  # vectorized ragged decode
+        if g is None:
             continue
-        g = from_wkb(buf)
         for comp in g.flatten():
             for arr in comp.coords_list():
                 for i in range(len(arr) - 1):
