@@ -133,9 +133,12 @@ def knn_join(
                 order = np.argsort(rid0, kind="stable")
                 rx, ry, ri_o = rx[order], ry[order], ri[order]
             chunk = max(1, 2_000_000 // max(len(ri), 1))
-            rows_l, rows_rank, rows_r, rows_d2, rows_sat = [], [], [], [], []
+            # vectorized emit: per chunk, satisfied rows expand to k rows
+            # (repeat/tile/ravel), unsatisfied rows emit one sentinel row
+            l_parts, rank_parts, r_parts, d2_parts, sat_parts = [], [], [], [], []
             for a in range(0, len(li), chunk):
                 lsl = slice(a, min(len(li), a + chunk))
+                m = lsl.stop - lsl.start
                 if len(ri):
                     dx = lx[lsl, None] - rx[None, :]
                     dy = ly[lsl, None] - ry[None, :]
@@ -148,41 +151,47 @@ def knn_join(
                     topi = np.argsort(d2, axis=1, kind="stable")[:, :kk]
                     topd = np.take_along_axis(d2, topi, axis=1)
                 else:
-                    topi = np.zeros((lsl.stop - lsl.start, 0), dtype=np.int64)
-                    topd = np.zeros((lsl.stop - lsl.start, 0))
+                    topi = np.zeros((m, 0), dtype=np.int64)
+                    topd = np.zeros((m, 0))
                 cnt = topi.shape[1]
-                dk = topd[:, -1] if cnt >= k else np.full(topi.shape[0], np.inf)
-                sat = (cnt >= k) & (dk <= r2)
-                for w_ in range(topi.shape[0]):
-                    gi = li[a + w_]
-                    if sat[w_] if cnt >= k else False:
-                        for rnk in range(k):
-                            rows_l.append(gi)
-                            rows_rank.append(rnk)
-                            rows_r.append(ri_o[topi[w_, rnk]])
-                            rows_d2.append(float(topd[w_, rnk]))
-                            rows_sat.append(1)
-                    else:
-                        rows_l.append(gi)
-                        rows_rank.append(-1)
-                        rows_r.append(-1)
-                        rows_d2.append(np.nan)
-                        rows_sat.append(0)
+                gidx = li[np.arange(a, a + m)]
+                if cnt >= k:
+                    sat = topd[:, -1] <= r2
+                else:
+                    sat = np.zeros(m, dtype=bool)
+                si = np.nonzero(sat)[0]
+                if len(si):
+                    l_parts.append(np.repeat(gidx[si], k))
+                    rank_parts.append(np.tile(np.arange(k, dtype=np.int64), len(si)))
+                    r_parts.append(ri_o[topi[si]].ravel())
+                    d2_parts.append(topd[si].ravel())
+                    sat_parts.append(np.ones(len(si) * k, dtype=np.int8))
+                ui = np.nonzero(~sat)[0]
+                if len(ui):
+                    l_parts.append(gidx[ui])
+                    rank_parts.append(np.full(len(ui), -1, dtype=np.int64))
+                    r_parts.append(np.full(len(ui), -1, dtype=np.int64))
+                    d2_parts.append(np.full(len(ui), np.nan))
+                    sat_parts.append(np.zeros(len(ui), dtype=np.int8))
+            if not l_parts:
+                return empty
+            l_all = np.concatenate(l_parts)
             cols = {}
-            l_take = pa.array(np.asarray(rows_l, dtype=np.int64))
+            l_take = pa.array(l_all)
             for c in lk:
                 cols[c] = g[c].take(l_take)
-            cols["rank"] = pa.array(np.asarray(rows_rank, dtype=np.int64))
-            r_idx = np.asarray(rows_r, dtype=np.int64)
+            cols["rank"] = pa.array(np.concatenate(rank_parts))
+            r_idx = np.concatenate(r_parts)
+            sat_all = np.concatenate(sat_parts)
             r_take = pa.array(np.where(r_idx >= 0, r_idx, 0))
             for c in rk:
                 v = g[c].take(r_take)
-                cols[c] = pa.array(
-                    [None if r_idx[j] < 0 else v[j].as_py() for j in range(len(r_idx))],
-                    type=v.type,
-                )
-            cols["dist2"] = pa.array(np.asarray(rows_d2, dtype=np.float64))
-            cols["_sat"] = pa.array(np.asarray(rows_sat, dtype=np.int8))
+                if (r_idx < 0).any():
+                    mask = pa.array(r_idx < 0)
+                    v = pa.compute.if_else(mask, pa.scalar(None, type=v.type), v)
+                cols[c] = v
+            cols["dist2"] = pa.array(np.concatenate(d2_parts))
+            cols["_sat"] = pa.array(sat_all)
             return pa.table(cols)
 
         return per_cell
