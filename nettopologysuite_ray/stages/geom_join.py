@@ -193,6 +193,12 @@ def spatial_join(
     """
     if predicate == "dwithin" and distance < 0:
         raise ValueError("dwithin needs distance >= 0")
+    _RESERVED = {"_wkb", "_minx", "_miny", "_maxx", "_maxy", "cell", "_side"}
+    bad = (_RESERVED & set(left_keys)) | (_RESERVED & set(right_keys))
+    if bad:
+        raise ValueError(f"key columns collide with internal names: {sorted(bad)}")
+    if set(left_keys) & set(right_keys):
+        raise ValueError("left_keys and right_keys must be disjoint")
     n = np.int64(1) << np.int64(level)
     ex0, ey0, ex1, ey1 = (float(v) for v in extent)
     sx = (ex1 - ex0) / float(n)
