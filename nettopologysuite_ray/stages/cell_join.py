@@ -163,6 +163,12 @@ def within_distance_join(
     left_p = left_t.map_batches(lambda b: pad(b, rk), batch_format="pyarrow")
     right_p = right_t.map_batches(lambda b: pad(b, lk), batch_format="pyarrow")
     both = left_p.union(right_p)
+    # coalesce before the groupby: the sort's fixed overhead is
+    # block-count-driven (12x measured between 128 and 8 blocks on a
+    # 57k-row exchange; see stages/geom_join.py)
+    import ray as _ray
+
+    both = both.repartition(max(8, int(_ray.cluster_resources().get("CPU", 16))))
 
     r2 = r * r
 

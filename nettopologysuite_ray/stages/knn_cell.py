@@ -206,8 +206,13 @@ def knn_join(
         rt = right_ds.map_batches(tag_right(radius), batch_format="pyarrow").map_batches(
             lambda b: pad(b, lk, left_types), batch_format="pyarrow"
         )
+        import ray as _ray
+
+        nparts = max(8, int(_ray.cluster_resources().get("CPU", 16)))
         rnd = (
             lt.union(rt)
+            # coalesce: sort overhead is block-count-driven (geom_join.py)
+            .repartition(nparts)
             .groupby("cell")
             .map_groups(kernel(radius), batch_format="pyarrow")
             .materialize()
